@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import QHelp._
+
+/** Event-stream batch twins of the streaming semantics (SURVEY.md §2.8):
+  * tumbling windows (bin_trades taq.py:494-602), sessionization, and JSON
+  * prop extraction (the reference's Mongo doc access re-expressed).
+  */
+object EventsQ {
+
+  val qs: Seq[Q] = Seq(
+
+    // A6: tumbling 5-minute bins — count/sum/min/max per (type, window)
+    // (bin_trades taq.py:549-566). Spark's window() aligns to the epoch,
+    // as does DuckDB's time_bucket for sub-day intervals.
+    Q("e_tumbling", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "5 minutes").as("w"))
+        .agg(bi(count(lit(1))).as("n"),
+          dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("event_type"), bi(unix_micros(col("w.start"))).as("bucket_us"),
+          col("n"), col("sum_value"), col("min_value"), col("max_value"))
+    }, Some("""
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS bucket_us,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY 1, 2""")),
+
+    // Sessionization — new session when the gap to the previous event of
+    // the same user exceeds 6h (gaps-and-islands by time; streaming twin:
+    // session_window / flatMapGroupsWithState).
+    Q("e_session", (s, dir) => {
+      val gapUs = 6L * 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("new_s", when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
+        .withColumn("session", sum(col("new_s")).over(cum))
+      e.groupBy("user_id", "session")
+        .agg(bi(count(lit(1))).as("n"),
+          bi(min(col("us"))).as("beg_us"),
+          bi(max(col("us"))).as("end_us"))
+        .select(bi(col("user_id")).as("user_id"), bi(col("session")).as("session"),
+          col("n"), col("beg_us"), col("end_us"),
+          bi(col("end_us") - col("beg_us")).as("dur_us"))
+    }, Some("""
+      WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+      ), y AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN gap IS NULL OR gap > 21600000000 THEN 1 ELSE 0 END AS new_s
+        FROM x
+      ), z AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        FROM y
+      )
+      SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session AS BIGINT) AS session,
+             COUNT(*) AS n, MIN(us) AS beg_us, MAX(us) AS end_us,
+             MAX(us) - MIN(us) AS dur_us
+      FROM z GROUP BY 1, 2""")),
+
+    // JSON prop extraction + agg (the driver's events.props column;
+    // reference analog: Mongo doc field access unstructured.py:59-154).
+    Q("e_json", (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(r6(avg(k)).as("avg_k"),
+          bi(min(k)).as("min_k"),
+          bi(max(k)).as("max_k"),
+          bi(countDistinct(k)).as("n_k"),
+          bi(count(lit(1))).as("n"))
+    }, Some("""
+      SELECT event_type,
+             ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+             CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+             CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+             COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+             COUNT(*) AS n
+      FROM events GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Dedup
+import graft.sim.Similarity
+import graft.text.{NearDup, TextOps}
+import QHelp._
+
+/** LLM-data-pipeline queries over `documents` and `embeddings`:
+  * token counting, quality scoring, language ID, fingerprinting, exact and
+  * near dedup (n-gram Jaccard, MinHash-LSH, SimHash), and embedding
+  * similarity search. Oracles replicate the exact per-row arithmetic in
+  * DuckDB SQL; the hash-based ops (xxhash64) are rows-only checks.
+  */
+object TextQ {
+
+  val qs: Seq[Q] = Seq(
+
+    // Token counting: whitespace + BPE-ish regex (builder brief).
+    Q("t_stats", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(bi(col("doc_id")).as("doc_id"),
+          bi(TextOps.wsTokenCount(col("text"))).as("n_ws"),
+          bi(TextOps.bpeishTokenCount(col("text"))).as("n_bpe"),
+          bi(length(col("text"))).as("n_char"))
+    }, Some("""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_char
+      FROM documents""")),
+
+    // Quality scoring: length/alpha/punct/word-length blend (builder brief).
+    Q("t_quality", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(bi(col("doc_id")).as("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS words
+        FROM documents
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             ROUND(least(n / 500.0, 1.0) * 0.3
+                 + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
+                 + (1.0 - (CASE WHEN n > 0 THEN least(punct / n * 10.0, 1.0) ELSE 0.0 END)) * 0.1
+                 + least((CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) / 8.0, 1.0) * 0.2, 6) AS quality
+      FROM x""")),
+
+    // Language ID: stopword-count heuristic over {en,es,de,fr,zh}
+    // (builder brief; first language in list order achieving the max).
+    Q("t_langid", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(bi(col("doc_id")).as("doc_id"),
+          TextOps.langId(col("text")).as("pred_lang"),
+          col("lang"),
+          bi((TextOps.langId(col("text")) === col("lang")).cast("long")).as("correct"))
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, lang,
+          (len(string_split_regex(' '||lower(text)||' ', '\sthe\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sand\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sof\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sto\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sis\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sa\s'))-1) AS s_en,
+          (len(string_split_regex(' '||lower(text)||' ', '\sel\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sla\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sde\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sque\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sy\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\slos\s'))-1) AS s_es,
+          (len(string_split_regex(' '||lower(text)||' ', '\sder\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sdie\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sund\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sdas\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sist\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sein\s'))-1) AS s_de,
+          (len(string_split_regex(' '||lower(text)||' ', '\sle\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sla\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sles\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sde\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\set\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sest\s'))-1) AS s_fr,
+          length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) * 2 AS s_zh
+        FROM documents
+      ), p AS (
+        SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+               greatest(s_en, s_es, s_de, s_fr, s_zh) AS m
+        FROM s
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+                  WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS pred_lang,
+             lang,
+             CAST(CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+                  WHEN s_fr = m THEN 'fr' ELSE 'zh' END = lang AS BIGINT) AS correct
+      FROM p""")),
+
+    // Rolling-hash document fingerprint (builder brief).
+    Q("t_fingerprint", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(bi(col("doc_id")).as("doc_id"),
+          bi(TextOps.fingerprint(col("text"))).as("fp"))
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g') AS t
+        FROM documents
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(CASE WHEN length(t) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN string_split(t, '')]),
+                    (a, c) -> (a * 31 + c) % 1000000007)
+                  END AS BIGINT) AS fp
+      FROM x""")),
+
+    // Exact dedup via hash-groupBy on a normalization key (builder brief;
+    // reference analog: INSERT IGNORE dedup sql.py:251-266).
+    Q("t_exactdup", (s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), Seq("lang", "n_chars"), "doc_id")
+        .where(col("dup_count") > 1)
+        .select(col("lang"), bi(col("n_chars")).as("n_chars"),
+          bi(col("keep_id")).as("keep_id"), bi(col("dup_count")).as("dup_count"))
+    }, Some("""
+      SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
+      FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1""")),
+
+    // Near-dup detection: exact word-3-gram Jaccard over pairs sharing at
+    // least one shingle (explode + equi-join on shingle — no O(n²) scan).
+    Q("t_jaccard", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      // Shingles are distinct per doc, so |A∩B| = the count of matching
+      // shingle rows per pair and |A∪B| = |A|+|B|−|A∩B| — the join carries
+      // only (doc_id, shingle) rows, never the arrays (at 100 TB the
+      // array-intersect-per-candidate-pair form is quadratic in doc size).
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      val j = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+      j.where(col("inter").cast("double") / col("uni") >= 0.6)
+        .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"),
+          r6(col("inter").cast("double") / col("uni")).as("jaccard"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z_]+'), x -> len(x) >= 3) AS tk
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(s) AS sg FROM sh
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+      FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.s, y.s))) >= 0.6""")),
+
+    // MinHash + LSH near-dup (xxhash64-based — not SQL-expressible; the
+    // driver records a rows-only check; t_jaccard is the exact oracle twin).
+    Q("t_minhash", (s, dir) => {
+      NearDup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
+          shingleWidth = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"), col("jaccard"))
+    }, None),
+
+    // SimHash near-dup: 64-bit signatures, Hamming ≤ 8 pairs (rows-only).
+    Q("t_simhash", (s, dir) => {
+      val sigs = Tables.documents(s, dir)
+        .select(col("doc_id"), NearDup.simHash(col("text")).as("sig"))
+      sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .where(NearDup.hamming(col("a.sig"), col("b.sig")) <= 8)
+        .select(bi(col("a.doc_id")).as("id_a"), bi(col("b.doc_id")).as("id_b"),
+          bi(NearDup.hamming(col("a.sig"), col("b.sig"))).as("hamming"))
+    }, None),
+
+    // Brute-force cosine top-k (exactness baseline for ANN; query subset
+    // keyed % 10 to bound the pair count at bench scale).
+    Q("s_knn", (s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = v.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("va"))
+      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+      val scored = a.join(b, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          r6(Similarity.cosine(col("va"), col("vb"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
+          col("cos"), bi(col("rank")).as("rank"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), d AS (
+        SELECT a.vec_id AS q, b.vec_id AS n,
+               list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(a.e, b.e)]), (p, c) -> p + c) AS dot,
+               sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(a.e, a.e)]), (p, c) -> p + c)) AS na,
+               sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(b.e, b.e)]), (p, c) -> p + c)) AS nb
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 10 = 0
+      ), sc AS (
+        SELECT q, n, ROUND(dot / (na * nb), 6) AS cos FROM d
+      ), r AS (
+        SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank FROM sc
+      )
+      SELECT CAST(q AS BIGINT) AS query_id, CAST(n AS BIGINT) AS neighbor_id,
+             cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // LSH-bucketed ANN (scale path; deterministic hyperplanes via xxhash64
+    // — rows-only check).
+    Q("s_lsh", (s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.lshTopK(v, "vec_id", "embedding", k = 5, planes = 12, tables = 4)
+        .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
+          col("cos"), bi(col("rank")).as("rank"))
+    }, None)
+  )
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for the LLM-data pipeline surface:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash — all
+  * expressed as declarative DataFrame plans (SURVEY.md §7.2 step 8).
+  *
+  * Scale shape: MinHash/SimHash are per-row maps (no shuffle); candidate
+  * generation is an equi-join on (band, bucket) — the only shuffle — and
+  * verification touches candidate pairs only. Brute-force pairwise compare
+  * appears solely inside the Jaccard verifier on candidates.
+  */
+object NearDup {
+
+  /** MinHash signature: for seed s, min over shingles of
+    * xxhash64(shingle, s). Returns array of `numHashes` signature longs.
+    */
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(shingles, sh => xxhash64(sh, lit(s))))): _*)
+
+  /** LSH banding: (docId, band, bucketHash) rows; docs sharing any
+    * (band, bucket) become candidate pairs.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(bandRows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate pairs (idA < idB) from shared LSH buckets, deduped. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni > 0, inter / uni).otherwise(0.0)
+  }
+
+  /** End-to-end MinHash near-dup: returns (id_a, id_b, jaccard) for
+    * candidate pairs with verified exact Jaccard ≥ threshold.
+    *
+    * Verification never materializes shingle arrays per pair: shingles are
+    * distinct per doc, so |A∩B| is a groupBy-count over matching
+    * (pair, shingle) rows and |A∪B| = |A|+|B|−|A∩B| — linear in shared
+    * shingles instead of quadratic array intersection per candidate.
+    */
+  def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   shingleWidth: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol),
+        TextOps.wordShingles(col(textCol), shingleWidth).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minHashSig(col("sh"), bands * rowsPerBand))
+    val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol)
+    val sizes = sh.select(col(idCol), size(col("sh")).as("nsh"))
+    val ex = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val inter = cands
+      .join(ex.select(col(idCol).as("id_a"), col("s")), "id_a")
+      .join(ex.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("nsh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens: sign-sum of per-token xxhash64 bits.
+    * Per-row map — no shuffle; near-dups share low Hamming distance.
+    * Single pass over the token hashes carrying a 64-counter array (64
+    * separate aggregates would re-tokenize the text per bit).
+    */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (v, b) => v + when(call_function("getbit", h, b) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, bitIdx,
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

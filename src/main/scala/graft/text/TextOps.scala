@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the LLM-data pipeline surface (builder brief)
+  * plus the reference's vocab/tokenize layer
+  * (`finds/unstructured/vocab.py:21-135`, SURVEY.md §2.7 F7, §2.4 A14).
+  *
+  * All pure `Column` expressions — codegen'd, zero UDFs, embarrassingly
+  * parallel over a 100 TB `documents` table.
+  */
+object TextOps {
+
+  /** Reference tokenizer pattern (`vocab.py:29`): ≥3 non-digit word chars. */
+  val TokenPattern = "[a-zA-Z_][a-zA-Z_][a-zA-Z_]+"
+
+  /** Word tokens (reference regexp, lowercased). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-zA-Z_]+"), t => length(t) >= 3)
+
+  /** Whitespace token count (LLM token-count baseline). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: letter runs + digit runs + single punctuation
+    * marks — a deterministic regex proxy for tokenizer cost estimation.
+    * (Alternation without lookarounds so the same pattern runs on RE2
+    * engines for differential testing.)
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: blend of length, alpha ratio, punctuation
+    * ratio and mean word length (LLM-pipeline quality heuristics).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val words = wsTokenCount(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val alphaRatio = when(n > 0, alpha / n).otherwise(0.0)
+    val punctPenalty = when(n > 0, least(punct / n * 10.0, lit(1.0))).otherwise(0.0)
+    val meanWord = when(words > 0, alpha / words).otherwise(0.0)
+    val wordScore = least(meanWord / lit(8.0), lit(1.0))
+    round(lenScore * 0.3 + alphaRatio * 0.4 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
+  }
+
+  /** Stopword-count language ID over {en, es, de, fr, zh} — n-gram/stopword
+    * heuristic scored per language, ties broken alphabetically.
+    */
+  def langId(text: Column): Column = {
+    def score(words: Seq[String]): Column = {
+      val padded = concat(lit(" "), lower(text), lit(" "))
+      words.map(sw => size(split(padded, s"\\s$sw\\s")) - 1)
+        .reduce(_ + _)
+    }
+    val scores = Seq(
+      "en" -> score(Seq("the", "and", "of", "to", "is", "a")),
+      "es" -> score(Seq("el", "la", "de", "que", "y", "los")),
+      "de" -> score(Seq("der", "die", "und", "das", "ist", "ein")),
+      "fr" -> score(Seq("le", "la", "les", "de", "et", "est")),
+      "zh" -> (length(regexp_replace(text, "[\\x00-\\x7F]", "")) * 2))
+    // argmax with alphabetical tie-break: fold keeping (best, lang)
+    val first = scores.head
+    val best = scores.tail.foldLeft(struct(first._2.as("s"), lit(first._1).as("l"))) {
+      case (acc, (lang, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    best.getField("l")
+  }
+
+  /** Polynomial rolling-hash document fingerprint over the printable-ASCII
+    * projection of the text, mod 1e9+7 so the arithmetic never exceeds 63
+    * bits (portable: no engine-specific overflow wrapping).
+    * acc = (acc·31 + codepoint) mod p; empty text → 0.
+    * Chars are enumerated via substr (Spark's `split(s, "")` keeps a
+    * trailing empty token that other engines drop).
+    */
+  def fingerprint(text: Column): Column = {
+    val t = regexp_replace(lower(text), "[^\\x20-\\x7e]", "")
+    // split("", -1) semantics keep a trailing empty token — drop it rather
+    // than enumerate positions with substr (substr-per-index is O(n²)).
+    val chars = filter(split(t, ""), c => length(c) > 0)
+    when(length(t) > 0,
+      aggregate(
+        transform(chars, ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31L + c) % 1000000007L))
+      .otherwise(0L)
+  }
+
+  /** Distinct character n-gram shingles of the lowercased text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n))))
+  }
+
+  /** Distinct word n-gram shingles (space-joined) over [[tokens]];
+    * empty when the doc has fewer than `n` tokens (a short doc must not
+    * collapse to a single partial shingle — that would make all short
+    * docs mutual near-duplicates).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    when(size(tok) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", slice(tok, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
