@@ -137,7 +137,8 @@ object TextQ {
     // least one shingle (explode + equi-join on shingle — no O(n²) scan).
     Q("t_jaccard", (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sh = docs.select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+      val sh = docs
+        .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
         .where(size(col("sh")) > 0)
       // Shingles are distinct per doc, so |A∩B| = the count of matching
       // shingle rows per pair and |A∪B| = |A|+|B|−|A∩B| — the join carries

@@ -61,8 +61,8 @@ object NearDup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol),
-        TextOps.wordShingles(col(textCol), shingleWidth).as("sh"))
+    val sh = docs
+      .select(col(idCol), TextOps.wordShingles(col(textCol), shingleWidth).as("sh"))
       .where(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minHashSig(col("sh"), bands * rowsPerBand))
     val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol)

@@ -99,17 +99,41 @@ object TextOps {
       i => t.substr(i, lit(n))))
   }
 
-  /** Distinct word n-gram shingles (space-joined) over [[tokens]];
+  /** Distinct word n-gram shingles (space-joined) of a token array;
     * empty when the doc has fewer than `n` tokens (a short doc must not
     * collapse to a single partial shingle — that would make all short
     * docs mutual near-duplicates).
+    *
+    * Implemented as ONE left fold (`aggregate`) carrying a rolling queue
+    * of the previous n−1 tokens. A Catalyst lambda re-evaluates any
+    * non-bound subtree it references once PER ELEMENT, so the naive
+    * `transform(sequence(...), i => slice(tok, i+1, n))` form re-derives
+    * the whole token array per shingle index — O(len²) regex work when
+    * `tok` is an inline tokens(...) expression (measured 17 s vs 0.5 s
+    * over 5k docs). In the fold, `tok` is only the aggregate argument
+    * (evaluated once) and the lambdas touch bound variables only.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val tok = tokens(text)
-    when(size(tok) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(tok) - n),
-        i => concat_ws(" ", slice(tok, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  def shinglesOf(tok: Column, n: Int): Column = {
+    require(n >= 2, "shingle width must be >= 2")
+    val init = struct(
+      array().cast("array<string>").as("sh"),
+      array().cast("array<string>").as("q"))
+    aggregate(
+      tok,
+      init,
+      (acc, w) => {
+        val sh = acc.getField("sh")
+        val q = acc.getField("q")
+        val full = size(q) === (n - 1)
+        struct(
+          when(full, array_append(sh, concat_ws(" ", array_append(q, w))))
+            .otherwise(sh).as("sh"),
+          when(full, array_append(slice(q, 2, n - 2), w))
+            .otherwise(array_append(q, w)).as("q"))
+      },
+      acc => array_distinct(acc.getField("sh")))
   }
+
+  /** Shingles straight from text — linear per row (see [[shinglesOf]]). */
+  def wordShingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Top-level so Spark can derive an encoder (inner classes need outer scope). */
+case class Ev(ts: Timestamp, k: String, v: Double)
+
+/** Structured-Streaming twin of the tumbling-bin batch semantics
+  * (SURVEY.md §2.8): the streamed result over a replayed event set must
+  * equal the batch groupBy(window) on the same rows.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs: Seq[Ev] = (0 until 200).map { i =>
+    Ev(new Timestamp(1700000000000L + i * 97000L), s"k${i % 3}", i * 1.5)
+  }
+
+  test("streamed tumbling window equals batch window aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("k"), window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .select(col("k"), col("window.start").as("w"), col("n"), round(col("s"), 6).as("s"))
+
+    val q = agg(mem.toDF()).writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .as[(String, Timestamp, Long, Double)].collect().toSet
+    val batch = agg(evs.toDF())
+      .as[(String, Timestamp, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked append mode emits closed windows with late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+      .writeStream.format("memory").queryName("wm_test").outputMode("append").start()
+
+    val t0 = 1700000000000L
+    mem.addData(Ev(new Timestamp(t0), "a", 1.0), Ev(new Timestamp(t0 + 60000), "a", 2.0))
+    q.processAllAvailable()
+    // jump 30 min ahead: watermark passes the first window's end
+    mem.addData(Ev(new Timestamp(t0 + 30 * 60000), "a", 3.0))
+    q.processAllAvailable()
+    // this row is far behind the watermark -> dropped
+    mem.addData(Ev(new Timestamp(t0 + 60000), "late", 9.0))
+    q.processAllAvailable()
+    // close remaining windows
+    mem.addData(Ev(new Timestamp(t0 + 60 * 60000), "a", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_test").as[(Timestamp, Long)].collect().toMap
+    // first window emitted with exactly the 2 on-time rows (late row dropped);
+    // window starts align to the epoch-floored 5-minute boundary
+    val w0 = new Timestamp(t0 - (t0 / 1000 % 300) * 1000)
+    assert(rows(w0) == 2L)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{NearDup, TextOps}
+import graft.sim.Similarity
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: fewer than n tokens yields empty, shingles distinct") {
+    val df = Seq(
+      (1, "alpha beta"),                       // 2 tokens < 3 -> empty
+      (2, "alpha beta gamma"),                 // exactly one shingle
+      (3, "one two three one two three one two three")  // repeats dedupe
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextOps.wordShingles(col("t"), 3).as("sh"))
+      .select(col("id"), size(col("sh")).as("n")).as[(Int, Int)].collect().toMap
+    assert(out(1) == 0)
+    assert(out(2) == 1)
+    assert(out(3) == 3) // one-two-three, two-three-one, three-one-two
+  }
+
+  test("fingerprint: deterministic rolling hash, empty -> 0") {
+    val df = Seq((1, "ab"), (2, ""), (3, "AB"), (4, "中文")).toDF("id", "t")
+    val out = df.select(col("id"), TextOps.fingerprint(col("t")).as("fp"))
+      .as[(Int, Long)].collect().toMap
+    assert(out(1) == (97L * 31 + 98) % 1000000007L) // 'a','b'
+    assert(out(2) == 0L)
+    assert(out(3) == out(1)) // lowercased
+    assert(out(4) == 0L)     // non-ascii stripped -> empty
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val df = Seq(
+      (1, "the cat and the dog is a friend of the house"),
+      (2, "el perro y la casa de los amigos que viven"),
+      (3, "der hund und die katze ist ein freund"),
+      (4, "le chat et la maison les amis est grand")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextOps.langId(col("t")).as("l"))
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "en", 2 -> "es", 3 -> "de", 4 -> "fr"))
+  }
+
+  test("simhash: identical docs have hamming 0, unrelated docs differ") {
+    val df = Seq(
+      (1, "quick brown foxes jumping over lazy dogs daily"),
+      (2, "quick brown foxes jumping over lazy dogs daily"),
+      (3, "completely different words about financial markets analytics")
+    ).toDF("id", "t")
+    val sigs = df.select(col("id"), NearDup.simHash(col("t")).as("s"))
+      .as[(Int, Long)].collect().toMap
+    assert(sigs(1) == sigs(2))
+    assert(java.lang.Long.bitCount(sigs(1) ^ sigs(3)) > 8)
+  }
+
+  test("minhash dedup finds planted near-duplicates") {
+    // all-letter tokens: the tokenizer treats digits as separators
+    def w(p: String)(i: Int) = s"$p${('a' + i % 26).toChar}${('a' + i / 26).toChar}x"
+    val base = (0 until 40).map(w("tok")).mkString(" ")
+    val nearDup = (0 until 38).map(w("tok")).mkString(" ") + " zzz yyy"
+    val unrelated = (0 until 40).map(w("qrs")).mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = NearDup.minHashDedup(df, "doc_id", "text",
+        shingleWidth = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("bpeish token count: letters, digits, punctuation") {
+    val df = Seq((1, "ab12 cd, ef!")).toDF("id", "t")
+    // tokens: ab, 12, cd, ',', ef, '!' -> 6
+    val out = df.select(TextOps.bpeishTokenCount(col("t"))).as[Int].head()
+    assert(out == 6)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity = 1, orthogonal = 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+  }
+
+  test("brute-force top-k returns nearest by construction") {
+    // vectors on a line: 0 -> (1,0), i -> rotated slightly more each step
+    val vecs = (0 until 6).map { i =>
+      val th = i * 0.3
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L)
+    assert(out(5L) == 4L)
+    assert(Set(2L, 4L).contains(out(3L))) // both at same angular distance
+  }
+
+  test("lsh top-k cosines agree with brute force on found pairs") {
+    val vecs = (0 until 30).map { i =>
+      val th = i * 0.21
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat,
+        (math.cos(th) * 0.5).toFloat, (math.sin(th) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 29)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", 5, planes = 8, tables = 4)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) =>
+      assert(math.abs(brute((q, n)) - c) < 1e-9)
+    }
+  }
+}
