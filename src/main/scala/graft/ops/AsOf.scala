@@ -66,7 +66,8 @@ object AsOf {
       keys: Seq[String],
       timeCol: String,
       valueCols: Seq[String],
-      allowExact: Boolean = true): DataFrame = {
+      allowExact: Boolean = true,
+      tieBreak: Option[String] = None): DataFrame = {
 
     val leftCols = left.columns
     val rightSide = if (allowExact) 2 else 0
@@ -74,8 +75,9 @@ object AsOf {
     val rProj = keys.map(col) ++ Seq(col(timeCol)) ++ valueCols.map(c => col(c).as(s"__v_$c"))
     val rTagged = right.select(rProj: _*).withColumn("__side", lit(rightSide))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val tb = tieBreak.map(c => col(s"__v_$c").asc_nulls_last).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc)
+      .orderBy((Seq(col(timeCol).asc, col("__side").asc) ++ tb): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(w))
