@@ -1,0 +1,92 @@
+package graft.backtest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portfolio-sort backtesting (SURVEY.md §3.1; reference:
+  * `finds/backtesting/backtesting.py:17-91` univariate_sorts +
+  * `finds/backtesting/backtest.py:101-181` BackTest).
+  *
+  * Everything is distributed per rebalance date in ONE plan — the
+  * reference's per-month Python loop becomes groupBy(rebaldate)
+  * operations: per-date NYSE breakpoints via grouped exact percentiles,
+  * fractile labels via a broadcast breakpoint join, cap weights via
+  * window sums. No driver-side iteration over dates, no collect of
+  * anything bigger than the breakpoint table (dates × (k−1) doubles).
+  */
+object Backtesting {
+
+  /** Per-group exact-percentile breakpoints (population may differ from
+    * the labeled set — the NYSE-breakpoint rule, filters.py:267-287).
+    * Adds `outCol` = 1 + #{breakpoints < value} to `df`.
+    */
+  def fractilesPerGroup(df: DataFrame, population: DataFrame, groupCol: String,
+                        valueCol: String, k: Int, outCol: String): DataFrame = {
+    val pcts = (1 until k).map(i => i.toDouble / k)
+    val bps = population.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, array(${pcts.mkString(",")}))").as("__bps"))
+    df.join(broadcast(bps), Seq(groupCol), "left")
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull && col("__bps").isNotNull,
+          size(filter(col("__bps"), b => b < col(valueCol))) + 1))
+      .drop("__bps")
+  }
+
+  /** Univariate signal sort into a cap-weighted spread portfolio
+    * (backtesting.py:46-81): per rebaldate, label `signal` into `k`
+    * fractiles with breakpoints from the `nyse` subset, then cap-weight
+    * the top fractile (+) and bottom fractile (−).
+    *
+    * Input cross-sections: (permno, rebaldate, signal, cap, nyse).
+    * Output holdings: (rebaldate, permno, weight) with Σ(+)=1, Σ(−)=−1.
+    */
+  def univariateSorts(cs: DataFrame, k: Int = 10,
+                      minCap: Double = 0.0): DataFrame = {
+    val screened = cs.where(col("cap") > minCap && col("signal").isNotNull)
+    val labeled = fractilesPerGroup(screened, screened.where(col("nyse")),
+      "rebaldate", "signal", k, "fractile")
+    val legs = labeled.where(col("fractile") === k || col("fractile") === 1)
+      .withColumn("side", when(col("fractile") === k, 1.0).otherwise(-1.0))
+    val w = Window.partitionBy("rebaldate", "side")
+    legs.withColumn("weight", col("side") * col("cap") / sum("cap").over(w))
+      .select("rebaldate", "permno", "weight")
+  }
+
+  /** Portfolio performance accounting (backtest.py:132-181): holdings at
+    * rebaldate r earn the holding-period return keyed (permno, rebaldate)
+    * in `rets` (the caller aligns each rebalance to its next-period
+    * compounded return via the calendar, F2/F3 + A1). Missing returns
+    * count as 0, as the reference's reindex-fillna does
+    * (backtest.py:152-153).
+    */
+  def performance(holdings: DataFrame, rets: DataFrame): DataFrame =
+    holdings
+      .join(rets, Seq("permno", "rebaldate"), "left")
+      .groupBy("rebaldate")
+      .agg(sum(col("weight") * coalesce(col("ret"), lit(0.0))).as("port_ret"),
+        count(lit(1)).as("n_holdings"),
+        sum(when(col("weight") > 0, col("weight"))).as("long_weight"),
+        sum(when(col("weight") < 0, col("weight"))).as("short_weight"))
+
+  /** Turnover between consecutive holdings after drifting the prior
+    * month's weights by retx (backtest.py:156-175): full-outer join of
+    * holdings at r with drifted holdings at prev(r).
+    *
+    * `pairs`: (rebaldate, prev_rebaldate); `retx` keyed (permno, rebaldate).
+    */
+  def turnover(holdings: DataFrame, pairs: DataFrame, retx: DataFrame): DataFrame = {
+    val prev = holdings
+      .withColumnRenamed("rebaldate", "prev_rebaldate")
+      .withColumnRenamed("weight", "prev_weight")
+      .join(pairs, Seq("prev_rebaldate"))
+      .join(retx.withColumnRenamed("rebaldate", "prev_rebaldate"),
+        Seq("permno", "prev_rebaldate"), "left")
+      .withColumn("drifted", col("prev_weight") * (lit(1.0) + coalesce(col("retx"), lit(0.0))))
+      .select("rebaldate", "permno", "drifted")
+    holdings.join(prev, Seq("rebaldate", "permno"), "full_outer")
+      .groupBy("rebaldate")
+      .agg((sum(abs(coalesce(col("weight"), lit(0.0)) - coalesce(col("drifted"), lit(0.0)))) / 2)
+        .as("turnover"))
+  }
+}

@@ -74,11 +74,12 @@ object Batch2 {
       val keys = o.where(col("o_orderkey") % 100 === 0)
         .select(col("o_custkey").as("k_cust"), col("o_orderdate").as("k_date"))
         .distinct()
-      // keys LEFT JOIN fact as fact RIGHT JOIN broadcast(keys): Spark can
-      // only broadcast the build (non-outer) side, which for right-outer
-      // is the stream-left — so this shape keeps the hash join broadcast.
-      o.join(broadcast(keys),
-          col("k_cust") === col("o_custkey") && col("k_date") === col("o_orderdate"), "right")
+      // the preserved (outer) side of an outer join can never be the
+      // broadcast build side, so a small-keys LEFT join runs as a shuffle
+      // join — acceptable: the shuffle is sized by the fact side, same as
+      // any equi-join on it.
+      keys.join(o,
+          col("k_cust") === col("o_custkey") && col("k_date") === col("o_orderdate"), "left")
         .select(bi(col("k_cust")).as("k_cust"),
           bi(DateInt.fromTimestamp(col("k_date"))).as("k_d"),
           bi(col("o_orderkey")).as("o_orderkey"),
