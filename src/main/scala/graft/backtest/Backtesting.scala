@@ -69,6 +69,38 @@ object Backtesting {
         sum(when(col("weight") > 0, col("weight"))).as("long_weight"),
         sum(when(col("weight") < 0, col("weight"))).as("short_weight"))
 
+  /** Bivariate (independent double) sort: fractiles of `signal` and
+    * `signal2` assigned independently per rebaldate (both with
+    * population-of-record breakpoints), weights cap-weighted within each
+    * (f1, f2) cell — the 5×5 size/value grid shape
+    * (bivariate sorts backtesting.py:93-205).
+    */
+  def bivariateSorts(cs: DataFrame, k1: Int, k2: Int): DataFrame = {
+    val l1 = fractilesPerGroup(cs.where(col("signal").isNotNull && col("signal2").isNotNull),
+      cs.where(col("nyse")), "rebaldate", "signal", k1, "f1")
+    val l2 = fractilesPerGroup(l1, cs.where(col("nyse")), "rebaldate", "signal2", k2, "f2")
+    val w = Window.partitionBy("rebaldate", "f1", "f2")
+    l2.withColumn("weight", col("cap") / sum("cap").over(w))
+      .select("rebaldate", "permno", "f1", "f2", "weight")
+  }
+
+  /** Overlapping-holdings smoothing (backtest.py:140-149, W11): each
+    * permno's weight averaged over its last `k` rebalances (missing
+    * months count as 0 — the rolling-queue semantics). `allDates` is the
+    * ordered rebalance calendar to average over.
+    */
+  def smooth(holdings: DataFrame, k: Int): DataFrame = {
+    val dates = holdings.select("rebaldate").distinct()
+    val grid = dates.crossJoin(holdings.select("permno").distinct())
+    val filled = grid.join(holdings, Seq("rebaldate", "permno"), "left")
+      .withColumn("w0", coalesce(col("weight"), lit(0.0)))
+    val w = Window.partitionBy("permno").orderBy("rebaldate")
+      .rowsBetween(-(k - 1), Window.currentRow)
+    filled.withColumn("smoothed", avg(col("w0")).over(w))
+      .where(col("smoothed") =!= 0.0)
+      .select("rebaldate", "permno", "smoothed")
+  }
+
   /** Turnover between consecutive holdings after drifting the prior
     * month's weights by retx (backtest.py:156-175): full-outer join of
     * holdings at r with drifted holdings at prev(r).

@@ -1,0 +1,123 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.backtest.Backtesting
+import graft.ml.{Portfolio, Risk}
+import graft.sources.Ingest
+
+class PortfolioSpec extends SparkSpec {
+
+  private val sigma = DenseMatrix((0.04, 0.0), (0.0, 0.01))
+  private val mu = DenseVector(0.10, 0.05)
+
+  test("GMV weights inversely proportional to variance (diagonal case)") {
+    val s = Portfolio.gmv(sigma)
+    // 1/.04 : 1/.01 = 25 : 100 -> (0.2, 0.8)
+    assert(math.abs(s.weights(0) - 0.2) < 1e-12)
+    assert(math.abs(s.weights(1) - 0.8) < 1e-12)
+    assert(math.abs(s.weights.sum - 1.0) < 1e-12)
+  }
+
+  test("tangency maximizes Sharpe among convex combos; weights sum to 1") {
+    val t = Portfolio.tangency(mu, sigma)
+    assert(math.abs(t.weights.sum - 1.0) < 1e-12)
+    val sharpeT = t.mean.get / t.volatility
+    val g = Portfolio.gmv(sigma, Some(mu))
+    assert(sharpeT >= g.mean.get / g.volatility - 1e-12)
+  }
+
+  test("efficient portfolio hits its target mean") {
+    val e = Portfolio.efficient(mu, sigma, target = 0.07)
+    assert(math.abs(e.mean.get - 0.07) < 1e-10)
+    assert(math.abs(e.weights.sum - 1.0) < 1e-10)
+  }
+}
+
+class RiskSpec extends SparkSpec {
+
+  test("parametric VaR at 5% uses z = -1.645") {
+    val (v, es) = Risk.parametric(sigma = 1.0, alpha = 0.05)
+    assert(math.abs(v - 1.6449) < 1e-3)
+    assert(es > v) // ES beyond VaR
+    assert(math.abs(es - 2.0627) < 1e-3)
+  }
+
+  test("Kupiec LR is ~0 when violations match expectation") {
+    assert(Risk.kupiecLR(s = 50, n = 1000, p = 0.05) < 1e-9)
+    assert(Risk.kupiecLR(s = 90, n = 1000, p = 0.05) > 10.0) // clear reject
+  }
+
+  test("inverse normal CDF round-trips key quantiles") {
+    assert(math.abs(Risk.inverseNormalCdf(0.5)) < 1e-9)
+    assert(math.abs(Risk.inverseNormalCdf(0.975) - 1.959964) < 1e-5)
+  }
+}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CSV ingest coerces per declared schema with reference rules") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toFile
+    val f = new java.io.File(dir, "t.csv")
+    val pw = new java.io.PrintWriter(f)
+    pw.println("PERMNO ,Ret,Shrout,Name")
+    pw.println("1,0.05,100,acme corp")
+    pw.println("2,n/a,,widget 12-34 inc")
+    pw.println("2,0.07,50,widget two")  // dup pk: keep last by columns
+    pw.close()
+    val schema = StructType(Seq(
+      StructField("permno", IntegerType), StructField("ret", DoubleType),
+      StructField("shrout", LongType), StructField("name", StringType)))
+    val out = Ingest.readCsv(spark, f.getAbsolutePath, schema, pk = Seq("permno"))
+      .as[(Int, Option[Double], Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1)._2.contains(0.05) && out(1)._3 == 100L)
+    val r2 = out(2)
+    assert(r2._3 == 50L || r2._3 == 0L)        // one of the dups survived
+    assert(out.size == 2)                      // pk dedup
+    // float coercion: 'n/a' -> null on whichever row shows it
+    val all = Ingest.readCsv(spark, f.getAbsolutePath, schema)
+      .where(col("permno") === 2)
+    assert(all.where(col("ret").isNull).count() == 1)
+    // CRSP digit-dash rule
+    val names = all.select("name").as[String].collect().toSet
+    assert(names.contains("widget 1234 inc"))
+  }
+
+  test("screens drop and keep by value sets") {
+    val df = Seq((1, "A"), (2, "B"), (3, "C")).toDF("k", "v")
+    val out = Ingest.screen(df, dropIf = Map("v" -> Seq("B")),
+        keepIf = Map("k" -> Seq(1, 2)))
+      .select("k").as[Int].collect().toSet
+    assert(out == Set(1))
+  }
+}
+
+class SmoothSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("holdings smoothing averages over the last k rebalances") {
+    val h = Seq((1, 10, 1.0), (2, 10, 0.0), (2, 20, 1.0))
+      .toDF("rebaldate", "permno", "weight")
+    val out = Backtesting.smooth(h, k = 2)
+      .select("rebaldate", "permno", "smoothed").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1, 10)) == 1.0)          // only itself in window
+    assert(out((2, 10)) == 0.5)          // (1.0 + 0.0)/2
+    assert(out((2, 20)) == 0.5)          // (0.0 + 1.0)/2
+  }
+
+  test("bivariate sorts weight within cells") {
+    // signal2 independent of signal so all 4 cells are populated
+    val cs = (for { p <- 1 to 16 } yield
+      (p, 202401, p.toDouble, ((p - 1) % 4).toDouble, 1.0, true))
+      .toDF("permno", "rebaldate", "signal", "signal2", "cap", "nyse")
+    val out = Backtesting.bivariateSorts(cs, 2, 2)
+    val sums = out.groupBy("f1", "f2").agg(sum("weight").as("s"))
+      .select("s").as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+    assert(out.select("f1", "f2").distinct().count() == 4)
+  }
+}
