@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms written ONCE and applied to both batch frames
+  * and readStream frames (SURVEY.md §2.8): the same function literally
+  * runs under `groupBy` in batch and under a watermark in streaming —
+  * Structured Streaming's contract, exercised by StreamingSpec (batch
+  * result == streamed result on replay).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation (bin_trades taq.py:549-566 shape):
+    * count/sum/min/max of `valueCol` per (keyCol, window).
+    */
+  def tumblingAgg(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, width: String): DataFrame =
+    df.groupBy(col(keyCol), window(col(tsCol), width))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col(keyCol), col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Watermarked streaming twin of [[tumblingAgg]]: closed windows emit
+    * once (append mode), rows later than `lateness` drop.
+    */
+  def tumblingAggStream(stream: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, width: String,
+                        lateness: String): DataFrame =
+    tumblingAgg(stream.withWatermark(tsCol, lateness), keyCol, tsCol, valueCol, width)
+
+  /** Session windows by inactivity gap — Spark's native session_window
+    * (the streaming-capable form of the batch gaps-and-islands
+    * sessionization in the e_session catalog query).
+    */
+  def sessionAgg(df: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+}

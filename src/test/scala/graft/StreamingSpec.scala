@@ -23,10 +23,10 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[Ev]
     mem.addData(evs: _*)
 
+    // the SAME transform runs in batch and under the stream
     val agg = (df: org.apache.spark.sql.DataFrame) =>
-      df.groupBy(col("k"), window(col("ts"), "5 minutes"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-        .select(col("k"), col("window.start").as("w"), col("n"), round(col("s"), 6).as("s"))
+      graft.streaming.EventStreams.tumblingAgg(df, "k", "ts", "v", "5 minutes")
+        .select(col("k"), col("w_start"), col("n"), round(col("sum_value"), 6).as("s"))
 
     val q = agg(mem.toDF()).writeStream
       .format("memory").queryName("tumbling_test").outputMode("complete").start()
@@ -39,6 +39,15 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Timestamp, Long, Double)].collect().toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("session windows by inactivity gap (streaming-capable form)") {
+    val out = graft.streaming.EventStreams.sessionAgg(evs.toDF(), "k", "ts", "10 minutes")
+    // events per key are 97s*3 apart < 10min -> one session per key
+    val n = out.groupBy("k").count().select("count").as[Long].collect()
+    assert(n.forall(_ == 1L))
+    val total = out.select("n").as[Long].collect().sum
+    assert(total == 200L)
   }
 
   test("watermarked append mode emits closed windows with late rows dropped") {
