@@ -83,6 +83,23 @@ class EventStudySpec extends SparkSpec {
       .select("rel", "mean", "n").as[(Int, Double, Long)].head()
     assert(s._1 == 0 && math.abs(s._2 - 0.2) < 1e-12 && s._3 == 3)
   }
+
+  test("KPP overlap correction shrinks effective N for clustered dates") {
+    // window=2 (rel -1..0), post=4 more days; car paths per announce date
+    def path(step: Double) = Array.tabulate(6)(i => step * (i + 1))
+    val far = Array((0, path(0.01)), (100, path(0.012)), (200, path(0.009)),
+      (300, path(0.011)))
+    val near = Array((0, path(0.01)), (1, path(0.012)), (2, path(0.009)),
+      (3, path(0.011)))
+    val sFar = EventStudy.fitKpp(far, window = 2, d = 4)
+    val sNear = EventStudy.fitKpp(near, window = 2, d = 4)
+    assert(sFar.tau == 0.0)                       // no overlap at 100-day gaps
+    assert(math.abs(sFar.effective - 4.0) < 1e-9) // -> no correction
+    assert(sNear.tau > 0.0)
+    assert(sNear.effective < 4.0)                 // clustering costs power
+    assert(math.abs(sNear.windowT) < math.abs(sFar.windowT) + 1e-9)
+    assert(math.abs(sFar.window - 0.02 * 1.05 / 1.0) < 1.0) // sanity: finite
+  }
 }
 
 class RiskPremiumSpec extends SparkSpec {
