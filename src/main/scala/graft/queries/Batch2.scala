@@ -231,13 +231,13 @@ object Batch2 {
     // common neighbors, Jaccard, Adamic-Adar, preferential attachment
     // (graph.py:295-317).
     Q("g_linkpred", (s, dir) => {
-      // the edge list feeds degree tables + the pair join (4 scans of the
-      // same derived frame) — persist it, the reference's Redis
-      // result-cache analog (S5)
+      // the edge list feeds degree tables + the pair join; measured
+      // .cache() HURT here (materialization cost > recomputing a cheap
+      // join), so the lineage recomputes — at cluster scale prefer
+      // writing the edge list once and reading it back
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust")).distinct()
-        .cache()
       GraphOps.linkPrediction(edges, "supp", "cust")
         .where(col("common") >= 20)
         .select(bi(col("n_a")).as("supp_a"), bi(col("n_b")).as("supp_b"),
