@@ -93,7 +93,10 @@ class Stocks(facts: DataFrame, id: String = "permno", date: String = "date") {
 object Signals {
 
   /** Clean + dedup a signal frame for writing (signals.py:62-101):
-    * ±inf → null, drop nulls, keep last per (id, rebaldate).
+    * ±inf → null, drop nulls, keep FIRST per (id, rebaldate) under an
+    * ascending value sort — the reference sorts by [permno, rebaldate,
+    * label] and drop_duplicates keep='first', resolving duplicate keys to
+    * the smallest value.
     */
   def prepare(df: DataFrame, id: String, rebaldate: String, value: String): DataFrame = {
     val cleaned = df.withColumn(value,
@@ -101,7 +104,7 @@ object Signals {
         col(value) =!= Double.PositiveInfinity &&
         col(value) =!= Double.NegativeInfinity, col(value)))
       .where(col(value).isNotNull)
-    Dedup.keepLast(cleaned, Seq(id, rebaldate), Seq(col(value)))
+    Dedup.keepFirst(cleaned, Seq(id, rebaldate), Seq(col(value)))
   }
 
   /** As-of cross-section: latest signal value per id with rebaldate in

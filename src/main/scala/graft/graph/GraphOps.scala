@@ -24,18 +24,26 @@ object GraphOps {
     * bipartite edge list sharing neighbors on the other side:
     * common-neighbor count, Jaccard, Adamic-Adar, preferential
     * attachment (graph.py:295-317).
+    *
+    * A shared neighbor of degree d emits d² pair rows, so one hub
+    * neighbor dominates the join at scale; `maxNeighborDegree` drops
+    * hub neighbors from pair generation (node degrees for Jaccard /
+    * pref-attach stay full). The neighbor-degree join runs BEFORE the
+    * self-join — once per edge, not once per generated pair.
     */
-  def linkPrediction(edges: DataFrame, node: String, neighbor: String): DataFrame = {
+  def linkPrediction(edges: DataFrame, node: String, neighbor: String,
+                     maxNeighborDegree: Int = Int.MaxValue): DataFrame = {
     val deg = edges.groupBy(col(node).as("n")).agg(count(lit(1)).as("deg"))
-    val nbrDeg = edges.groupBy(col(neighbor).as("nb_")).agg(count(lit(1)).as("nbdeg"))
+    val nbrDeg = edges.groupBy(col(neighbor).as("nb")).agg(count(lit(1)).as("nbdeg"))
+      .where(col("nbdeg") <= maxNeighborDegree)
     val e = edges.select(col(node).as("n"), col(neighbor).as("nb"))
+      .join(nbrDeg, "nb")
     val shared = e.as("a").join(e.as("b"),
         col("a.nb") === col("b.nb") && col("a.n") < col("b.n"))
-      .join(nbrDeg, col("a.nb") === col("nb_"))
       .groupBy(col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("common"),
-        sum(lit(1.0) / log(col("nbdeg"))).as("adamic_adar"),
-        sum(lit(1.0) / col("nbdeg")).as("resource_alloc"))
+        sum(lit(1.0) / log(col("a.nbdeg"))).as("adamic_adar"),
+        sum(lit(1.0) / col("a.nbdeg")).as("resource_alloc"))
     shared
       .join(deg.select(col("n").as("n_a"), col("deg").as("deg_a")), "n_a")
       .join(deg.select(col("n").as("n_b"), col("deg").as("deg_b")), "n_b")
@@ -47,26 +55,32 @@ object GraphOps {
   /** PageRank by iterated joins (damping d, fixed iteration count —
     * deterministic; graph.py's networkx pagerank analog). Dangling mass
     * is redistributed uniformly, matching networkx semantics.
+    *
+    * No per-iteration driver action: the dangling mass is a 1-row
+    * aggregate cross-joined (broadcast) into the update plan. Lineage is
+    * truncated with an eager `localCheckpoint` every `checkpointEvery`
+    * iterations so the DAG does not deepen without bound at scale.
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
+  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
+               checkpointEvery: Int = 4): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
     val outDeg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val withOut = ranks.join(outDeg, Seq("node"), "left")
       val dangling = withOut.where(col("out").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contribs = withOut.where(col("out").isNotNull)
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("rank") / col("out")).as("c"))
         .groupBy("node").agg(sum("c").as("in_rank"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(contribs, Seq("node"), "left").crossJoin(dangling)
         .select(col("node"),
-          (lit((1 - d) / n) + lit(d) * (coalesce(col("in_rank"), lit(0.0)) + lit(dangling / n)))
+          (lit((1 - d) / n) + lit(d) * (coalesce(col("in_rank"), lit(0.0)) + col("__dm") / n))
             .as("rank"))
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }

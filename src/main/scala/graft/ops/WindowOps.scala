@@ -22,9 +22,17 @@ object WindowOps {
     first(v, ignoreNulls = true).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
   /** Tick test (`align_trades` `taq.py:412-413`): sign of price change vs
-    * previous trade, zero-runs forward-filled with the prior nonzero sign.
+    * previous trade — `np.sign(diff).fillna(0)` exactly, so zero-change
+    * trades and the first trade get sign 0 (the reference keeps zeros;
+    * see [[classicTickSign]] for the textbook zero-run forward-fill).
     */
-  def tickSign(price: Column, w: WindowSpec): Column = {
+  def tickSign(price: Column, w: WindowSpec): Column =
+    coalesce(signum(price - lag(price, 1).over(w)), lit(0.0))
+
+  /** Classic tick test: zero-runs forward-filled with the prior nonzero
+    * sign (a deliberate variant — NOT what `align_trades` computes).
+    */
+  def classicTickSign(price: Column, w: WindowSpec): Column = {
     val raw = signum(price - lag(price, 1).over(w))
     ffill(when(raw =!= 0, raw), w)
   }

@@ -238,7 +238,10 @@ object Batch2 {
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust")).distinct()
-      GraphOps.linkPrediction(edges, "supp", "cust")
+      // maxNeighborDegree=500 is the hub guard (observed max customer
+      // degree 102 at sf0.1 — a no-op here, the ceiling at scale); the
+      // oracle applies the identical cap
+      GraphOps.linkPrediction(edges, "supp", "cust", maxNeighborDegree = 500)
         .where(col("common") >= 20)
         .select(bi(col("n_a")).as("supp_a"), bi(col("n_b")).as("supp_b"),
           bi(col("common")).as("common"),
@@ -254,7 +257,7 @@ object Batch2 {
         SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS common,
                SUM(1.0 / LN(cdeg)) AS adamic_adar
         FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
-        JOIN cdeg ON cdeg.cust = a.cust
+        JOIN cdeg ON cdeg.cust = a.cust AND cdeg.cdeg <= 500
         GROUP BY 1, 2
       )
       SELECT CAST(supp_a AS BIGINT) AS supp_a, CAST(supp_b AS BIGINT) AS supp_b,

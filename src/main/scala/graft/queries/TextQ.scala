@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.VectorF
 import graft.ops.Dedup
 import graft.sim.Similarity
 import graft.text.{NearDup, TextOps}
@@ -135,7 +136,13 @@ object TextQ {
 
     // Near-dup detection: exact word-3-gram Jaccard over pairs sharing at
     // least one shingle (explode + equi-join on shingle — no O(n²) scan).
+    // Shingles with document frequency > maxDf are pruned from the SETS
+    // before pairing: a stop-phrase shingle shared by k docs would emit k²
+    // join rows (skew-quadratic at 100 TB). maxDf=1000 is a no-op at test
+    // scale (observed max df = 25 at sf0.1) — it is the skew ceiling, and
+    // the oracle applies the identical prune.
     Q("t_jaccard", (s, dir) => {
+      val maxDf = 1000
       val docs = Tables.documents(s, dir)
       val sh = docs
         .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
@@ -144,8 +151,11 @@ object TextQ {
       // shingle rows per pair and |A∪B| = |A|+|B|−|A∩B| — the join carries
       // only (doc_id, shingle) rows, never the arrays (at 100 TB the
       // array-intersect-per-candidate-pair form is quadratic in doc size).
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+      val wdf = Window.partitionBy("s")
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("__df", count(lit(1)).over(wdf))
+        .where(col("__df") <= maxDf).drop("__df")
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -164,18 +174,23 @@ object TextQ {
       ), sh AS (
         SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
         FROM toks WHERE len(tk) >= 3
-      ), ex AS (
+      ), ex0 AS (
         SELECT doc_id, unnest(s) AS sg FROM sh
-      ), pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      ), ex AS (
+        SELECT doc_id, sg FROM (
+          SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM ex0
+        ) WHERE df <= 1000
+      ), sizes AS (
+        SELECT doc_id, count(*) AS nsh FROM ex GROUP BY 1
+      ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
       )
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-             ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
-      FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-          / len(list_distinct(list_concat(x.s, y.s))) >= 0.6""")),
+             ROUND(CAST(i AS DOUBLE) / (x.nsh + y.nsh - i), 6) AS jaccard
+      FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (x.nsh + y.nsh - i) >= 0.6""")),
 
     // MinHash + LSH near-dup (xxhash64-based — not SQL-expressible; the
     // driver records a rows-only check; t_jaccard is the exact oracle twin).
@@ -186,26 +201,27 @@ object TextQ {
     }, None),
 
     // SimHash near-dup: 64-bit signatures, Hamming ≤ 8 pairs (rows-only).
+    // Candidates via 9-band pigeonhole equi-join — no O(n²) cross join.
     Q("t_simhash", (s, dir) => {
-      val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"), NearDup.simHash(col("text")).as("sig"))
-      sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .where(NearDup.hamming(col("a.sig"), col("b.sig")) <= 8)
-        .select(bi(col("a.doc_id")).as("id_a"), bi(col("b.doc_id")).as("id_b"),
-          bi(NearDup.hamming(col("a.sig"), col("b.sig"))).as("hamming"))
+      NearDup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
+        .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"),
+          bi(col("hamming")).as("hamming"))
     }, None),
 
     // Brute-force cosine top-k (exactness baseline for ANN; query subset
-    // keyed % 10 to bound the pair count at bench scale).
+    // keyed % 10 to bound the pair count at bench scale). Norms are
+    // per-row columns (never recomputed per pair); the per-pair dot is
+    // the codegen'd native expression.
     Q("s_knn", (s, dir) => {
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", sqrt(VectorF.dotp(col("v"), col("v"))))
       val a = v.where(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("va"))
-      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("nv").as("na"))
+      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nv").as("nb"))
       val scored = a.join(b, col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          r6(Similarity.cosine(col("va"), col("vb"))).as("cos"))
+          r6(VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)

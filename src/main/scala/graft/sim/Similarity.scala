@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorF
 
 /** Similarity search over embedding columns (`Array[Float]`) — the
   * LLM-pipeline ANN surface (builder brief; reference analog: vocab
@@ -12,78 +13,133 @@ import org.apache.spark.sql.functions._
   * verification / small probes). The scale path is LSH bucketing with
   * deterministic random hyperplanes: per-row signature (no shuffle), one
   * equi-join on bucket, pair scoring inside buckets only.
+  *
+  * Scale discipline (round-2 rework of the round-1 hot spots):
+  *   - the per-pair dot product is a native codegen'd expression
+  *     ([[graft.functions.DotProduct]]), not an interpreted HOF fold;
+  *   - norms are computed once per ROW and joined into the pair scorer —
+  *     never recomputed per pair;
+  *   - candidate dedup shuffles only `(query_id, neighbor_id)` id pairs;
+  *     vectors are re-joined AFTER the distinct (the round-1 form carried
+  *     two full embedding arrays through the shuffle);
+  *   - all `planes × tables` hyperplane projections come from ONE fold
+  *     over the vector (the round-1 form ran one aggregate pass per bit).
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two vector columns, accumulated left-to-right in
+    * double (codegen'd native loop).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    VectorF.dotp(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-row prep shared by the exact and LSH paths: vector cast to
+    * `array<double>` once, L2 norm computed once.
+    */
+  private def prepped(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(VectorF.dotp(col("__v"), col("__v"))))
+
+  /** Exact cosine top-k from a prepped pair frame (va/na vs vb/nb). */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.select(col("query_id"), col("neighbor_id"),
+      round(VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 
   /** Exact top-k cosine neighbors per query vector (brute force).
     * Deterministic tie-break on neighbor id.
     */
   def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
-    val a = vecs.select(col(idCol).as("query_id"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"))
-    val scored = a.join(b, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val v = prepped(vecs, idCol, vecCol)
+    val a = v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na"))
+    val b = v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb"))
+    topK(a.join(b, col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Reproducible across runs/engines.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(xxhash64(p, d), lit(2000001L)).cast("double") / 1000000.0) - 1.0
 
-  /** Random-hyperplane LSH signature: `planes` sign bits packed to a long;
-    * `seed` selects an independent plane set (one per LSH table).
-    * Per-row map over the vector — embarrassingly parallel.
+  /** All `planes × tables` hyperplane projections of `vec` in ONE fold:
+    * the accumulator carries (partial sums, element index). Plane g of the
+    * output array is table g/planes, bit g%planes — the same
+    * `xxhash64(plane, dim)` component stream as a per-plane evaluation,
+    * at 1/48th the passes.
     */
-  def lshSignature(vec: Column, planes: Int, seed: Int = 0): Column = {
-    val sigs = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(seed * planes + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    sigs.reduce(_.bitwiseOR(_))
+  def lshProjections(vec: Column, planes: Int, tables: Int): Column = {
+    val nProj = planes * tables
+    val planeIdx = sequence(lit(0), lit(nProj - 1))
+    val init = struct(
+      array_repeat(lit(0.0), nProj).as("s"),
+      lit(0).as("i"))
+    aggregate(
+      vec,
+      init,
+      (acc, x) => struct(
+        zip_with(acc.getField("s"), planeIdx,
+          (s, p) => s + x.cast("double") * planeComponent(p, acc.getField("i"))).as("s"),
+        (acc.getField("i") + 1).as("i")),
+      acc => acc.getField("s"))
   }
 
-  /** ANN via LSH buckets: candidates share the exact signature (or use
-    * multiple independent tables via `tables` for higher recall); exact
-    * cosine re-scoring inside buckets.
+  /** Pack the sign bits of table `t`'s `planes` projections into a long. */
+  def packSignature(proj: Column, table: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(element_at(proj, table * planes + p + 1) >= 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Random-hyperplane LSH signature for one table (kept for spec-level
+    * use; [[lshTopK]] computes all tables in one pass).
+    */
+  def lshSignature(vec: Column, planes: Int, seed: Int = 0): Column =
+    packSignature(lshProjections(vec, planes, seed + 1), seed, planes)
+
+  /** ANN via LSH buckets: candidates share the exact signature in at least
+    * one of `tables` independent hyperplane tables; exact cosine re-scoring
+    * on candidates only.
+    *
+    * `maxBucket` guards the 100 TB worst case: a bucket of b rows emits
+    * b² candidate pairs, so one degenerate bucket (all-near-identical
+    * embeddings — common in crawl data) can dominate the whole job. Buckets
+    * larger than the cap are dropped from candidate generation (their
+    * members still pair via their other `tables−1` signatures).
     */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    val sigs = vecs.select(
-      col(idCol), col(vecCol),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshSignature(col(vecCol), planes, t).as("sig"))): _*)).as("s"))
-      .select(col(idCol), col(vecCol), col("s.tbl"), col("s.sig"))
-    val a = sigs.select(col(idCol).as("query_id"), col(vecCol).as("va"),
-      col("tbl"), col("sig"))
-    val b = sigs.select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"),
-      col("tbl"), col("sig"))
+              k: Int, planes: Int = 12, tables: Int = 4,
+              maxBucket: Int = Int.MaxValue): DataFrame = {
+    val v = prepped(vecs, idCol, vecCol)
+    val sigs = v.select(col(idCol), lshProjections(col("__v"), planes, tables).as("__p"))
+      .select(col(idCol), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
+      .select(col(idCol), col("s.tbl"), col("s.sig"))
+    val bounded = if (maxBucket == Int.MaxValue) sigs else {
+      val w = Window.partitionBy("tbl", "sig")
+      sigs.withColumn("__bsz", count(lit(1)).over(w))
+        .where(col("__bsz") <= maxBucket).drop("__bsz")
+    }
+    // id-only candidate pairs: the distinct shuffles 16 bytes per pair,
+    // not two embedding vectors
+    val a = bounded.select(col(idCol).as("query_id"), col("tbl"), col("sig"))
+    val b = bounded.select(col(idCol).as("neighbor_id"), col("tbl"), col("sig"))
     val cands = a.join(b, Seq("tbl", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "va", "vb").distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("va"), col("vb")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id").distinct()
+    val pairs = cands
+      .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
+        "query_id")
+      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
+        "neighbor_id")
+    topK(pairs, k)
   }
 }

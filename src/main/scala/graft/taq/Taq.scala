@@ -14,11 +14,14 @@ import graft.ops.{AsOf, WindowOps}
 object Taq {
 
   /** Trade cleaning (clean_trade taq.py:293-340): positive price/size, no
-    * correction, no excluded sale conditions, inside the session.
+    * correction, no excluded sale conditions, inside the session. The
+    * default excluded set is the reference's full "MOZBTLGWJK145789"
+    * (extended-hours T included); null-condition trades are KEPT — a null
+    * cond must not be silently dropped by three-valued `NOT rlike`.
     */
-  def cleanTrades(trades: DataFrame, excludedCondChars: String = "MOZB47GLWK"): DataFrame =
+  def cleanTrades(trades: DataFrame, excludedCondChars: String = "MOZBTLGWJK145789"): DataFrame =
     trades.where(col("price") > 0 && col("volume") > 0 && col("corr") === 0
-      && !col("cond").rlike(s"[$excludedCondChars]"))
+      && (col("cond").isNull || !col("cond").rlike(s"[$excludedCondChars]")))
 
   /** Quote cleaning (clean_nbbo taq.py:342-380): positive prices/sizes,
     * offer > bid, spread cap, best-sequence per timestamp, unchanged
@@ -81,8 +84,12 @@ object Taq {
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"),
         (sum(col("price") * col("volume")) / sum(col("volume"))).as("vwap"),
-        avg(when(col("prev_mid").isNotNull,
-          col("sign") * (col("price") - col("prev_mid")))).as("eff_halfspread"))
+        // volume-weighted, as the reference's 'effective' (taq.py:575-580):
+        // Σ sign·(price−mid)·volume / Σ volume over rows with a known mid
+        (sum(when(col("prev_mid").isNotNull,
+            col("sign") * (col("price") - col("prev_mid")) * col("volume")))
+          / sum(when(col("prev_mid").isNotNull, col("volume"))))
+          .as("eff_halfspread"))
   }
 
   /** Time-weighted quote bins (bin_quotes taq.py:417-491, A8): each

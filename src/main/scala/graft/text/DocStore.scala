@@ -51,7 +51,11 @@ object DocStore {
     existing.join(incoming.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(incoming)
 
-  /** delete: docs NOT matching the where-DSL survive (unstructured.py:133-143). */
+  /** delete: docs NOT matching the where-DSL survive (unstructured.py:133-143).
+    * NULL predicate results (e.g. `field > 5` on a null field) mean
+    * "did not match" — those docs must SURVIVE, so the negation is
+    * null-coalesced rather than three-valued.
+    */
   def delete(docs: DataFrame, where: Map[String, Any]): DataFrame =
-    docs.where(!parseWhere(where))
+    docs.where(!coalesce(parseWhere(where), lit(false)))
 }

@@ -16,8 +16,16 @@ object NearDup {
 
   /** MinHash signature: for seed s, min over shingles of
     * xxhash64(shingle, s). Returns array of `numHashes` signature longs.
+    * Native one-pass kernel; [[minHashSigHof]] is the Column-level twin
+    * kept for the equivalence spec.
     */
   def minHashSig(shingles: Column, numHashes: Int): Column =
+    graft.functions.HashF.minhashSig(shingles, numHashes)
+
+  /** HOF formulation of [[minHashSig]] — one array_min(transform) pass
+    * per seed; spec-only (the kernel must produce identical signatures).
+    */
+  def minHashSigHof(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(s =>
       array_min(transform(shingles, sh => xxhash64(sh, lit(s))))): _*)
 
@@ -82,10 +90,14 @@ object NearDup {
 
   /** 64-bit SimHash over word tokens: sign-sum of per-token xxhash64 bits.
     * Per-row map — no shuffle; near-dups share low Hamming distance.
-    * Single pass over the token hashes carrying a 64-counter array (64
-    * separate aggregates would re-tokenize the text per bit).
+    * Native one-pass kernel; [[simHashHof]] is the Column twin for the
+    * equivalence spec.
     */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column =
+    graft.functions.HashF.simhash64(TextOps.tokens(text))
+
+  /** HOF formulation of [[simHash]] — spec-only equivalence twin. */
+  def simHashHof(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
     val bitIdx = sequence(lit(0), lit(63))
     val counts = aggregate(hashes, array_repeat(lit(0), 64),
@@ -99,4 +111,35 @@ object NearDup {
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs (id_a < id_b, hamming ≤ `maxHamming`) via
+    * pigeonhole banding: split the 64-bit signature into `maxHamming + 1`
+    * bands — a pair within the Hamming budget cannot differ in every band,
+    * so it matches at least one band EXACTLY. Candidates come from an
+    * equi-join on (band, band_value) (shuffle on the band key — no O(n²)
+    * cross join), then the exact Hamming verify runs on candidates only.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val nb = maxHamming + 1
+    val w = 64 / nb
+    val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until nb).map { bnd =>
+        val width = if (bnd == nb - 1) 64 - w * (nb - 1) else w
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(col("sig"), w * bnd)
+            .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band"), col("bb.bv"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs.select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 made the Column↔Expression conversion `private[sql]`
+  * (`ExpressionUtils` in classic); this object lives inside the sql
+  * package namespace solely to re-export those two conversions. It keeps
+  * graft expressions session-independent — no
+  * `SparkSessionExtensions`/function-registry injection needed, so they
+  * work in the driver's own sessions too.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

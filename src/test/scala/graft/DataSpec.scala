@@ -57,7 +57,9 @@ class StocksSpec extends SparkSpec {
     assert(prepared.count() == 2) // inf dropped, dup deduped
     val sect = Signals.section(prepared, "permno", "rebaldate", 20240131, 20231231)
       .select("permno", "value").as[(Int, Double)].collect().toMap
-    assert(sect == Map(1 -> 2.0, 2 -> 3.0))
+    // duplicate (1, 20240110) resolves to the SMALLEST value (reference
+    // sorts ascending and keeps first)
+    assert(sect == Map(1 -> 1.0, 2 -> 3.0))
   }
 }
 

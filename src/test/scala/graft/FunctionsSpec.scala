@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorF
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotp: value, null element, null array, and length mismatch") {
+    val out = spark.range(1).select(
+      VectorF.dotp(expr("array(1.0D, 2.0D, 3.0D)"), expr("array(4.0D, 5.0D, 6.0D)")).as("ok"),
+      VectorF.dotp(expr("array(1.0D, cast(null as double), 3.0D)"),
+        expr("array(4.0D, 5.0D, 6.0D)")).as("null_elem"),
+      VectorF.dotp(expr("cast(null as array<double>)"), expr("array(1.0D)")).as("null_arr"),
+      VectorF.dotp(expr("array(1.0D, 2.0D)"), expr("array(1.0D)")).as("len_mismatch")
+    ).head()
+    assert(out.getDouble(0) == 32.0)
+    assert(out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+  }
+
+  test("dotp matches the HOF aggregate fold bit-for-bit (codegen path)") {
+    val vecs = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(64)(d => math.sin(i * 7.0 + d))))
+      .toDF("id", "v")
+    val hof = vecs.select(col("id"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val nat = vecs.select(col("id"), VectorF.dotp(col("v"), col("v")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(hof.keySet == nat.keySet)
+    hof.foreach { case (k, h) => assert(h == nat(k), s"id $k: $h != ${nat(k)}") }
+  }
+
+  test("dotp casts float arrays via Similarity.dot") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("id", "a", "b")
+    val out = vecs.select(graft.sim.Similarity.dot(col("a"), col("b"))).as[Double].head()
+    assert(out == 11.0)
+  }
+
+  private val sampleDocs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs and more jugs",
+    "sphinx of black quartz judge my vow sphinx of black quartz",
+    "one two three", "")
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("simhash64 kernel matches the HOF formulation exactly") {
+    import graft.text.NearDup
+    val docs = sampleDocs.toDF("id", "text")
+    val out = docs.select(NearDup.simHash(col("text")).as("a"),
+      NearDup.simHashHof(col("text")).as("b")).as[(Long, Long)].collect()
+    out.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("minhash kernel matches the HOF formulation exactly") {
+    import graft.text.{NearDup, TextOps}
+    val docs = sampleDocs.toDF("id", "text")
+    val sh = docs.select(TextOps.wordShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val out = sh.select(NearDup.minHashSig(col("sh"), 16).as("a"),
+        NearDup.minHashSigHof(col("sh"), 16).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b) => assert(a == b) }
+  }
+}

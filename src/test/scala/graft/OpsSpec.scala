@@ -143,12 +143,21 @@ class DateIntSpec extends SparkSpec {
 class WindowOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("tick test: Lee-Ready 5-trade fixture with zero-run forward fill") {
-    // prices: 10, 11 (+1), 11 (0 -> carry +1), 10.5 (-1), 10.5 (0 -> carry -1)
+  test("tick test keeps zeros (align_trades np.sign(diff).fillna(0))") {
+    // prices: 10 (no prior -> 0), 11 (+1), 11 (0), 10.5 (-1), 10.5 (0)
     val df = Seq((1, 10.0), (2, 11.0), (3, 11.0), (4, 10.5), (5, 10.5))
       .toDF("seq", "px")
     val w = Window.orderBy("seq")
     val out = df.withColumn("s", WindowOps.tickSign(col("px"), w))
+      .select("seq", "s").as[(Int, Double)].collect().toMap
+    assert(out == Map(1 -> 0.0, 2 -> 1.0, 3 -> 0.0, 4 -> -1.0, 5 -> 0.0))
+  }
+
+  test("classic tick test forward-fills zero runs with the prior sign") {
+    val df = Seq((1, 10.0), (2, 11.0), (3, 11.0), (4, 10.5), (5, 10.5))
+      .toDF("seq", "px")
+    val w = Window.orderBy("seq")
+    val out = df.withColumn("s", WindowOps.classicTickSign(col("px"), w))
       .select("seq", "s").as[(Int, Option[Double])].collect().toMap
     assert(out(1).isEmpty)            // no prior trade
     assert(out(2).contains(1.0))

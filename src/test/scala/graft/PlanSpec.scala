@@ -41,4 +41,20 @@ class PlanSpec extends SparkSpec {
     // partial_ functions appear in the pre-shuffle HashAggregate
     assert(p.contains("partial_"), p)
   }
+
+  test("t_simhash candidates come from a banded equi-join, not a cross join") {
+    val p = plan("t_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("s_lsh candidate dedup shuffles id pairs only, never embeddings") {
+    val p = plan("s_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the distinct's exchange partitions on the id pair — if an embedding
+    // array rode through it, the HashAggregate keys would include va/vb
+    val distinctAggs = p.linesIterator.filter(l =>
+      l.contains("HashAggregate(keys=[query_id") || l.contains("HashAggregate(keys=[neighbor_id"))
+    assert(distinctAggs.forall(l => !l.contains("va") && !l.contains("vb")), p)
+  }
 }

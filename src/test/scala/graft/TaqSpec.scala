@@ -35,6 +35,18 @@ class TaqSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("trade cleaning: reference condition set, null conds kept") {
+    val t = Seq(
+      ("A", 1L, 1L, 10.0, 10L, 0, null.asInstanceOf[String]), // null cond kept
+      ("A", 2L, 2L, 10.0, 10L, 0, "T"),  // extended hours excluded (ref set)
+      ("A", 3L, 3L, 10.0, 10L, 0, "@"),  // regular kept
+      ("A", 4L, 4L, 10.0, 10L, 1, "@"),  // corrected dropped
+      ("A", 5L, 5L, 10.0, 10L, 0, "4")   // derivatively priced dropped
+    ).toDF("symbol", "us", "seqno", "price", "volume", "corr", "cond")
+    val kept = Taq.cleanTrades(t).select("us").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("Lee-Ready alignment: midquote test with tick-test fallback") {
     val trades = Seq(
       ("A", 100L, 1L, 10.30, 10L, 0),  // above prevailing mid 10.25 -> +1

@@ -101,6 +101,36 @@ class SimilaritySpec extends SparkSpec {
     assert(Set(2L, 4L).contains(out(3L))) // both at same angular distance
   }
 
+  test("lsh top-k achieves >=0.9 recall vs brute force on clustered vectors") {
+    // 10 tight clusters of 20: a query's true top-5 are in-cluster and
+    // nearly colinear with it, so every LSH table buckets them together.
+    val vecs = (0 until 200).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(16) { d =>
+        (math.cos(c * 2.399 + d * 0.71) + 0.001 * ((i * 31 + d) % 7)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", 5, planes = 12, tables = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall was $recall")
+  }
+
+  test("lsh maxBucket cap drops degenerate buckets but keeps the rest") {
+    val vecs = (0 until 40).map { i =>
+      val th = (i % 8) * 0.7
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val capped = Similarity.lshTopK(vecs, "vec_id", "embedding", 3,
+      planes = 6, tables = 2, maxBucket = 3)
+    val uncapped = Similarity.lshTopK(vecs, "vec_id", "embedding", 3,
+      planes = 6, tables = 2)
+    assert(capped.count() <= uncapped.count())
+  }
+
   test("lsh top-k cosines agree with brute force on found pairs") {
     val vecs = (0 until 30).map { i =>
       val th = i * 0.21
