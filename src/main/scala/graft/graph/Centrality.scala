@@ -1,0 +1,283 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Vertex centrality measures as DataFrame programs (SURVEY.md §2.9;
+  * reference `finds/recipes/graph.py:185-233` `nodes_centrality` on
+  * networkx: clustering, triangles, degree, eigenvector, closeness,
+  * betweenness, HITS).
+  *
+  * Scale shapes:
+  *   - triangles/clustering: degree-ordered edge orientation bounds the
+  *     wedge join by Σ min-degree² (the compact-forward algorithm) — no
+  *     hub blow-up;
+  *   - eigenvector/HITS: power iteration = join + groupBy per step, norm
+  *     folded in as a broadcast 1-row aggregate (no driver round-trip per
+  *     iteration beyond the BFS-inherent ones), lineage truncated with
+  *     eager localCheckpoints;
+  *   - closeness/betweenness: all-sources level-synchronous BFS — the
+  *     frontier frame is (source, node) keyed, so the n·m work distributes
+  *     over the cluster; output is O(n²) rows, which is inherent to
+  *     exact all-pairs centrality (sample sources for approximations).
+  */
+object Centrality {
+
+  /** Both directions of an undirected edge list, self-loops dropped. */
+  def symmetrize(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Undirected degrees from a symmetrized edge list. */
+  private def degs(und: DataFrame): DataFrame =
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
+  private def allNodes(und: DataFrame): DataFrame =
+    und.select(col("src").as("node")).distinct()
+
+  /** Per-node triangle counts (graph.py `nx.triangles`). Compact-forward:
+    * orient each undirected edge from the (degree, id)-smaller endpoint to
+    * the larger; every triangle appears exactly once as wedge
+    * u→v, u→w closed by v→w.
+    */
+  def triangles(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val und = symmetrize(edges, src, dst)
+    val d = degs(und)
+    // oriented edges with the (deg, id) order key on both endpoints
+    val o = und
+      .join(d.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(d.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+      .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"),
+        struct(col("dd"), col("dst")).as("ordv"))
+    val tri = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.ordv") < col("e2.ordv"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    allNodes(und).join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficient 2T / (d(d−1)) (graph.py `nx.clustering`,
+    * unweighted); 0 for degree < 2.
+    */
+  def clusteringCoefficient(edges: DataFrame, src: String = "src",
+                            dst: String = "dst"): DataFrame = {
+    val und = symmetrize(edges, src, dst)
+    triangles(edges, src, dst).join(degs(und), "node")
+      .select(col("node"), col("triangles"), col("deg").as("degree"),
+        when(col("deg") >= 2,
+          col("triangles") * 2.0 / (col("deg") * (col("deg") - 1)))
+          .otherwise(0.0).as("clustering"))
+  }
+
+  /** Degree centrality deg/(n−1) (graph.py `nx.degree_centrality`). */
+  def degreeCentrality(edges: DataFrame): DataFrame = {
+    val und = symmetrize(edges)
+    val n = allNodes(und).count().toDouble
+    degs(und).select(col("node"), (col("deg") / (n - 1)).as("degree_centrality"))
+  }
+
+  /** Eigenvector centrality by power iteration on A + I (networkx's
+    * update x ← x + Ax), L2-normalized (graph.py
+    * `nx.eigenvector_centrality`). Fixed iteration count — deterministic.
+    *
+    * The update references the previous iterate TWICE (in Ax and in the
+    * +x term), so lineage DOUBLES per un-materialized iteration — each
+    * round is eagerly localCheckpoint'ed (the GraphX-Pregel pattern:
+    * power iteration is a per-round distributed job, not a lazy plan).
+    * Normalization (scale-invariant for the direction) happens every
+    * `normalizeEvery` rounds and at the end; between norms values grow
+    * like λ₁^k, bounded in double for any realistic spectral radius.
+    */
+  def eigenvector(edges: DataFrame, iters: Int = 100,
+                  normalizeEvery: Int = 10): DataFrame = {
+    val und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = allNodes(und).persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(v: DataFrame): DataFrame = {
+      val n2 = v.agg(sqrt(sum(col("x") * col("x"))).as("__n2"))
+      v.crossJoin(n2).select(col("node"), (col("x") / col("__n2")).as("x"))
+    }
+    var x = nodes.withColumn("x", lit(1.0)).localCheckpoint()
+    var prev = x
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
+      val ax = x.join(und, x("node") === und("src"))
+        .select(col("dst").as("node"), col("x"))
+        .groupBy("node").agg(sum("x").as("ax"))
+      val next = x.join(ax, Seq("node"), "left")
+        .select(col("node"), (col("x") + coalesce(col("ax"), lit(0.0))).as("x"))
+      if (i % normalizeEvery == 0) {
+        x = normalized(next).localCheckpoint()
+        // L∞ convergence check against the previous normalized iterate
+        converged = x.as("a").join(prev.as("b"), "node")
+          .agg(max(abs(col("a.x") - col("b.x"))).as("d"))
+          .head().getDouble(0) < 1e-10
+        prev = x
+      } else {
+        x = next.localCheckpoint()
+      }
+    }
+    normalized(x).select(col("node"), col("x").as("eigenvector"))
+  }
+
+  /** HITS hubs/authorities by power iteration, L1-normalized per step
+    * (graph.py `nx.hits`). On an undirected (symmetrized) graph hubs and
+    * authorities coincide, matching networkx on nx.Graph.
+    */
+  def hits(edges: DataFrame, iters: Int = 100,
+           checkpointEvery: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nInv = lit(1.0) / nodes.count().toDouble
+    // L1-normalize only at checkpoints + at the end (see eigenvector:
+    // a per-step norm doubles the plan per iteration)
+    def l1(v: DataFrame, c: String): DataFrame = {
+      val s = v.agg(sum(col(c)).as("__s"))
+      v.crossJoin(s).select(col("node"), (col(c) / col("__s")).as(c))
+    }
+    var hub = nodes.withColumn("h", nInv)
+    var auth = hub.select(col("node"), col("h").as("a"))
+    var prev = hub
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
+      i += 1
+      // a(v) = Σ_{u→v} h(u)
+      val a1 = hub.join(e, hub("node") === e("src"))
+        .select(col("dst").as("node"), col("h"))
+        .groupBy("node").agg(sum("h").as("a"))
+      auth = nodes.join(a1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+      // h(u) = Σ_{u→v} a(v)
+      val h1 = auth.join(e, auth("node") === e("dst"))
+        .select(col("src").as("node"), col("a"))
+        .groupBy("node").agg(sum("a").as("h"))
+      hub = nodes.join(h1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+      if (i % checkpointEvery == 0) {
+        hub = l1(hub, "h").localCheckpoint()
+        auth = auth.localCheckpoint()
+        converged = hub.as("a").join(prev.as("b"), "node")
+          .agg(max(abs(col("a.h") - col("b.h"))).as("d"))
+          .head().getDouble(0) < 1e-10
+        prev = hub
+      }
+    }
+    l1(hub, "h").select(col("node"), col("h").as("hub"))
+      .join(l1(auth, "a").select(col("node"), col("a").as("authority")), "node")
+  }
+
+  /** All-sources BFS distances over a symmetrized edge list:
+    * (src, node, dist) for every reachable pair, dist ≤ maxDepth.
+    * Level-synchronous frontier expansion; one localCheckpoint + one
+    * emptiness check per level (inherent to BFS termination).
+    */
+  def bfsDistances(und: DataFrame, sources: DataFrame, maxDepth: Int = 30): DataFrame = {
+    var visited = sources.select(col("node").as("s"), col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val nxt = frontier.join(und, frontier("node") === und("src"))
+        .select(col("s"), und("dst").as("node")).distinct()
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      visited = visited.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    visited
+  }
+
+  /** Closeness centrality, networkx `wf_improved` form (graph.py
+    * `nx.closeness_centrality`):
+    * C(v) = ((r−1)/Σd) · ((r−1)/(n−1)) with r = #reachable incl. v.
+    */
+  def closeness(edges: DataFrame, maxDepth: Int = 30): DataFrame = {
+    val und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = allNodes(und)
+    val n = nodes.count().toDouble
+    val dists = bfsDistances(und, nodes, maxDepth)
+    dists.groupBy(col("node"))
+      .agg(count(lit(1)).as("r"), sum("dist").as("sumd"))
+      .select(col("node"),
+        when(col("sumd") > 0,
+          ((col("r") - 1) / col("sumd")) * ((col("r") - 1) / (n - 1)))
+          .otherwise(0.0).as("closeness"))
+  }
+
+  /** Betweenness centrality via all-sources level-synchronous Brandes:
+    * forward BFS accumulates path counts σ, the backward sweep per depth
+    * level accumulates dependencies δ(v) = Σ_w σv/σw (1 + δw). Undirected,
+    * endpoints excluded; `normalized` divides by (n−1)(n−2) (the networkx
+    * normalization combined with the undirected 1/2).
+    */
+  def betweenness(edges: DataFrame, normalized: Boolean = true,
+                  maxDepth: Int = 30): DataFrame = {
+    val und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = allNodes(und).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+
+    // forward: levels(s, node, dist, sigma)
+    var levels = nodes.select(col("node").as("s"), col("node"),
+      lit(0).as("dist"), lit(1.0).as("sigma")).localCheckpoint()
+    var frontier = levels
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val nxt = frontier.join(und, frontier("node") === und("src"))
+        .select(col("s"), und("dst").as("node"), col("sigma"))
+        .join(levels.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .groupBy("s", "node").agg(sum("sigma").as("sigma"))
+        .withColumn("dist", lit(depth))
+        .select("s", "node", "dist", "sigma")
+        .localCheckpoint()
+      levels = levels.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    val maxDist = levels.agg(max("dist")).head().getInt(0)
+
+    // backward: delta per level, deepest first
+    var deltas = levels.where(col("dist") === maxDist)
+      .select(col("s"), col("node"), col("dist"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    for (lv <- maxDist to 1 by -1) {
+      val wLvl = deltas.where(col("dist") === lv)
+        .join(levels.where(col("dist") === lv)
+          .select(col("s"), col("node"), col("sigma")), Seq("s", "node"))
+        .select(col("s").as("ws"), col("node").as("wn"),
+          col("sigma").as("wsig"), col("delta"))
+      val vLvl = levels.where(col("dist") === lv - 1)
+        .select(col("s").as("vs"), col("node").as("vn"), col("sigma").as("vsig"))
+      val contrib = vLvl.join(und, col("vn") === und("src"))
+        .join(wLvl, col("vs") === col("ws") && und("dst") === col("wn"))
+        .groupBy(col("vs").as("s"), col("vn").as("node"))
+        .agg(sum(col("vsig") / col("wsig") * (lit(1.0) + col("delta"))).as("delta"))
+      // nodes at lv-1 with no successors at lv get delta 0
+      val lvl = levels.where(col("dist") === lv - 1)
+        .join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("dist"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      deltas = deltas.unionByName(lvl)
+    }
+    val raw = deltas.where(col("node") =!= col("s"))
+      .groupBy("node").agg(sum("delta").as("bsum"))
+    val scale = if (normalized) 1.0 / ((n - 1) * (n - 2)) else 0.5
+    nodes.join(raw, Seq("node"), "left")
+      .select(col("node"), (coalesce(col("bsum"), lit(0.0)) * scale).as("betweenness"))
+  }
+}

@@ -56,13 +56,14 @@ object GraphOps {
     * deterministic; graph.py's networkx pagerank analog). Dangling mass
     * is redistributed uniformly, matching networkx semantics.
     *
-    * No per-iteration driver action: the dangling mass is a 1-row
-    * aggregate cross-joined (broadcast) into the update plan. Lineage is
-    * truncated with an eager `localCheckpoint` every `checkpointEvery`
-    * iterations so the DAG does not deepen without bound at scale.
+    * No per-iteration driver-side aggregate: the dangling mass is a 1-row
+    * aggregate cross-joined (broadcast) into the update plan. Each round
+    * is eagerly localCheckpoint'ed: the update references the previous
+    * ranks through BOTH the dangling aggregate and the contribution join,
+    * so an un-materialized iteration DOUBLES the lineage (the
+    * GraphX-Pregel per-round materialization pattern).
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85,
-               checkpointEvery: Int = 4): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
@@ -80,7 +81,7 @@ object GraphOps {
         .select(col("node"),
           (lit((1 - d) / n) + lit(d) * (coalesce(col("in_rank"), lit(0.0)) + col("__dm") / n))
             .as("rank"))
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
+        .localCheckpoint()
     }
     ranks
   }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph.{Centrality, Community}
+import QHelp._
+
+/** Graph-analytics catalog entries over the nation trade graph: nations
+  * are vertices; an undirected edge connects two nations whose mutual
+  * trade volume (lineitems between a customer of one and a supplier of
+  * the other, either direction) is ≥ 1.2× the mean pair volume. The
+  * threshold is RELATIVE, so the graph stays non-trivial at every scale
+  * factor (the raw nation-pair matrix is complete).
+  *
+  * Reference: `finds/recipes/graph.py:185-287` nodes_centrality /
+  * community_quality; BFS closeness and compact-forward triangles are the
+  * distributed forms ([[graft.graph.Centrality]]).
+  */
+object GraphQ {
+
+  /** Canonical (a < b) thresholded nation trade edges. */
+  def nationGraph(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    t.crossJoin(t.agg((avg("w") * 1.2).as("__thr")))
+      .where(col("w") >= col("__thr"))
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
+  private val edgeSql = """
+      t AS (SELECT least(c_nationkey, s_nationkey) a, greatest(c_nationkey, s_nationkey) b, count(*) w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE c_nationkey <> s_nationkey GROUP BY 1, 2),
+      e AS (SELECT a, b FROM t CROSS JOIN (SELECT avg(w) * 1.2 AS thr FROM t) WHERE w >= thr),
+      und AS (SELECT a s, b d FROM e UNION ALL SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT s AS n FROM und),
+      deg AS (SELECT s AS n, count(*) AS d FROM und GROUP BY 1)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // Per-node triangle count + local clustering coefficient
+    // (nx.triangles / nx.clustering, graph.py:207-210) via degree-ordered
+    // compact-forward wedge join.
+    Q("g_triangles", (s, dir) => {
+      Centrality.clusteringCoefficient(nationGraph(s, dir))
+        .select(bi(col("node")).as("node"), bi(col("triangles")).as("triangles"),
+          bi(col("degree")).as("degree"), r6(col("clustering")).as("clustering"))
+    }, Some(s"""
+      WITH $edgeSql,
+      tri AS (
+        SELECT e1.a x, e1.b y, e2.b z
+        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+      ),
+      pern AS (
+        SELECT n, count(*) AS tc FROM (
+          SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        ) GROUP BY 1
+      )
+      SELECT CAST(nodes.n AS BIGINT) AS node,
+             CAST(COALESCE(pern.tc, 0) AS BIGINT) AS triangles,
+             CAST(deg.d AS BIGINT) AS degree,
+             ROUND(CASE WHEN deg.d >= 2
+               THEN COALESCE(pern.tc, 0) * 2.0 / (deg.d * (deg.d - 1))
+               ELSE 0.0 END, 6) AS clustering
+      FROM nodes LEFT JOIN pern ON nodes.n = pern.n JOIN deg ON nodes.n = deg.n""")),
+
+    // Closeness centrality (nx.closeness_centrality wf_improved,
+    // graph.py:228) — all-sources BFS in Spark, recursive CTE in the
+    // oracle.
+    Q("g_closeness", (s, dir) => {
+      Centrality.closeness(nationGraph(s, dir))
+        .select(bi(col("node")).as("node"), r6(col("closeness")).as("closeness"))
+    }, Some(s"""
+      WITH RECURSIVE $edgeSql,
+      walk(src, node, dist) AS (
+        SELECT n, n, 0 FROM nodes
+        UNION
+        SELECT w.src, und.d, w.dist + 1
+        FROM walk w JOIN und ON w.node = und.s
+        WHERE w.dist < 25
+      ),
+      sp AS (SELECT src, node, min(dist) AS dd FROM walk GROUP BY 1, 2),
+      agg AS (SELECT src, count(*) AS r, sum(dd) AS sumd FROM sp GROUP BY 1)
+      SELECT CAST(src AS BIGINT) AS node,
+             ROUND(CASE WHEN sumd > 0
+               THEN ((r - 1.0) / sumd) * ((r - 1.0) / ((SELECT count(*) FROM nodes) - 1.0))
+               ELSE 0.0 END, 6) AS closeness
+      FROM agg""")),
+
+    // Community quality of the region partition (nx_comm.modularity +
+    // partition_quality, graph.py:271-287): one row of
+    // (communities, modularity, coverage, performance).
+    Q("g_community", (s, dir) => {
+      val edges = nationGraph(s, dir)
+      val nodes = Centrality.symmetrize(edges).select(col("src").as("node")).distinct()
+      val comm = nodes.join(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("node"), col("n_regionkey").as("community")),
+        "node")
+      val q = Community.modularity(edges, comm)
+      val (cov, perf) = Community.partitionQuality(edges, comm)
+      val ncomm = comm.select("community").distinct().count()
+      import s.implicits._
+      Seq((ncomm, q, cov, perf))
+        .toDF("communities", "modularity", "coverage", "performance")
+        .select(bi(col("communities")).as("communities"),
+          r6(col("modularity")).as("modularity"),
+          r6(col("coverage")).as("coverage"),
+          r6(col("performance")).as("performance"))
+    }, Some(s"""
+      WITH $edgeSql,
+      nc AS (SELECT nodes.n, n_regionkey r FROM nodes JOIN nation ON nodes.n = n_nationkey),
+      m AS (SELECT count(*) AS m FROM e),
+      intra AS (SELECT x.r, count(*) AS L
+                FROM e JOIN nc x ON e.a = x.n JOIN nc y ON e.b = y.n
+                WHERE x.r = y.r GROUP BY 1),
+      dc AS (SELECT nc.r, sum(deg.d) AS dsum FROM nc JOIN deg ON nc.n = deg.n GROUP BY 1),
+      qc AS (SELECT dc.r,
+               COALESCE(intra.L, 0) / CAST(m.m AS DOUBLE)
+                 - (dc.dsum / (2.0 * m.m)) * (dc.dsum / (2.0 * m.m)) AS term
+             FROM dc LEFT JOIN intra ON dc.r = intra.r CROSS JOIN m),
+      sizes AS (SELECT r, count(*) AS nr FROM nc GROUP BY 1),
+      stats AS (
+        SELECT (SELECT count(*) FROM nc) AS n,
+               (SELECT m FROM m) AS m,
+               (SELECT sum(COALESCE(L, 0)) FROM intra) AS intra_e,
+               (SELECT sum(nr * (nr - 1) / 2.0) FROM sizes) AS intra_pairs
+      )
+      SELECT CAST((SELECT count(DISTINCT r) FROM nc) AS BIGINT) AS communities,
+             ROUND((SELECT sum(term) FROM qc), 6) AS modularity,
+             ROUND(intra_e / CAST(m AS DOUBLE), 6) AS coverage,
+             ROUND((intra_e + ((n * (n - 1) / 2.0 - intra_pairs) - (m - intra_e)))
+                 / (n * (n - 1) / 2.0), 6) AS performance
+      FROM stats"""))
+  )
+}

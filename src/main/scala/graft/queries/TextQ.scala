@@ -152,9 +152,13 @@ object TextQ {
       // only (doc_id, shingle) rows, never the arrays (at 100 TB the
       // array-intersect-per-candidate-pair form is quadratic in doc size).
       val wdf = Window.partitionBy("s")
+      // persist the pruned exploded shingles: the frame feeds sizes and
+      // BOTH sides of the self-join — without it the shingle fold and the
+      // df-window shuffle would run three times
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("__df", count(lit(1)).over(wdf))
         .where(col("__df") <= maxDf).drop("__df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -69,9 +69,14 @@ object NearDup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
+    // the shingle fold is the expensive per-row kernel and feeds THREE
+    // consumers (signatures, sizes, the exploded verify join) — persist it
+    // once instead of recomputing the fold per branch (the round-1 plan
+    // re-evaluated it 4x per doc, incl. the pushed-down size() filter)
     val sh = docs
       .select(col(idCol), TextOps.wordShingles(col(textCol), shingleWidth).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig", minHashSig(col("sh"), bands * rowsPerBand))
     val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol)
     val sizes = sh.select(col(idCol), size(col("sh")).as("nsh"))
@@ -123,7 +128,10 @@ object NearDup {
                    maxHamming: Int = 8): DataFrame = {
     val nb = maxHamming + 1
     val w = 64 / nb
+    // both sides of the band self-join read the signatures — persist so
+    // the tokenize+simhash kernel runs once per doc, not twice
     val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("sig"),
       explode(array((0 until nb).map { bnd =>
         val width = if (bnd == nb - 1) 64 - w * (nb - 1) else w

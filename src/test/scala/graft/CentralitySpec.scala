@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Centrality, Community}
+
+/** Golden tests against networkx 3.6.1 values (two 4/5-cliques joined by
+  * a bridge 3–4 plus pendant 8):
+  * edges (0,1)(0,2)(0,3)(1,2)(1,3)(2,3)(4,5)(4,6)(4,7)(5,6)(5,7)(6,7)(3,4)(7,8)
+  */
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges = Seq(
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7), (3, 4), (7, 8)
+  ).toDF("src", "dst")
+
+  test("triangles and clustering coefficient match networkx") {
+    val tri = Map(0 -> 3L, 1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L, 5 -> 3L,
+      6 -> 3L, 7 -> 3L, 8 -> 0L)
+    val clus = Map(0 -> 1.0, 1 -> 1.0, 2 -> 1.0, 3 -> 0.5, 4 -> 0.5,
+      5 -> 1.0, 6 -> 1.0, 7 -> 0.5, 8 -> 0.0)
+    val out = Centrality.clusteringCoefficient(edges)
+      .select("node", "triangles", "clustering")
+      .as[(Int, Long, Double)].collect()
+    assert(out.length == 9)
+    out.foreach { case (n, t, c) =>
+      assert(t == tri(n), s"triangles($n)")
+      assert(math.abs(c - clus(n)) < 1e-9, s"clustering($n)")
+    }
+  }
+
+  test("closeness matches networkx wf_improved") {
+    val g = Map(0 -> 0.4444444444, 1 -> 0.4444444444, 2 -> 0.4444444444,
+      3 -> 0.6153846154, 4 -> 0.6666666667, 5 -> 0.5, 6 -> 0.5,
+      7 -> 0.5333333333, 8 -> 0.3636363636)
+    val out = Centrality.closeness(edges).as[(Int, Double)].collect().toMap
+    g.foreach { case (n, v) => assert(math.abs(out(n) - v) < 1e-9, s"closeness($n)") }
+  }
+
+  test("betweenness matches networkx (normalized)") {
+    val g = Map(0 -> 0.0, 1 -> 0.0, 2 -> 0.0, 3 -> 0.5357142857,
+      4 -> 0.5714285714, 5 -> 0.0, 6 -> 0.0, 7 -> 0.25, 8 -> 0.0)
+    val out = Centrality.betweenness(edges).as[(Int, Double)].collect().toMap
+    g.foreach { case (n, v) => assert(math.abs(out(n) - v) < 1e-9, s"betweenness($n)") }
+  }
+
+  test("eigenvector centrality matches networkx") {
+    val g = Map(0 -> 0.29651579, 1 -> 0.29651579, 2 -> 0.29651579,
+      3 -> 0.39713263, 4 -> 0.43660969, 5 -> 0.34509036, 6 -> 0.34509036,
+      7 -> 0.37067069, 8 -> 0.1110015)
+    val out = Centrality.eigenvector(edges, iters = 50)
+      .as[(Int, Double)].collect().toMap
+    g.foreach { case (n, v) => assert(math.abs(out(n) - v) < 1e-4, s"eigenvector($n)") }
+  }
+
+  test("hits hubs match the power-iteration limit") {
+    val g = Map(0 -> 0.10241837, 1 -> 0.10241837, 2 -> 0.10241837,
+      3 -> 0.13717204, 4 -> 0.15080766, 5 -> 0.11919632, 6 -> 0.11919632,
+      7 -> 0.12803193, 8 -> 0.0383406)
+    val und = Centrality.symmetrize(edges)
+    val out = Centrality.hits(und, iters = 40)
+      .select("node", "hub").as[(Int, Double)].collect().toMap
+    g.foreach { case (n, v) => assert(math.abs(out(n) - v) < 1e-4, s"hub($n)") }
+  }
+
+  test("degree centrality is deg/(n-1)") {
+    val out = Centrality.degreeCentrality(edges).as[(Int, Double)].collect().toMap
+    assert(math.abs(out(3) - 4.0 / 8) < 1e-12)
+    assert(math.abs(out(8) - 1.0 / 8) < 1e-12)
+  }
+}
+
+class CommunitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges = Seq(
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7), (3, 4), (7, 8)
+  ).toDF("src", "dst")
+
+  private def groups(df: org.apache.spark.sql.DataFrame): Set[Set[Int]] =
+    df.as[(Int, Int)].collect().groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("label propagation finds the two cliques (networkx grouping)") {
+    val out = groups(Community.labelPropagation(edges))
+    assert(out == Set(Set(0, 1, 2, 3), Set(4, 5, 6, 7, 8)))
+  }
+
+  test("louvain finds the two cliques (networkx grouping)") {
+    val out = groups(Community.louvain(edges))
+    assert(out == Set(Set(0, 1, 2, 3), Set(4, 5, 6, 7, 8)))
+  }
+
+  test("modularity and partition quality match networkx") {
+    val comm = Seq(0 -> 1, 1 -> 1, 2 -> 1, 3 -> 1, 4 -> 2, 5 -> 2, 6 -> 2,
+      7 -> 2, 8 -> 2).toDF("node", "community")
+    val q = Community.modularity(edges, comm)
+    assert(math.abs(q - 0.4260204082) < 1e-9, s"modularity $q")
+    val (cov, perf) = Community.partitionQuality(edges, comm)
+    assert(math.abs(cov - 0.9285714285714286) < 1e-12, s"coverage $cov")
+    assert(math.abs(perf - 0.8888888888888888) < 1e-12, s"performance $perf")
+  }
+}
