@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bootstrap resampling of risk statistics (reference `bootstrap_risk`
+  * finance.py:339-357: n× sample-with-replacement, historical risk per
+  * sample).
+  *
+  * The reference draws with `np.random.choice`; here the draw is a
+  * DETERMINISTIC Lehmer sequence idx(b,i) = ((b·N+i+1)·48271 mod
+  * 2147483647) mod N so results are reproducible across engines — the
+  * oracle replicates the identical arithmetic in SQL. Fully distributed:
+  * `spark.range(n·N)` → index join against the ranked observations →
+  * per-replicate aggregation; no driver-side loop.
+  */
+object Bootstrap {
+
+  /** `n` bootstrap replicates of (VaR, ES, vol) at tail prob `alpha`
+    * from the non-null values of `valueCol`, ordered deterministically by
+    * `idCol` for the index join. Output: (b, var_a, es_a, vol, n_obs).
+    */
+  def bootstrapRisk(df: DataFrame, idCol: String, valueCol: String,
+                    alpha: Double, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol).as("__v"))
+      .withColumn("__rid", row_number().over(Window.orderBy(idCol)) - 1)
+    val nObs = vals.count()
+    val draws = spark.range(n.toLong * nObs)
+      .select((col("id") / nObs).cast("long").as("b"),
+        (((col("id") + 1) * 48271L) % 2147483647L % nObs).as("__rid"))
+    val sampled = draws.join(vals.select("__rid", "__v"), "__rid")
+    val q = sampled.groupBy("b")
+      .agg(expr(s"percentile(__v, ${alpha})").as("__q"))
+    sampled.join(q, "b")
+      .groupBy("b")
+      .agg(min("__q").as("var_a"),
+        avg(when(col("__v") <= col("__q"), col("__v"))).as("es_a"),
+        stddev_pop(col("__v")).as("vol"),
+        count(lit(1)).as("n_obs"))
+  }
+}

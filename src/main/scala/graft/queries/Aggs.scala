@@ -101,6 +101,33 @@ object Aggs {
       FROM events e JOIN v USING (event_type)
       GROUP BY e.event_type""")),
 
+    // A12b: bootstrap-resampled risk statistics (bootstrap_risk
+    // finance.py:339-357) — deterministic Lehmer draws so the oracle can
+    // replicate the exact resample.
+    Q("a15_bootstrap", (s, dir) => {
+      import graft.ops.Bootstrap
+      val e = Tables.events(s, dir).where(col("event_type") === "purchase")
+      Bootstrap.bootstrapRisk(e, "event_id", "value", alpha = 0.05, n = 20)
+        .select(bi(col("b")).as("b"), r6(col("var_a")).as("var_a"),
+          r6(col("es_a")).as("es_a"), r6(col("vol")).as("vol"),
+          bi(col("n_obs")).as("n_obs"))
+    }, Some("""
+      WITH v AS (
+        SELECT value AS vv, row_number() OVER (ORDER BY event_id) - 1 AS rid
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      ), nn AS (SELECT count(*) AS n FROM v),
+      draws AS (
+        SELECT CAST(floor(i / n) AS BIGINT) AS b,
+               ((i + 1) * 48271) % 2147483647 % n AS rid
+        FROM (SELECT unnest(range(20 * n)) AS i FROM nn) CROSS JOIN nn
+      ),
+      s AS (SELECT b, vv FROM draws JOIN v USING (rid)),
+      q AS (SELECT b, quantile_cont(vv, 0.05) AS qq FROM s GROUP BY 1)
+      SELECT CAST(s.b AS BIGINT) AS b, ROUND(MIN(qq), 6) AS var_a,
+             ROUND(AVG(CASE WHEN vv <= qq THEN vv END), 6) AS es_a,
+             ROUND(stddev_pop(vv), 6) AS vol, COUNT(*) AS n_obs
+      FROM s JOIN q ON s.b = q.b GROUP BY 1""")),
+
     // A13: distinct counts (sql.py:313).
     Q("a13_distinct", (s, dir) => {
       Tables.orders(s, dir)

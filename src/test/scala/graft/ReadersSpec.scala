@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.data.{Bea, FredMd}
+import graft.ops.Bootstrap
+import graft.text.Edgar
+
+class FredMdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(): String = {
+    val csv =
+      """sasdate,RPI,W875RX1x
+        |Transform:,5,2
+        |3/1/1959,2583.56,2426.0
+        |4/1/1959,2593.6,2434.8
+        |5/1/1959,2610.4,2452.7
+        |""".stripMargin
+    val f = Files.createTempFile("fredmd", ".csv")
+    Files.writeString(f, csv)
+    f.toString
+  }
+
+  test("parse: transform-code header split, x-suffix strip, month-end dates") {
+    val parsed = FredMd.parse(spark, writeFixture())
+    assert(parsed.meta("transform") == Map("RPI" -> 5, "W875RX1" -> 2))
+    assert(parsed.data.columns.toSeq == Seq("date", "RPI", "W875RX1"))
+    val dates = parsed.data.select("date").as[Int].collect().sorted
+    assert(dates.toSeq == Seq(19590331, 19590430, 19590531))
+  }
+
+  test("tcode transforms: 5 = diff(log), 2 = diff") {
+    val parsed = FredMd.parse(spark, writeFixture())
+    val long = FredMd.melt(parsed.data)
+    val w = Window.partitionBy("series").orderBy("date")
+    val t5 = FredMd.transform(long.where(col("series") === "RPI"), "value", w, 5)
+      .where(col("date") === 19590430).select("transformed").as[Double].head()
+    assert(math.abs(t5 - (math.log(2593.6) - math.log(2583.56))) < 1e-12)
+    val t2 = FredMd.transform(long.where(col("series") === "W875RX1"), "value", w, 2)
+      .where(col("date") === 19590531).select("transformed").as[Double].head()
+    assert(math.abs(t2 - (2452.7 - 2434.8)) < 1e-12)
+  }
+
+  test("tcode 7: diff of pct_change") {
+    val df = Seq((1, 100.0), (2, 110.0), (3, 121.0), (4, 133.1))
+      .toDF("date", "value").withColumn("series", lit("s"))
+    val w = Window.partitionBy("series").orderBy("date")
+    val out = FredMd.transform(df, "value", w, 7)
+      .select("date", "transformed").as[(Int, Option[Double])].collect().toMap
+    assert(out(1).isEmpty && out(2).isEmpty)
+    assert(math.abs(out(3).get - (0.10 - 0.10)) < 1e-12)
+  }
+}
+
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bootstrap risk: deterministic Lehmer draws, replicate shape") {
+    val df = (0 until 50).map(i => (i.toLong, math.sin(i * 1.7) * 0.05))
+      .toDF("id", "ret")
+    val out = Bootstrap.bootstrapRisk(df, "id", "ret", alpha = 0.05, n = 7)
+      .orderBy("b").collect()
+    assert(out.length == 7)
+    assert(out.forall(_.getAs[Long]("n_obs") == 50L))
+    assert(out.forall(r => r.getAs[Double]("es_a") <= r.getAs[Double]("var_a") + 1e-12))
+    // replicate b=0 by hand: Lehmer indices over the id-ordered values
+    val vals = (0 until 50).map(i => math.sin(i * 1.7) * 0.05).toArray
+    val sample0 = (0 until 50).map(i => vals((((i + 1) * 48271L) % 2147483647L % 50).toInt))
+    val sorted = sample0.sorted
+    val pos = 0.05 * (50 - 1)
+    val lo = pos.toInt
+    val expVar = sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    val got = out.head.getAs[Double]("var_a")
+    assert(math.abs(got - expVar) < 1e-12, s"var $got vs $expVar")
+    // determinism: a second run is identical
+    val again = Bootstrap.bootstrapRisk(df, "id", "ret", alpha = 0.05, n = 7)
+      .orderBy("b").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
+
+class BeaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IOUse regroup merges member codes on both axes and preserves mass") {
+    val df = Seq(
+      ("A1", "B", 10.0), ("A2", "B", 5.0), ("B", "A1", 7.0),
+      ("B", "A2", 3.0), ("B", "C", 2.0), ("A1", "A2", 1.0)
+    ).toDF("colcode", "rowcode", "datavalue")
+    val out = Bea.regroupIoUse(df, Map("A" -> Seq("A1", "A2")))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("A", "B")) == 15.0)
+    assert(out(("B", "A")) == 10.0)
+    assert(out(("B", "C")) == 2.0)
+    assert(out(("A", "A")) == 1.0)
+    assert(out.values.sum == 28.0) // mass preserved
+    assert(!out.keys.exists { case (c, r) => c.startsWith("A1") || r.startsWith("A2") })
+  }
+
+  test("screen drops excluded code prefixes") {
+    val df = Seq(("T1", "B", 1.0), ("B", "U2", 2.0), ("F", "G", 3.0))
+      .toDF("colcode", "rowcode", "datavalue")
+    val out = Bea.screenIoUse(df, Seq("T", "U")).as[(String, String, Double)].collect()
+    assert(out.toSeq == Seq(("F", "G", 3.0)))
+  }
+}
+
+class EdgarIndexSpec extends SparkSpec {
+
+  test("master.idx parse: preamble skipped, types coerced, dups dropped") {
+    val idx =
+      """Description:           Master Index of EDGAR Dissemination Feed
+        |Last Data Received:    March 31, 2023
+        |Anonymous FTP:         ftp://ftp.sec.gov/edgar/
+        |
+        |CIK|Company Name|Form Type|Date Filed|Filename
+        |--------------------------------------------------------------------------------
+        |320193|Apple Inc.|10-K|2023-11-03|edgar/data/320193/0000320193-23-000106.txt
+        |320193|Apple Inc.|10-K|2023-11-03|edgar/data/320193/0000320193-23-000106.txt
+        |789019|MICROSOFT CORP|10-Q|2023-01-24|edgar/data/789019/0000950170-23-001409.txt
+        |""".stripMargin
+    val f = Files.createTempFile("master", ".idx")
+    Files.writeString(f, idx)
+    val out = Edgar.parseMasterIndex(spark, f.toString)
+    val rows = out.collect().map(r => (r.getInt(0), r.getString(2), r.getInt(3)))
+    assert(rows.length == 2)
+    assert(rows.contains((320193, "10-K", 20231103)))
+    assert(rows.contains((789019, "10-Q", 20230124)))
+  }
+}
