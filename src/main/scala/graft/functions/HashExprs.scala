@@ -109,9 +109,128 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Word n-gram shingles of a raw text column — the native twin of
+  * `TextOps.shinglesOf(tokens(text), n)`: lowercase (UTF8String
+  * semantics, matching Spark's `lower`), split on `[^a-zA-Z_]+`, keep
+  * tokens of length ≥ 3, space-join each n-gram, distinct preserving
+  * first occurrence; empty when fewer than n tokens.
+  *
+  * The Column fold form costs a ~40-node lambda tree that whole-stage
+  * codegen compiles in every consuming operator subtree (Filter +
+  * Project + window branches) — moving it into one compiled kernel cut
+  * the text-family cold times roughly in half.
+  */
+object ShingleKernel {
+  private val sep = java.util.regex.Pattern.compile("[^a-zA-Z_]+")
+
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = sep.split(text.toLowerCase.toString)
+    val kept = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).length >= 3) kept.add(toks(i)); i += 1
+    }
+    val m = kept.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < m) {
+      val sb = new java.lang.StringBuilder(kept.get(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(kept.get(j + k)); k += 1 }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Stopword-count language ID — native twin of `TextOps.langIdHof`:
+  * per language, Σ over its stopwords of the `size(split(padded,
+  * "\\ssw\\s")) − 1` count (= non-overlapping matcher-find count, the
+  * exact regex-split semantics both the Column form and the DuckDB
+  * oracle use); zh scores 2× the non-ASCII code-point count. First
+  * language in {en,es,de,fr,zh} order wins ties (strict > replaces).
+  */
+object LangKernel {
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est"))
+  private val pats: Seq[(String, Array[java.util.regex.Pattern])] =
+    langWords.map { case (l, ws) =>
+      l -> ws.map(w => java.util.regex.Pattern.compile("\\s" + w + "\\s")).toArray
+    }
+  private val labels = (pats.map(_._1) :+ "zh").map(UTF8String.fromString).toArray
+
+  def langId(text: UTF8String): UTF8String = {
+    val padded = " " + text.toLowerCase.toString + " "
+    var bestIdx = 0
+    var bestScore = Integer.MIN_VALUE
+    var li = 0
+    while (li < pats.length) {
+      var s = 0
+      val ps = pats(li)._2
+      var pi = 0
+      while (pi < ps.length) {
+        val m = ps(pi).matcher(padded)
+        while (m.find()) s += 1
+        pi += 1
+      }
+      if (s > bestScore) { bestScore = s; bestIdx = li }
+      li += 1
+    }
+    // zh: 2x non-ASCII code points of the ORIGINAL text
+    val raw = text.toString
+    var zh = 0
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      if (cp > 0x7f) zh += 1
+      i += Character.charCount(cp)
+    }
+    if (zh * 2 > bestScore) bestIdx = labels.length - 1
+    labels(bestIdx)
+  }
+}
+
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+  override protected def nullSafeEval(input: Any): Any =
+    LangKernel.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangKernel.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 object HashF {
+  def langId(text: Column): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def minhashSig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
 }

@@ -36,6 +36,15 @@ object AsOf {
       allowExact: Boolean = true,
       tieBreak: Option[String] = None): DataFrame = {
 
+    // behind-the-flag native path (SURVEY §4.2.1): the custom sort-merge
+    // as-of operator — differential-tested vs this union-merge form
+    // (AsOfStrategySpec). tieBreak stays on the union-merge path (the
+    // native merge keeps input order for right-side time ties).
+    if (tieBreak.isEmpty &&
+        left.sparkSession.conf.getOption("spark.graft.asof.native").contains("true"))
+      return graft.plans.AsOfJoin.joinBackward(
+        left, right, keys, timeCol, valueCols, allowExact)
+
     val leftCols = left.columns
     // side marker orders right rows before left rows at equal time when
     // exact matches are allowed (so left sees them), after when not.

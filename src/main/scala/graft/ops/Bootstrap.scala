@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * sample).
   *
   * The reference draws with `np.random.choice`; here the draw is a
-  * DETERMINISTIC Lehmer sequence idx(b,i) = ((b·N+i+1)·48271 mod
-  * 2147483647) mod N so results are reproducible across engines — the
-  * oracle replicates the identical arithmetic in SQL. Fully distributed:
+  * DETERMINISTIC double Lehmer step
+  * idx(g) = (((g+1)·48271 mod M)·16807 mod M) mod N, M = 2³¹−1, over the
+  * global draw index g = b·N+i — reproducible across engines (the oracle
+  * replicates the identical integer arithmetic in SQL). The SECOND
+  * multiply is load-bearing: with one step, the b→b+1 shift of
+  * 48271·N ≡ 0 (mod N) survives the mod M for nearly every draw and all
+  * replicates collapse to the same sample; the second modmul wraps M
+  * ~19000× across a replicate, decorrelating them. Fully distributed:
   * `spark.range(n·N)` → index join against the ranked observations →
   * per-replicate aggregation; no driver-side loop.
   */
@@ -30,7 +35,8 @@ object Bootstrap {
     val nObs = vals.count()
     val draws = spark.range(n.toLong * nObs)
       .select((col("id") / nObs).cast("long").as("b"),
-        (((col("id") + 1) * 48271L) % 2147483647L % nObs).as("__rid"))
+        ((((col("id") + 1) * 48271L) % 2147483647L * 16807L) % 2147483647L % nObs)
+          .as("__rid"))
     val sampled = draws.join(vals.select("__rid", "__v"), "__rid")
     val q = sampled.groupBy("b")
       .agg(expr(s"percentile(__v, ${alpha})").as("__q"))

@@ -118,7 +118,7 @@ object Aggs {
       ), nn AS (SELECT count(*) AS n FROM v),
       draws AS (
         SELECT CAST(floor(i / n) AS BIGINT) AS b,
-               ((i + 1) * 48271) % 2147483647 % n AS rid
+               (((i + 1) * 48271) % 2147483647 * 16807) % 2147483647 % n AS rid
         FROM (SELECT unnest(range(20 * n)) AS i FROM nn) CROSS JOIN nn
       ),
       s AS (SELECT b, vv FROM draws JOIN v USING (rid)),

@@ -29,9 +29,16 @@ object GraphQ {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
-    t.crossJoin(t.agg((avg("w") * 1.2).as("__thr")))
+    // threshold via an empty-frame window so the 4-table aggregate `t`
+    // appears ONCE in the plan (a crossJoin(t.agg) duplicates the whole
+    // join subtree — 2x scan + 2x codegen); the window is a single
+    // partition of ~600 pair rows. Persisted: the graph queries run
+    // several actions (BFS levels, modularity aggregates) over this.
+    import org.apache.spark.sql.expressions.Window
+    t.withColumn("__thr", avg("w").over(Window.partitionBy(lit(1))) * 1.2)
       .where(col("w") >= col("__thr"))
       .select(col("a").as("src"), col("b").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val edgeSql = """

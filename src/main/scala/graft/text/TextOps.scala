@@ -47,10 +47,14 @@ object TextOps {
     round(lenScore * 0.3 + alphaRatio * 0.4 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
   }
 
-  /** Stopword-count language ID over {en, es, de, fr, zh} — n-gram/stopword
-    * heuristic scored per language, ties broken alphabetically.
+  /** Stopword-count language ID over {en, es, de, fr, zh} — native
+    * kernel ([[graft.functions.LangKernel]]); [[langIdHof]] is the
+    * Column twin for the equivalence spec.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.HashF.langId(text)
+
+  /** Column-expression formulation of [[langId]] (spec-only twin). */
+  def langIdHof(text: Column): Column = {
     def score(words: Seq[String]): Column = {
       val padded = concat(lit(" "), lower(text), lit(" "))
       words.map(sw => size(split(padded, s"\\s$sw\\s")) - 1)
@@ -134,6 +138,10 @@ object TextOps {
       acc => array_distinct(acc.getField("sh")))
   }
 
-  /** Shingles straight from text — linear per row (see [[shinglesOf]]). */
-  def wordShingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+  /** Shingles straight from text — native one-pass kernel
+    * ([[graft.functions.ShingleKernel]]); [[shinglesOf]] is the Column
+    * fold twin kept for the equivalence spec.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.HashF.wordShingles(text, n)
 }

@@ -53,6 +53,32 @@ class FunctionsSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("shingle kernel matches the HOF fold formulation exactly") {
+    import graft.text.TextOps
+    val docs = (sampleDocs :+ (9L, "Ab cd EF ghi jkl mno ab cd ef ghi"))
+      .toDF("id", "text")
+    val out = docs.select(
+        TextOps.wordShingles(col("text"), 3).as("a"),
+        TextOps.shinglesOf(TextOps.tokens(col("text")), 3).as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("langId kernel matches the HOF formulation exactly") {
+    import graft.text.TextOps
+    val docs = (sampleDocs ++ Seq(
+      (10L, "the the the and and of to is a is a"), // overlapping-separator quirk
+      (11L, "el la de que y los el la de"),
+      (12L, "der die und das ist ein der die"),
+      (13L, "le la les de et est le la"),
+      (14L, "中文文本 the and"),
+      (15L, "a b c")))
+      .toDF("id", "text")
+    val out = docs.select(TextOps.langId(col("text")).as("a"),
+      TextOps.langIdHof(col("text")).as("b")).as[(String, String)].collect()
+    out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("minhash kernel matches the HOF formulation exactly") {
     import graft.text.{NearDup, TextOps}
     val docs = sampleDocs.toDF("id", "text")

@@ -65,19 +65,30 @@ class BootstrapSpec extends SparkSpec {
     assert(out.length == 7)
     assert(out.forall(_.getAs[Long]("n_obs") == 50L))
     assert(out.forall(r => r.getAs[Double]("es_a") <= r.getAs[Double]("var_a") + 1e-12))
-    // replicate b=0 by hand: Lehmer indices over the id-ordered values
+    // replicate b=0 by hand: double-Lehmer indices over id-ordered values
     val vals = (0 until 50).map(i => math.sin(i * 1.7) * 0.05).toArray
-    val sample0 = (0 until 50).map(i => vals((((i + 1) * 48271L) % 2147483647L % 50).toInt))
+    def idx(g: Long): Int =
+      ((((g + 1) * 48271L) % 2147483647L * 16807L) % 2147483647L % 50).toInt
+    val sample0 = (0 until 50).map(i => vals(idx(i)))
     val sorted = sample0.sorted
     val pos = 0.05 * (50 - 1)
     val lo = pos.toInt
     val expVar = sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
     val got = out.head.getAs[Double]("var_a")
     assert(math.abs(got - expVar) < 1e-12, s"var $got vs $expVar")
-    // determinism: a second run is identical
+    // replicates must not all collapse to one sample (the single-Lehmer
+    // formula had b-shifts ≡ 0 mod N — caught here)
+    assert(out.map(_.getAs[Double]("var_a")).distinct.length > 1 ||
+      out.map(_.getAs[Double]("vol")).distinct.length > 1)
+    // determinism: a second run agrees (float aggs to 1e-12 — partial
+    // aggregation order can flip the last ulp)
     val again = Bootstrap.bootstrapRisk(df, "id", "ret", alpha = 0.05, n = 7)
       .orderBy("b").collect()
-    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    out.zip(again).foreach { case (a, b) =>
+      assert(a.getAs[Long]("b") == b.getAs[Long]("b"))
+      Seq("var_a", "es_a", "vol").foreach(c =>
+        assert(math.abs(a.getAs[Double](c) - b.getAs[Double](c)) < 1e-12))
+    }
   }
 }
 
