@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.Bridge
@@ -224,7 +224,81 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All ordered pairs (a(i), a(j)), i < j, of a pre-sorted int/long array
+  * — the pair generator for common-neighbor counting: a neighbor with
+  * degree d emits d(d−1)/2 pairs from its adjacency list in one pass, no
+  * self-join probe. Callers bound d (maxNeighborDegree) so the output
+  * array is capped at d²/2 entries.
+  */
+object PairKernel {
+  def pairsLong(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var x = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(x) = new GenericInternalRow(Array[Any](a, arr.getLong(j)))
+        x += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pairsInt(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var x = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getInt(i)
+      var j = i + 1
+      while (j < n) {
+        out(x) = new GenericInternalRow(Array[Any](a, arr.getInt(j)))
+        x += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class SortedPairs(child: Expression) extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+  override def prettyName: String = "graft_sorted_pairs"
+
+  private def kernel: String = elemType match {
+    case LongType => "pairsLong"
+    case IntegerType => "pairsInt"
+    case t => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    elemType match {
+      case LongType => PairKernel.pairsLong(a)
+      case IntegerType => PairKernel.pairsInt(a)
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairKernel.$kernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
 object HashF {
+  def sortedPairs(arr: Column): Column =
+    Bridge.column(SortedPairs(Bridge.expression(arr)))
   def langId(text: Column): Column =
     Bridge.column(LangIdExpr(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =

@@ -31,19 +31,42 @@ object GraphOps {
     * pref-attach stay full). The neighbor-degree join runs BEFORE the
     * self-join — once per edge, not once per generated pair.
     */
-  def linkPrediction(edges: DataFrame, node: String, neighbor: String,
+  def linkPrediction(edges0: DataFrame, node: String, neighbor: String,
                      maxNeighborDegree: Int = Int.MaxValue): DataFrame = {
+    // three consumers (node degrees, neighbor degrees, pair generation)
+    // read the edge list — persist so the upstream build (often a join +
+    // distinct) runs once per action instead of three times
+    val edges = edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col(node).as("n")).agg(count(lit(1)).as("deg"))
+    // per-NEIGHBOR weights computed once per edge (1/log d, 1/d) — the
+    // pair join multiplies rows by the shared-neighbor degree, so any
+    // per-row arithmetic there runs d× more often
+    // nbdeg == 1 neighbors can never form a pair (and 1/log(1) divides by
+    // zero under ANSI) — drop them before the self-join
     val nbrDeg = edges.groupBy(col(neighbor).as("nb")).agg(count(lit(1)).as("nbdeg"))
-      .where(col("nbdeg") <= maxNeighborDegree)
+      .where(col("nbdeg") > 1 && col("nbdeg") <= maxNeighborDegree)
+      .select(col("nb"), (lit(1.0) / log(col("nbdeg"))).as("w_aa"),
+        (lit(1.0) / col("nbdeg")).as("w_ra"))
+    // pair generation from per-neighbor adjacency lists: one groupBy
+    // builds the (sorted) node list per shared neighbor, a native
+    // generator emits its d(d−1)/2 pairs — replaces the self-join whose
+    // 24M-row hash probe dominated this query's wall time. List size is
+    // bounded by maxNeighborDegree.
     val e = edges.select(col(node).as("n"), col(neighbor).as("nb"))
       .join(nbrDeg, "nb")
-    val shared = e.as("a").join(e.as("b"),
-        col("a.nb") === col("b.nb") && col("a.n") < col("b.n"))
-      .groupBy(col("a.n").as("n_a"), col("b.n").as("n_b"))
+    // the adjacency frame is tiny (one row per neighbor) so AQE coalesces
+    // it to ~1 partition — but each row EXPLODES into d²/2 pairs, so
+    // repartition by neighbor first or the expansion runs single-threaded
+    val byNbr = e.groupBy("nb")
+      .agg(sort_array(collect_list(col("n"))).as("ns"),
+        first("w_aa").as("w_aa"), first("w_ra").as("w_ra"))
+    val shared = byNbr
+      .select(explode(graft.functions.HashF.sortedPairs(col("ns"))).as("p"),
+        col("w_aa"), col("w_ra"))
+      .groupBy(col("p.a").as("n_a"), col("p.b").as("n_b"))
       .agg(count(lit(1)).as("common"),
-        sum(lit(1.0) / log(col("a.nbdeg"))).as("adamic_adar"),
-        sum(lit(1.0) / col("a.nbdeg")).as("resource_alloc"))
+        sum(col("w_aa")).as("adamic_adar"),
+        sum(col("w_ra")).as("resource_alloc"))
     shared
       .join(deg.select(col("n").as("n_a"), col("deg").as("deg_a")), "n_a")
       .join(deg.select(col("n").as("n_b"), col("deg").as("deg_b")), "n_b")

@@ -58,6 +58,14 @@ object Ingest {
     }
   }
 
+  /** Fama-French library value rules (`ffreader.py:179-180`): source
+    * values ≤ −99.99 are missing-data sentinels → null; the rest are
+    * percentages → decimals (÷100).
+    */
+  def ffScale(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c) > -99.99, col(c) / 100.0)))
+
   /** Row screens applied at load (structured.py:177-201): drop rows whose
     * column is in `dropVals`, keep only rows whose column is in
     * `keepVals`.

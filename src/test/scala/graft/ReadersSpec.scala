@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.data.{Bea, FredMd}
+import graft.data.{Bea, FredMd, Yahoo}
 import graft.ops.Bootstrap
 import graft.text.Edgar
 
@@ -116,6 +116,51 @@ class BeaSpec extends SparkSpec {
       .toDF("colcode", "rowcode", "datavalue")
     val out = Bea.screenIoUse(df, Seq("T", "U")).as[(String, String, Double)].collect()
     assert(out.toSeq == Seq(("F", "G", 3.0)))
+  }
+}
+
+class YahooSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splice matches the pandas reference fixture (split + dividend)") {
+    // 2:1 split on day 5, $1 dividend on day 3 — expected values computed
+    // with the exact real_time.py:60-82 pandas logic
+    val raw = Seq(
+      (1, 100.0, 0.0, 0.0, 1000L), (2, 102.0, 0.0, 0.0, 1100L),
+      (3, 101.0, 1.0, 0.0, 1200L), (4, 103.0, 0.0, 0.0, 1300L),
+      (5, 52.0, 0.0, 2.0, 2600L), (6, 53.0, 0.0, 0.0, 2500L),
+      (7, 51.5, 0.0, 0.0, 2400L), (8, 52.5, 0.0, 0.0, 2300L)
+    ).toDF("date", "close", "dividends", "stock_splits", "volume")
+      .withColumn("ticker", org.apache.spark.sql.functions.lit("TST"))
+    val out = Yahoo.splice(raw)
+      .select("date", "vol", "divamt", "ret", "retx", "prc")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val expVol = Map(1 -> 500.0, 2 -> 550.0, 3 -> 600.0, 4 -> 650.0,
+      5 -> 2600.0, 6 -> 2500.0, 7 -> 2400.0, 8 -> 2300.0)
+    val expPrc = Map(1 -> 201.980001980002, 2 -> 206.019602019602, 3 -> 202.0,
+      4 -> 206.0, 5 -> 52.0, 6 -> 53.0, 7 -> 51.5, 8 -> 52.5)
+    val expRetx = Map(2 -> 0.02, 3 -> -0.019510774607, 4 -> 0.019801980198,
+      5 -> -0.495145631068, 6 -> 0.019230769231, 7 -> -0.028301886792,
+      8 -> 0.019417475728)
+    expVol.foreach { case (d, v) => assert(math.abs(out(d).getDouble(1) - v) < 1e-9, s"vol($d)") }
+    assert(out(3).getDouble(2) == 2.0) // divamt split-adjusted
+    expPrc.foreach { case (d, v) => assert(math.abs(out(d).getDouble(5) - v) < 1e-8, s"prc($d)") }
+    expRetx.foreach { case (d, v) => assert(math.abs(out(d).getDouble(4) - v) < 1e-9, s"retx($d)") }
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4)) // first ret/retx null
+  }
+}
+
+class FFScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("-99.99 sentinels null out, percentages become decimals") {
+    val df = Seq((1, 1.5, -99.99), (2, -0.25, 2.0), (3, -100.0, 0.0))
+      .toDF("id", "a", "b")
+    val out = graft.sources.Ingest.ffScale(df, Seq("a", "b"))
+      .as[(Int, Option[Double], Option[Double])].collect().sortBy(_._1)
+    assert(out(0)._2.contains(0.015) && out(0)._3.isEmpty)
+    assert(out(1)._2.contains(-0.0025) && out(1)._3.contains(0.02))
+    assert(out(2)._2.isEmpty && out(2)._3.contains(0.0))
   }
 }
 
