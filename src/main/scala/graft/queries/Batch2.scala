@@ -231,10 +231,9 @@ object Batch2 {
     // common neighbors, Jaccard, Adamic-Adar, preferential attachment
     // (graph.py:295-317).
     Q("g_linkpred", (s, dir) => {
-      // the edge list feeds degree tables + the pair join; measured
-      // .cache() HURT here (materialization cost > recomputing a cheap
-      // join), so the lineage recomputes — at cluster scale prefer
-      // writing the edge list once and reading it back
+      // linkPrediction persists the edge list internally — its three
+      // consumers (degrees both sides + pair generation) otherwise re-run
+      // this join+distinct per branch (profiled: 2s x3 of a 10s query)
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust")).distinct()
