@@ -257,6 +257,15 @@ object TextQ {
       Similarity.lshTopK(v, "vec_id", "embedding", k = 5, planes = 12, tables = 4)
         .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
           col("cos"), bi(col("rank")).as("rank"))
+    }, None),
+
+    // IVF-Flat ANN: k-means inverted lists + nProbe probing (MLlib
+    // quantizer — rows-only check; agreement spec pins >=0.9 recall).
+    Q("s_ivf", (s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(v, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+        .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
+          col("cos"), bi(col("rank")).as("rank"))
     }, None)
   )
 }

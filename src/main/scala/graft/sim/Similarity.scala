@@ -105,6 +105,51 @@ object Similarity {
   def lshSignature(vec: Column, planes: Int, seed: Int = 0): Column =
     packSignature(lshProjections(vec, planes, seed + 1), seed, planes)
 
+  /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
+    * every vector to its nearest of `nLists` centroids (the inverted
+    * lists); each query probes its `nProbe` nearest centroids and scores
+    * exact cosine only inside those lists. The scale shape is the
+    * classic IVF-Flat: quantizer training is MLlib-distributed, probe
+    * assignment is a corpus × centroids scoring (centroids broadcast —
+    * nLists ≪ corpus), and candidate generation is an equi-join on the
+    * list id. Deterministic for a fixed seed.
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = prepped(vecs, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = v.select(col(idCol), array_to_vector(col("__v")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col(idCol), col("prediction").as("list"))
+    val centroids = v.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("list", "centroid")
+    // probe the nProbe nearest centroids per query (corpus × nLists rows)
+    val wProbe = Window.partitionBy(idCol).orderBy(col("__cdist").asc, col("list").asc)
+    val probes = v.select(col(idCol), col("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdist",
+        VectorF.dotp(col("__v"), col("__v")) + VectorF.dotp(col("centroid"), col("centroid"))
+          - lit(2.0) * VectorF.dotp(col("__v"), col("centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nProbe)
+      .select(col(idCol).as("query_id"), col("list"))
+    // candidates: members of the probed lists
+    val cands = probes.join(assigned.select(col(idCol).as("neighbor_id"), col("list")), "list")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val pairs = cands
+      .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
+        "query_id")
+      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
+        "neighbor_id")
+    topK(pairs, k)
+  }
+
   /** ANN via LSH buckets: candidates share the exact signature in at least
     * one of `tables` independent hyperplane tables; exact cosine re-scoring
     * on candidates only.

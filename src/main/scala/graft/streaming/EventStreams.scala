@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the custom-state stream operators. */
+case class KeyedValue(key: String, ts: java.sql.Timestamp, value: Double)
+case class RunningState(cum: Double, peak: Double)
+case class RunningOut(key: String, ts: java.sql.Timestamp,
+                      cum: Double, drawdown: Double)
 
 /** Event-stream transforms written ONCE and applied to both batch frames
   * and readStream frames (SURVEY.md §2.8): the same function literally
@@ -42,4 +49,31 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col(keyCol), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
+
+  /** Per-key running cumulative sum + drawdown over an unbounded stream
+    * via `flatMapGroupsWithState` — the W3/W4 (cumsum / running-max
+    * drawdown) STREAMING twins. Windows over unbounded history are not
+    * expressible with streaming window aggregates; the (cum, peak) pair
+    * is exactly the custom state SURVEY §2.8 calls for. Within a
+    * micro-batch each group's rows process in event-time order; state
+    * carries across batches. Works identically on a batch Dataset
+    * (flatMapGroupsWithState on a batch source sees one "batch").
+    */
+  def runningDrawdown(events: Dataset[KeyedValue]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RunningState, RunningOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedValue], state: GroupState[RunningState]) =>
+          var st = state.getOption.getOrElse(RunningState(0.0, Double.NegativeInfinity))
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            val cum = st.cum + e.value
+            val peak = math.max(st.peak, cum)
+            st = RunningState(cum, peak)
+            RunningOut(key, e.ts, cum, cum - peak)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -81,4 +81,38 @@ class StreamingSpec extends SparkSpec {
     val w0 = new Timestamp(t0 - (t0 / 1000 % 300) * 1000)
     assert(rows(w0) == 2L)
   }
+
+  test("flatMapGroupsWithState running drawdown carries state across batches") {
+    import graft.streaming.{EventStreams, KeyedValue, RunningOut}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def kv(i: Int, k: String, v: Double) = KeyedValue(k, new Timestamp(t0 + i * 1000L), v)
+
+    val mem = MemoryStream[KeyedValue]
+    val q = EventStreams.runningDrawdown(mem.toDS()).writeStream
+      .format("memory").queryName("dd_test").outputMode("append").start()
+    // batch 1: a: +1, +2 (cum 1, 3; peak 3); b: -1 (cum -1, peak -1)
+    mem.addData(kv(0, "a", 1.0), kv(1, "a", 2.0), kv(0, "b", -1.0))
+    q.processAllAvailable()
+    // batch 2: state must persist: a: -2 -> cum 1, dd = 1-3 = -2
+    mem.addData(kv(2, "a", -2.0), kv(1, "b", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dd_test").as[RunningOut].collect()
+      .map(r => (r.key, r.ts.getTime - t0) -> (r.cum, r.drawdown)).toMap
+    assert(out(("a", 0L)) == ((1.0, 0.0)))
+    assert(out(("a", 1000L)) == ((3.0, 0.0)))
+    assert(out(("a", 2000L)) == ((1.0, -2.0)))
+    assert(out(("b", 0L)) == ((-1.0, 0.0)))
+    assert(out(("b", 1000L)) == ((2.0, 0.0)))
+
+    // batch-mode twin: the same operator on a static Dataset matches the
+    // window-function form (cumsum + running max)
+    val staticEvents = Seq(kv(0, "a", 1.0), kv(1, "a", 2.0), kv(2, "a", -2.0),
+      kv(0, "b", -1.0), kv(1, "b", 3.0))
+    val viaState = EventStreams.runningDrawdown(staticEvents.toDS())
+      .collect().map(r => (r.key, r.ts.getTime - t0) -> (r.cum, r.drawdown)).toMap
+    assert(viaState == out)
+  }
 }

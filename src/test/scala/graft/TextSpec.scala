@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall was $recall")
   }
 
+  test("ivf top-k achieves >=0.9 recall vs brute force on clustered vectors") {
+    val vecs = (0 until 200).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(16) { d =>
+        (math.cos(c * 2.399 + d * 0.71) + 0.001 * ((i * 31 + d) % 7)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", 5,
+      nLists = 10, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall was $recall")
+  }
+
   test("lsh maxBucket cap drops degenerate buckets but keeps the rest") {
     val vecs = (0 until 40).map { i =>
       val th = (i % 8) * 0.7
