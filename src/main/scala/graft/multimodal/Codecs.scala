@@ -1,0 +1,139 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL pure-JVM decoders for the uncompressed media containers — no
+  * external codec libraries:
+  *   - WAV (RIFF / PCM 16-bit) → sample array + sample rate/channels;
+  *   - PPM (P6, binary, maxval 255) → RGB pixel buffer + dimensions.
+  * Compressed formats (JPEG/MP3/H.264) still need native codecs absent
+  * from this environment — [[Multimodal.decodeStub]] remains the marked
+  * seam for those — but the decode → feature-extract → resize /
+  * frame-sample pipeline below runs END TO END on real bytes.
+  */
+object Codecs {
+
+  final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+  final case class PpmImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Parse a RIFF/WAVE container with PCM-16 data (the canonical
+    * 44-byte-header layout plus any extra chunks before `data`).
+    * Returns None when the container is malformed — a media lake gates
+    * on this rather than throwing.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+    if (bytes.length < 44) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (b.getInt(0) != 0x46464952 /* "RIFF" */ ||
+        b.getInt(8) != 0x45564157 /* "WAVE" */) return None
+    var pos = 12
+    var fmtRate = -1
+    var fmtChannels = -1
+    var fmtBits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (fmtRate < 0 || dataOff < 0)) {
+      val id = b.getInt(pos)
+      val size = b.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == 0x20746d66 /* "fmt " */ && size >= 16) {
+        if (b.getShort(pos + 8) != 1) return None // PCM only
+        fmtChannels = b.getShort(pos + 10)
+        fmtRate = b.getInt(pos + 12)
+        fmtBits = b.getShort(pos + 22)
+      } else if (id == 0x61746164 /* "data" */) {
+        dataOff = pos + 8
+        dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtRate <= 0 || fmtChannels <= 0 || fmtBits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = b.getShort(dataOff + 2 * i); i += 1 }
+    Some(WavAudio(fmtRate, fmtChannels, samples))
+  }
+
+  /** Parse a binary P6 PPM (maxval ≤ 255). */
+  def decodePpm(bytes: Array[Byte]): Option[PpmImage] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else in = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = int(); val h = int(); val maxv = int()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    pos += 1 // single whitespace after maxval
+    val need = w * h * 3
+    if (pos + need > bytes.length) return None
+    val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + need)
+    Some(PpmImage(w, h, rgb))
+  }
+
+  /** Audio features: [duration_sec, rms, peak, zero-crossing rate]. */
+  def audioFeatures(a: WavAudio): Array[Float] = {
+    val n = a.samples.length
+    if (n == 0) return Array(0f, 0f, 0f, 0f)
+    var sq = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i) / 32768.0
+      sq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    Array((n.toDouble / (a.sampleRate * a.channels)).toFloat,
+      math.sqrt(sq / n).toFloat, peak.toFloat, (zc.toDouble / n).toFloat)
+  }
+
+  /** Image features: [width, height, mean R, mean G, mean B]. */
+  def imageFeatures(img: PpmImage): Array[Float] = {
+    val n = img.width * img.height
+    var r = 0L; var g = 0L; var bsum = 0L
+    var i = 0
+    while (i < n) {
+      r += img.rgb(3 * i) & 0xff
+      g += img.rgb(3 * i + 1) & 0xff
+      bsum += img.rgb(3 * i + 2) & 0xff
+      i += 1
+    }
+    Array(img.width.toFloat, img.height.toFloat,
+      (r.toDouble / n).toFloat, (g.toDouble / n).toFloat, (bsum.toDouble / n).toFloat)
+  }
+
+  /** Nearest-neighbor resize of a decoded PPM. */
+  def resize(img: PpmImage, ow: Int, oh: Int): PpmImage = {
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * img.height / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * img.width / ow
+        val si = (sy * img.width + sx) * 3
+        val di = (y * ow + x) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1); out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(ow, oh, out)
+  }
+}

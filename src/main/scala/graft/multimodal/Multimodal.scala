@@ -14,10 +14,11 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                          features: Array[Float])
 
 /** Multimodal-column plumbing for the LLM-data pipeline: schema,
-  * partitioning and per-partition batch iteration are real Spark;
-  * the decode kernels are STUBS (the image/audio codecs are not in this
-  * environment) — deterministic fakes with the correct signatures, marked
-  * where a codec call belongs.
+  * partitioning and per-partition batch iteration are real Spark.
+  * Uncompressed containers decode for REAL ([[Codecs]]: RIFF/PCM WAV,
+  * binary P6 PPM — pure JVM, no codec libraries); compressed formats
+  * (JPEG/MP3/H.264) would need native codecs absent from this
+  * environment, so [[decodeStub]] remains the marked seam for those.
   *
   * Scale shape: decode/feature-extract is a per-partition map over the
   * binary column (the Scala analog of mapInPandas batches) — no shuffle;
@@ -25,6 +26,30 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
   * `spark.sql.files.maxPartitionBytes` when reading media parquet.
   */
 object Multimodal {
+
+  /** Real decode + feature extraction: WAV audio → [duration, rms, peak,
+    * zcr]; PPM image → [w, h, meanR, meanG, meanB]; anything else (or a
+    * malformed payload) falls back to the stub features, flagged by
+    * kind = "<kind>:stub" so the caller can gate on decode success.
+    */
+  def featureExtractReal(media: Dataset[Media], stubDim: Int = 4): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val decoded: Option[Array[Float]] = m.kind match {
+          case "audio" => Codecs.decodeWav(m.bytes).map(Codecs.audioFeatures)
+          case "image" => Codecs.decodePpm(m.bytes).map(Codecs.imageFeatures)
+          case _ => None
+        }
+        decoded match {
+          case Some(f) => MediaFeatures(m.media_id, m.kind, m.bytes.length, f)
+          case None => MediaFeatures(m.media_id, m.kind + ":stub", m.bytes.length,
+            decodeStub(m.bytes, stubDim))
+        }
+      }
+    }
+  }
 
   /** STUB decode: where a real pipeline calls the image/audio codec
     * (e.g. libjpeg / ffmpeg bindings). Deterministic fake: hashes byte

@@ -26,6 +26,69 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(1L).features.forall(v => v >= 0f && v < 1f))
   }
 
+  // --- real codecs: build actual WAV / PPM bytes in-test ---
+
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(16); b.putShort(1); b.putShort(1)
+    b.putInt(rate); b.putInt(rate * 2); b.putShort(2); b.putShort(16)
+    b.put("data".getBytes); b.putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  private def ppmBytes(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes
+    val body = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = px(x, y)
+      val i = (y * w + x) * 3
+      body(i) = r.toByte; body(i + 1) = g.toByte; body(i + 2) = bl.toByte
+    }
+    header ++ body
+  }
+
+  test("real WAV decode: duration, rms, peak, zero crossings") {
+    // 16 kHz mono square wave at amplitude 16384, 8000 samples (0.5 s)
+    val sq = Array.tabulate(8000)(i => if ((i / 4) % 2 == 0) 16384 else -16384)
+      .map(_.toShort)
+    val m = Seq(Media(1L, "audio", wavBytes(16000, sq), 0, 0, 16000)).toDS()
+    val f = Multimodal.featureExtractReal(m).collect().head
+    assert(f.kind == "audio") // decoded, not stubbed
+    assert(math.abs(f.features(0) - 0.5f) < 1e-6)   // duration
+    assert(math.abs(f.features(1) - 0.5f) < 1e-6)   // rms of +/-0.5 square
+    assert(math.abs(f.features(2) - 0.5f) < 1e-6)   // peak
+    assert(math.abs(f.features(3) - 0.25f) < 0.01)  // zcr: flip every 4
+  }
+
+  test("real PPM decode: dimensions and channel means; resize") {
+    val img = ppmBytes(4, 2, (x, _) => (x * 60, 100, 200))
+    val m = Seq(Media(2L, "image", img, 4, 2, 0)).toDS()
+    val f = Multimodal.featureExtractReal(m).collect().head
+    assert(f.kind == "image")
+    assert(f.features(0) == 4f && f.features(1) == 2f)
+    assert(math.abs(f.features(2) - 90f) < 1e-4) // mean of 0,60,120,180
+    assert(f.features(3) == 100f && f.features(4) == 200f)
+
+    val decoded = graft.multimodal.Codecs.decodePpm(img).get
+    val small = graft.multimodal.Codecs.resize(decoded, 2, 1)
+    assert(small.width == 2 && small.height == 1)
+    assert((small.rgb(0) & 0xff) == 0 && (small.rgb(3) & 0xff) == 120) // nn pick
+  }
+
+  test("malformed payloads fall back to the stub and are flagged") {
+    val m = Seq(
+      Media(3L, "audio", Array[Byte](1, 2, 3), 0, 0, 8000),
+      Media(4L, "video", Array.tabulate(32)(_.toByte), 16, 16, 0)
+    ).toDS()
+    val out = Multimodal.featureExtractReal(m).collect().map(f => f.media_id -> f.kind).toMap
+    assert(out(3L) == "audio:stub")
+    assert(out(4L) == "video:stub") // compressed/video: stub seam
+  }
+
   test("frame sampling windows the payload") {
     val out = Multimodal.sampleFrames(media.toDF(), "bytes", 16, 3)
       .where(col("media_id") === 2)
