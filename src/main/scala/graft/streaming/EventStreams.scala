@@ -9,6 +9,12 @@ case class KeyedValue(key: String, ts: java.sql.Timestamp, value: Double)
 case class RunningState(cum: Double, peak: Double)
 case class RunningOut(key: String, ts: java.sql.Timestamp,
                       cum: Double, drawdown: Double)
+/** A tagged two-stream row: side "q" updates state, side "t" reads it. */
+case class TaggedEvent(key: String, ts: java.sql.Timestamp, side: String,
+                       value: Double)
+case class PrevailingState(ts: Long, value: Double)
+case class PrevailingOut(key: String, ts: java.sql.Timestamp, value: Double,
+                         prevailing: Option[Double])
 
 /** Event-stream transforms written ONCE and applied to both batch frames
   * and readStream frames (SURVEY.md §2.8): the same function literally
@@ -59,6 +65,43 @@ object EventStreams {
     * carries across batches. Works identically on a batch Dataset
     * (flatMapGroupsWithState on a batch source sees one "batch").
     */
+  /** STREAMING backward as-of: a union of reference updates (side "q",
+    * e.g. quotes) and observations (side "t", e.g. trades) keyed by
+    * symbol; per micro-batch the group's rows process in (ts, side)
+    * order — updates before observations at equal timestamps — and each
+    * observation emits with the PREVAILING (latest ≤ ts) reference value,
+    * which persists across batches. The streaming twin of
+    * `AsOf.joinBackward` / the Lee-Ready prevailing-quote alignment
+    * (`taq.py:383-415`), expressed as `flatMapGroupsWithState` because a
+    * stream-stream as-of is not a supported streaming join.
+    *
+    * Within-batch ordering is exact; an update arriving in a LATER batch
+    * than an observation it precedes cannot retro-correct it (append
+    * mode) — the same trade-off as any watermarked stream join.
+    */
+  def prevailingJoin(events: Dataset[TaggedEvent]): Dataset[PrevailingOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[PrevailingState, PrevailingOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TaggedEvent], state: GroupState[PrevailingState]) =>
+          var st = state.getOption.orNull
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, if (e.side == "q") 0 else 1))
+            .flatMap { e =>
+              if (e.side == "q") {
+                if (st == null || e.ts.getTime >= st.ts)
+                  st = PrevailingState(e.ts.getTime, e.value)
+                None
+              } else {
+                val pv = if (st != null && st.ts <= e.ts.getTime) Some(st.value) else None
+                Some(PrevailingOut(key, e.ts, e.value, pv))
+              }
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def runningDrawdown(events: Dataset[KeyedValue]): Dataset[RunningOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)

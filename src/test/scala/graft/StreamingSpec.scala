@@ -82,6 +82,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(w0) == 2L)
   }
 
+  test("streaming prevailing join: as-of semantics + agreement with AsOf.joinBackward") {
+    import graft.streaming.{EventStreams, TaggedEvent, PrevailingOut}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(i: Int, k: String, side: String, v: Double) =
+      TaggedEvent(k, new Timestamp(t0 + i * 1000L), side, v)
+
+    val mem = MemoryStream[TaggedEvent]
+    val q = EventStreams.prevailingJoin(mem.toDS()).writeStream
+      .format("memory").queryName("pj_test").outputMode("append").start()
+    // batch 1: quote@0 = 10; trade@1 before any same-ts quote; quote@2 = 11
+    mem.addData(ev(0, "A", "q", 10.0), ev(1, "A", "t", 99.0), ev(2, "A", "q", 11.0))
+    q.processAllAvailable()
+    // batch 2: state carries: trade@3 sees quote 11; trade@0 on key B: no quote
+    mem.addData(ev(3, "A", "t", 98.0), ev(0, "B", "t", 50.0))
+    q.processAllAvailable()
+    // same-ts: quote orders before trade at equal timestamps
+    mem.addData(ev(5, "A", "q", 12.0), ev(5, "A", "t", 97.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("pj_test").as[PrevailingOut].collect()
+      .map(r => (r.key, r.ts.getTime - t0) -> r.prevailing).toMap
+    assert(out(("A", 1000L)).contains(10.0))
+    assert(out(("A", 3000L)).contains(11.0))
+    assert(out(("B", 0L)).isEmpty)
+    assert(out(("A", 5000L)).contains(12.0))
+
+    // the batch union-merge as-of agrees on the same rows
+    val trades = Seq(("A", 1L, 99.0), ("A", 3L, 98.0), ("B", 0L, 50.0), ("A", 5L, 97.0))
+      .toDF("key", "t", "value")
+    val quotes = Seq(("A", 0L, 10.0), ("A", 2L, 11.0), ("A", 5L, 12.0))
+      .toDF("key", "t", "prevailing")
+    val batch = graft.ops.AsOf.joinBackward(trades, quotes, Seq("key"), "t",
+        Seq("prevailing"))
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2 * 1000L) -> r._4).toMap
+    assert(batch == out)
+  }
+
   test("flatMapGroupsWithState running drawdown carries state across batches") {
     import graft.streaming.{EventStreams, KeyedValue, RunningOut}
     implicit val sqlCtx = spark.sqlContext
