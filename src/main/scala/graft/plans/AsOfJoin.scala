@@ -62,8 +62,16 @@ case class SortMergeAsOfExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute]
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
-  override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+  // The merge zips child partitions pairwise, so the sides must be
+  // EXACTLY co-partitioned: require ALL cluster keys (a subset-key hash
+  // partitioning would satisfy plain ClusteredDistribution yet misalign
+  // the pairs) and pin the partition count (AQE may otherwise coalesce
+  // the two shuffles differently — caught by AsOfPropertySpec).
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = conf.numShufflePartitions
+    Seq(ClusteredDistribution(leftKeys, requireAllClusterKeys = true, Some(n)),
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true, Some(n)))
+  }
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
     (rightKeys :+ rightTime).map(a => SortOrder(a, Ascending)))
@@ -86,7 +94,12 @@ case class SortMergeAsOfExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute]
       val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOut)
       val rValProj = UnsafeProjection.create(rValsB, rOut)
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rValsB)
+      // bind the output projection against NULLABLE copies of the value
+      // attributes: unmatched left rows feed a null row, and a projection
+      // bound to a nullable=false attribute skips the null check and
+      // writes a raw 0 (caught by AsOfPropertySpec)
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rValsB.map(_.withNullability(true)))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeB.dataType))
       val nullVals = new GenericInternalRow(rValsB.length)
