@@ -164,6 +164,41 @@ class FFScaleSpec extends SparkSpec {
   }
 }
 
+class SectoringSpec extends SparkSpec {
+  import graft.data.Sectoring
+
+  private val fixture =
+    """ 1 Agric  Agriculture
+      |          0100-0199 Agricultural production - crops
+      |          0200-0299 Agricultural production - livestock
+      |          0910-0919 Commercial fishing
+      |          2048-2048 Prepared feeds for animals
+      | 2 Food   Food Products
+      |          2000-2009 Food and kindred products
+      |          2010-2019 Meat products
+      |
+      |49 Other  Almost Nothing
+      |""".stripMargin.linesIterator.toSeq
+
+  test("Siccodes parse: range rows keyed by start, sector carry, Other gap-fill") {
+    val rows = Sectoring.parseSiccodes(fixture, nSectors = 49)
+      .map(r => r.sic -> (r.name, r.description)).toMap
+    assert(rows(100) == (("Agric", "Agriculture")))
+    assert(rows(910) == (("Agric", "Agriculture")))
+    assert(rows(2048) == (("Agric", "Agriculture")))
+    assert(rows(2000) == (("Food", "Food Products")))
+    assert(rows(2010) == (("Food", "Food Products")))
+    // gap-fill: sector "Other" has no ranges -> sic2 gaps become Other
+    assert(rows(0) == (("Other", "Almost Nothing")))
+    assert(rows(1000) == (("Other", "Almost Nothing"))) // gap after 0910-0919
+    assert(rows(2100) == (("Other", "Almost Nothing"))) // max((end//100+1)*100)
+    // as-of lookup semantics: sic 1512 resolves to the prevailing row 1000
+    val sorted = Sectoring.parseSiccodes(fixture, 49).sortBy(_.sic)
+    val prevailing = sorted.takeWhile(_.sic <= 1512).last
+    assert(prevailing.name == "Other")
+  }
+}
+
 class EdgarIndexSpec extends SparkSpec {
 
   test("master.idx parse: preamble skipped, types coerced, dups dropped") {
