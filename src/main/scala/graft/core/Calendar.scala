@@ -33,11 +33,30 @@ object Calendar {
         dayofweek(col("d")).between(2, 6).as("wk")) // Spark: 1=Sunday
     val flagged = days.withColumn("is_bus",
       if (holidays.isEmpty) col("wk") else col("wk") && !col("di").isin(holidays: _*))
-    val w = Window.orderBy("di").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged
+    // The cumulative roll/seq need global date order, but a single
+    // unpartitioned window serializes the whole dim (and spams WindowExec
+    // warnings). Two-level scan instead: per-YEAR cumulative windows, then
+    // a per-year prefix (one row per year) folded back in — the only
+    // ordered-unpartitioned window left runs on the handful of year rows.
+    val wy = Window.partitionBy("yr").orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perYear = flagged
+      .withColumn("yr", (col("di") / 10000).cast("int"))
+      .select(col("yr"), col("di"), col("is_bus"),
+        last(when(col("is_bus"), col("di")), ignoreNulls = true).over(wy).as("roll_in_yr"),
+        sum(col("is_bus").cast("long")).over(wy).as("seq_in_yr"))
+    val wprev = Window.partitionBy(lit(1)).orderBy("yr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perYear.groupBy("yr")
+      .agg(max(col("roll_in_yr")).as("yr_last_roll"),
+        max(col("seq_in_yr")).as("yr_bus"))
+      .select(col("yr"),
+        last(col("yr_last_roll"), ignoreNulls = true).over(wprev).as("prev_roll"),
+        coalesce(sum(col("yr_bus")).over(wprev), lit(0L)).as("prev_bus"))
+    perYear.join(broadcast(prefix), "yr")
       .select(col("di"), col("is_bus"),
-        last(when(col("is_bus"), col("di")), ignoreNulls = true).over(w).as("roll_di"),
-        sum(col("is_bus").cast("long")).over(w).as("seq0"))
+        coalesce(col("roll_in_yr"), col("prev_roll")).as("roll_di"),
+        (col("seq_in_yr") + col("prev_bus")).as("seq0"))
       // days before the first business day have no prevailing roll: their
       // seq must be null too, or offsets from them would spuriously match
       .select(col("di"), col("is_bus"), col("roll_di"),

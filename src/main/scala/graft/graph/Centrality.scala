@@ -187,17 +187,21 @@ object Centrality {
   def bfsDistances(und: DataFrame, sources: DataFrame, maxDepth: Int = 30): DataFrame = {
     var visited = sources.select(col("node").as("s"), col("node"), lit(0).as("dist"))
       .localCheckpoint()
-    var frontier = visited
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var more = true
+    while (depth < maxDepth && more) {
       depth += 1
+      // the frontier is a FILTER of the checkpointed union — zero
+      // recompute, so each level costs one materialization (the union
+      // checkpoint) plus one trivial emptiness probe, instead of
+      // checkpointing the frontier separately (2 heavy jobs/level)
+      val frontier = visited.where(col("dist") === depth - 1)
       val nxt = frontier.join(und, frontier("node") === und("src"))
         .select(col("s"), und("dst").as("node")).distinct()
         .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
       visited = visited.unionByName(nxt).localCheckpoint()
-      frontier = nxt
+      more = !visited.where(col("dist") === depth).isEmpty
     }
     visited
   }
@@ -218,6 +222,26 @@ object Centrality {
           ((col("r") - 1) / col("sumd")) * ((col("r") - 1) / (n - 1)))
           .otherwise(0.0).as("closeness"))
   }
+
+  /** Per-node eccentricity: the longest shortest path from each node to
+    * any node in its connected component (graph.py:230 `nx.eccentricity`
+    * — commented in the reference as "max distance of node to other").
+    * Diameter = max eccentricity, radius = min (over a connected graph).
+    */
+  def eccentricity(edges: DataFrame, maxDepth: Int = 30): DataFrame = {
+    val und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    bfsDistances(und, allNodes(und), maxDepth)
+      .groupBy(col("s").as("node"))
+      .agg(max("dist").as("eccentricity"))
+  }
+
+  /** One-row (diameter, radius) of each node's eccentricity — only
+    * meaningful on a connected graph (nx raises there; we report the max
+    * component-local values).
+    */
+  def diameterRadius(edges: DataFrame, maxDepth: Int = 30): DataFrame =
+    eccentricity(edges, maxDepth)
+      .agg(max("eccentricity").as("diameter"), min("eccentricity").as("radius"))
 
   /** Betweenness centrality via all-sources level-synchronous Brandes:
     * forward BFS accumulates path counts σ, the backward sweep per depth

@@ -149,6 +149,123 @@ object Community {
       .head().getDouble(0)
   }
 
+  /** Greedy modularity maximization (graph.py:261
+    * nx_comm.greedy_modularity_communities — Clauset-Newman-Moore):
+    * every node starts as its own community; repeatedly merge the
+    * CONNECTED pair with the largest modularity gain
+    * ΔQ = e_ij/m − 2γ·d_i·d_j/(2m)² while the best gain is positive.
+    * Ties break to the smallest (i, j). Returns (node, community),
+    * community = smallest member node id.
+    *
+    * CNM is inherently sequential — one merge depends on the last — so
+    * after a DISTRIBUTED canonical-edge aggregation the merge loop runs
+    * driver-side on the deduped edge list (guarded by `maxEdges`; the
+    * same memory shape networkx needs). This is the exact-parity twin;
+    * [[louvain]] is the distributed scale path.
+    */
+  def greedyModularity(edges: DataFrame, gamma: Double = 1.0,
+                       maxEdges: Int = 5000000): DataFrame = {
+    val spark = edges.sparkSession
+    val und = Centrality.symmetrize(edges)
+    val canon = und.where(col("src") < col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(maxEdges + 1).collect()
+    require(canon.length <= maxEdges,
+      s"greedyModularity: graph exceeds maxEdges=$maxEdges deduped edges; " +
+        "use louvain for graphs of this size")
+    val edgeList = canon.map(r => (r.getLong(0), r.getLong(1)))
+    val m = edgeList.length.toDouble
+    val twoM = 2.0 * m
+
+    import scala.collection.mutable
+    // community state: id -> degree sum; inter-community weights keyed (lo, hi)
+    val comm = mutable.Map.empty[Long, Long].withDefaultValue(0L) // node -> community
+    val deg = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    val w = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    val members = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    for ((a, b) <- edgeList) {
+      comm(a) = a; comm(b) = b
+      deg(a) += 1.0; deg(b) += 1.0
+      w((math.min(a, b), math.max(a, b))) += 1.0
+    }
+    for (n <- comm.keys) members(n) = mutable.ArrayBuffer(n)
+
+    var done = m == 0
+    while (!done) {
+      // best-positive-ΔQ connected pair, ties to smallest (i, j)
+      var best: (Long, Long) = null
+      var bestDq = 0.0
+      for (((i, j), eij) <- w) {
+        val dq = eij / m - 2.0 * gamma * deg(i) * deg(j) / (twoM * twoM)
+        val better = dq > 0 && (best == null ||
+          dq > bestDq + 1e-15 ||
+          (math.abs(dq - bestDq) <= 1e-15 &&
+            (i < best._1 || (i == best._1 && j < best._2))))
+        if (better) { best = (i, j); bestDq = dq }
+      }
+      if (best == null) done = true
+      else {
+        val (i, j) = best // merge j into i (i < j by key canon)
+        members(i) ++= members(j)
+        members.remove(j)
+        deg(i) += deg(j)
+        deg.remove(j)
+        // re-key j's inter-community weights onto i
+        val touchJ = w.keys.filter(k => k._1 == j || k._2 == j).toSeq
+        for (k <- touchJ) {
+          val other = if (k._1 == j) k._2 else k._1
+          val wt = w.remove(k).get
+          if (other != i) {
+            val nk = (math.min(i, other), math.max(i, other))
+            w(nk) += wt
+          }
+        }
+      }
+    }
+    val assign = members.toSeq.flatMap { case (_, ns) =>
+      val cid = ns.min
+      ns.map(n => (n, cid))
+    }
+    spark.createDataFrame(assign).toDF("node", "community")
+  }
+
+  /** One-row, one-plan partition summary: (communities, modularity,
+    * coverage, performance) — the whole of `community_quality`
+    * (graph.py:271-287) as a single lazy DataFrame. [[modularity]] /
+    * [[partitionQuality]] mirror the reference's scalar API but cost one
+    * driver action per scalar; catalog/production code should use this
+    * fused form (7 actions → 1).
+    */
+  def qualitySummary(edges: DataFrame, communities: DataFrame,
+                     gamma: Double = 1.0): DataFrame = {
+    val und = Centrality.symmetrize(edges)
+    val c = communities.select(col("node"), col("community"))
+    val withC = und
+      .join(c.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(c.select(col("node").as("dst"), col("community").as("cd")), "dst")
+    // per-community: directed intra-edge count (2·L_c) and degree sum d_c
+    val byComm = withC.groupBy("cs")
+      .agg(sum(when(col("cs") === col("cd"), 1.0).otherwise(0.0)).as("intra2"),
+        count(lit(1)).cast("double").as("dc"))
+    val m2df = und.agg(count(lit(1)).cast("double").as("m2")) // = 2m
+    val qdf = byComm.crossJoin(m2df)
+      .agg(sum(col("intra2") / col("m2")
+          - lit(gamma) * (col("dc") / col("m2")) * (col("dc") / col("m2"))).as("modularity"),
+        first(col("m2")).as("m2"),
+        (sum(col("intra2")) / 2).as("intra"))
+    val sdf = c.groupBy("community").agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("communities"),
+        sum(col("nc")).cast("double").as("n"),
+        sum(col("nc") * (col("nc") - 1) / 2.0).as("intra_pairs"))
+    val allPairs = col("n") * (col("n") - 1) / 2.0
+    qdf.crossJoin(sdf).select(
+      col("communities"),
+      col("modularity"),
+      (col("intra") / (col("m2") / 2)).as("coverage"),
+      ((col("intra") + ((allPairs - col("intra_pairs")) - (col("m2") / 2 - col("intra"))))
+        / allPairs).as("performance"))
+  }
+
   /** Coverage and performance of a partition (graph.py:285
     * nx_comm.partition_quality): coverage = intra-edges/m; performance =
     * (intra-edges + absent inter-pairs) / (n choose 2).

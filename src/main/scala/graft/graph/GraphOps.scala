@@ -75,6 +75,69 @@ object GraphOps {
       .withColumn("pref_attach", col("deg_a") * col("deg_b"))
   }
 
+  /** Connected components of an undirected graph by iterated min-label
+    * propagation: every node repeatedly adopts the smallest component id
+    * in its closed neighborhood until a fixed point (≤ component-diameter
+    * rounds). Deterministic; returns (node, component) with component =
+    * the smallest node id in the component.
+    *
+    * Each round is one join + one aggregation; the iterate is eagerly
+    * localCheckpoint'ed (referenced twice: by the neighbor-min join and
+    * the convergence anti-check — un-materialized it doubles lineage per
+    * round).
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val und = graft.graph.Centrality.symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var changed = true
+    var it = 0
+    while (changed && it < maxIters) {
+      it += 1
+      val nbrMin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("node")).agg(min("component").as("__nc"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nc"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = !next.as("a").join(labels.as("b"), "node")
+        .where(col("a.component") =!= col("b.component")).isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** One-row whole-graph summary (graph.py:30-86 `graph_info`, undirected
+    * unweighted form): node/edge counts, density, transitivity
+    * (3·triangles / wedges), average clustering coefficient, connected
+    * components count + the largest component's size.
+    *
+    * Everything except the component iteration is ONE lazy plan; the
+    * component frame comes from [[connectedComponents]] (inherently
+    * iterative) and joins in as a small aggregate.
+    */
+  def graphInfo(edges: DataFrame): DataFrame = {
+    val cc = Centrality.clusteringCoefficient(edges)
+    val comp = connectedComponents(edges)
+      .groupBy("component").agg(count(lit(1)).as("csz"))
+      .agg(count(lit(1)).as("components"), max("csz").as("largest_component"))
+    val und = Centrality.symmetrize(edges)
+    val base = cc.agg(
+      count(lit(1)).as("nodes"),
+      (sum(col("triangles")) / 3).cast("long").as("triangles"),
+      sum(col("degree") * (col("degree") - 1) / 2).as("wedges"),
+      avg(col("clustering")).as("avg_clustering"))
+    val m = und.agg((count(lit(1)) / 2).cast("long").as("edges"))
+    base.crossJoin(m).crossJoin(comp).select(
+      col("nodes"), col("edges"),
+      (col("edges") * 2.0 / (col("nodes") * (col("nodes") - 1))).as("density"),
+      when(col("wedges") > 0, col("triangles") * 3.0 / col("wedges"))
+        .otherwise(0.0).as("transitivity"),
+      col("avg_clustering"),
+      col("components"), col("largest_component"))
+  }
+
   /** PageRank by iterated joins (damping d, fixed iteration count —
     * deterministic; graph.py's networkx pagerank analog). Dangling mass
     * is redistributed uniformly, matching networkx semantics.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.graph.{Centrality, Community}
+import graft.graph.{Centrality, Community, GraphOps}
 import QHelp._
 
 /** Graph-analytics catalog entries over the nation trade graph: nations
@@ -113,12 +113,7 @@ object GraphQ {
       val comm = nodes.join(Tables.nation(s, dir)
           .select(col("n_nationkey").as("node"), col("n_regionkey").as("community")),
         "node")
-      val q = Community.modularity(edges, comm)
-      val (cov, perf) = Community.partitionQuality(edges, comm)
-      val ncomm = comm.select("community").distinct().count()
-      import s.implicits._
-      Seq((ncomm, q, cov, perf))
-        .toDF("communities", "modularity", "coverage", "performance")
+      Community.qualitySummary(edges, comm)
         .select(bi(col("communities")).as("communities"),
           r6(col("modularity")).as("modularity"),
           r6(col("coverage")).as("coverage"),
@@ -147,6 +142,70 @@ object GraphQ {
              ROUND(intra_e / CAST(m AS DOUBLE), 6) AS coverage,
              ROUND((intra_e + ((n * (n - 1) / 2.0 - intra_pairs) - (m - intra_e)))
                  / (n * (n - 1) / 2.0), 6) AS performance
-      FROM stats"""))
+      FROM stats""")),
+
+    // Connected components (nx.connected_components, graph_info
+    // graph.py:73-76) — min-label propagation in Spark, recursive
+    // reachability CTE in the oracle.
+    Q("g_components", (s, dir) => {
+      GraphOps.connectedComponents(nationGraph(s, dir))
+        .select(bi(col("node")).as("node"), bi(col("component")).as("component"))
+    }, Some(s"""
+      WITH RECURSIVE $edgeSql,
+      reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT und.d, reach.r FROM reach JOIN und ON reach.node = und.s
+      )
+      SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+      FROM reach GROUP BY 1""")),
+
+    // Whole-graph one-row summary (graph_info graph.py:30-86): counts,
+    // density, transitivity, average clustering, components.
+    Q("g_info", (s, dir) => {
+      GraphOps.graphInfo(nationGraph(s, dir))
+        .select(bi(col("nodes")).as("nodes"), bi(col("edges")).as("edges"),
+          r6(col("density")).as("density"),
+          r6(col("transitivity")).as("transitivity"),
+          r6(col("avg_clustering")).as("avg_clustering"),
+          bi(col("components")).as("components"),
+          bi(col("largest_component")).as("largest_component"))
+    }, Some(s"""
+      WITH RECURSIVE $edgeSql,
+      tri AS (
+        SELECT e1.a x, e1.b y, e2.b z
+        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+      ),
+      pern AS (
+        SELECT n, count(*) AS tc FROM (
+          SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        ) GROUP BY 1
+      ),
+      clus AS (
+        SELECT nodes.n, deg.d AS d, COALESCE(pern.tc, 0) AS tc,
+               CASE WHEN deg.d >= 2
+                 THEN COALESCE(pern.tc, 0) * 2.0 / (deg.d * (deg.d - 1))
+                 ELSE 0.0 END AS c
+        FROM nodes LEFT JOIN pern ON nodes.n = pern.n JOIN deg ON nodes.n = deg.n
+      ),
+      reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT und.d, reach.r FROM reach JOIN und ON reach.node = und.s
+      ),
+      comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+      csz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+      compagg AS (SELECT count(*) AS components, max(sz) AS largest FROM csz),
+      agg AS (SELECT count(*) AS nodes, sum(tc) / 3 AS tri3,
+                     sum(d * (d - 1) / 2.0) AS wedges, avg(c) AS avgc FROM clus),
+      m AS (SELECT count(*) AS edges FROM e)
+      SELECT CAST(nodes AS BIGINT) AS nodes, CAST(edges AS BIGINT) AS edges,
+             ROUND(edges * 2.0 / (nodes * (nodes - 1.0)), 6) AS density,
+             ROUND(CASE WHEN wedges > 0 THEN tri3 * 3.0 / wedges ELSE 0.0 END, 6) AS transitivity,
+             ROUND(avgc, 6) AS avg_clustering,
+             CAST(components AS BIGINT) AS components,
+             CAST(largest AS BIGINT) AS largest_component
+      FROM agg CROSS JOIN m CROSS JOIN compagg"""))
   )
 }

@@ -121,7 +121,12 @@ object Similarity {
     val v = prepped(vecs, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feats = v.select(col(idCol), array_to_vector(col("__v")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+    // a coarse quantizer doesn't need a converged clustering — recall
+    // comes from probing nProbe lists, not centroid quality. Random init
+    // (one pass) + few Lloyd iterations replaces k-means|| init + 20
+    // iterations: same recall (spec-pinned >=0.9), ~3x fewer jobs.
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setInitMode("random").setMaxIter(8).setTol(1e-3)
       .fit(feats)
     val assigned = model.transform(feats)
       .select(col(idCol), col("prediction").as("list"))

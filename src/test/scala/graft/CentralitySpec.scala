@@ -69,6 +69,31 @@ class CentralitySpec extends SparkSpec {
     assert(math.abs(out(3) - 4.0 / 8) < 1e-12)
     assert(math.abs(out(8) - 1.0 / 8) < 1e-12)
   }
+
+  test("eccentricity / diameter / radius match networkx") {
+    val g = Map(0 -> 4, 1 -> 4, 2 -> 4, 3 -> 3, 4 -> 2, 5 -> 3, 6 -> 3,
+      7 -> 3, 8 -> 4)
+    val out = Centrality.eccentricity(edges).as[(Int, Int)].collect().toMap
+    g.foreach { case (n, v) => assert(out(n) == v, s"ecc($n)") }
+    val dr = Centrality.diameterRadius(edges).as[(Int, Int)].head()
+    assert(dr == ((4, 2)))
+  }
+
+  test("connected components and graphInfo match networkx") {
+    import graft.graph.GraphOps
+    // fixture + a detached edge (10, 11): two components
+    val e2 = edges.unionByName(Seq((10, 11)).toDF("src", "dst"))
+    val cc = GraphOps.connectedComponents(e2).as[(Int, Int)].collect().toMap
+    assert((0 to 8).map(cc).toSet == Set(0), "main component labeled 0")
+    assert(cc(10) == 10 && cc(11) == 10, "detached pair labeled 10")
+    val info = GraphOps.graphInfo(e2)
+      .as[(Long, Long, Double, Double, Double, Long, Long)].head()
+    assert(info._1 == 11 && info._2 == 15, "nodes/edges")
+    assert(math.abs(info._3 - 0.2727272727272727) < 1e-12, s"density ${info._3}")
+    assert(math.abs(info._4 - 0.7272727272727273) < 1e-12, s"transitivity ${info._4}")
+    assert(math.abs(info._5 - 0.5909090909090909) < 1e-12, s"avg_clustering ${info._5}")
+    assert(info._6 == 2 && info._7 == 9, "components / largest")
+  }
 }
 
 class CommunitySpec extends SparkSpec {
@@ -100,5 +125,24 @@ class CommunitySpec extends SparkSpec {
     val (cov, perf) = Community.partitionQuality(edges, comm)
     assert(math.abs(cov - 0.9285714285714286) < 1e-12, s"coverage $cov")
     assert(math.abs(perf - 0.8888888888888888) < 1e-12, s"performance $perf")
+  }
+
+  test("qualitySummary equals the scalar API in one plan") {
+    val comm = Seq(0 -> 1, 1 -> 1, 2 -> 1, 3 -> 1, 4 -> 2, 5 -> 2, 6 -> 2,
+      7 -> 2, 8 -> 2).toDF("node", "community")
+    val row = Community.qualitySummary(edges, comm)
+      .as[(Long, Double, Double, Double)].head()
+    assert(row._1 == 2)
+    assert(math.abs(row._2 - 0.4260204082) < 1e-9, s"modularity ${row._2}")
+    assert(math.abs(row._3 - 0.9285714285714286) < 1e-12, s"coverage ${row._3}")
+    assert(math.abs(row._4 - 0.8888888888888888) < 1e-12, s"performance ${row._4}")
+  }
+
+  test("greedy modularity (CNM) matches networkx grouping and modularity") {
+    val out = Community.greedyModularity(edges)
+      .select(col("node").cast("int"), col("community").cast("int"))
+    assert(groups(out) == Set(Set(0, 1, 2, 3), Set(4, 5, 6, 7, 8)))
+    val q = Community.modularity(edges, out)
+    assert(math.abs(q - 0.42602040816326536) < 1e-9, s"modularity $q")
   }
 }
