@@ -86,6 +86,48 @@ object Codecs {
     Some(PpmImage(w, h, rgb))
   }
 
+  /** Decode a COMPRESSED raster image (PNG/JPEG/GIF/BMP) with the JDK's
+    * built-in `javax.imageio` readers — still pure JVM, no native codec
+    * libraries — into the same RGB buffer the PPM path produces. Magic
+    * bytes are sniffed first so arbitrary binary payloads skip the
+    * ImageIO machinery; any decode failure returns None (gate, don't
+    * throw — same contract as [[decodeWav]]/[[decodePpm]]).
+    */
+  def decodeImageIO(bytes: Array[Byte]): Option[PpmImage] = {
+    val known = bytes.length >= 8 && (
+      (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) ||          // JPEG
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G') ||                                            // PNG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8') ||                                            // GIF
+      (bytes(0) == 'B' && bytes(1) == 'M'))                            // BMP
+    if (!known) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        rgb(3 * i) = ((p >> 16) & 0xff).toByte
+        rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+        rgb(3 * i + 2) = (p & 0xff).toByte
+        i += 1
+      }
+      Some(PpmImage(w, h, rgb))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Any-container image decode: binary P6 PPM, else an ImageIO raster
+    * (PNG/JPEG/GIF/BMP).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[PpmImage] =
+    decodePpm(bytes).orElse(decodeImageIO(bytes))
+
   /** Audio features: [duration_sec, rms, peak, zero-crossing rate]. */
   def audioFeatures(a: WavAudio): Array[Float] = {
     val n = a.samples.length

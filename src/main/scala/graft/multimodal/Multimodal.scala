@@ -15,10 +15,11 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
 
 /** Multimodal-column plumbing for the LLM-data pipeline: schema,
   * partitioning and per-partition batch iteration are real Spark.
-  * Uncompressed containers decode for REAL ([[Codecs]]: RIFF/PCM WAV,
-  * binary P6 PPM — pure JVM, no codec libraries); compressed formats
-  * (JPEG/MP3/H.264) would need native codecs absent from this
-  * environment, so [[decodeStub]] remains the marked seam for those.
+  * Images decode for REAL in pure JVM: P6 PPM by hand, PNG/JPEG/GIF/BMP
+  * via the JDK's built-in `javax.imageio` readers ([[Codecs]]); audio
+  * decodes RIFF/PCM WAV. Only compressed AUDIO/VIDEO codecs (MP3,
+  * H.264) are absent from the JDK, so [[decodeStub]] remains the marked
+  * seam for those.
   *
   * Scale shape: decode/feature-extract is a per-partition map over the
   * binary column (the Scala analog of mapInPandas batches) — no shuffle;
@@ -39,7 +40,7 @@ object Multimodal {
       it.map { m =>
         val decoded: Option[Array[Float]] = m.kind match {
           case "audio" => Codecs.decodeWav(m.bytes).map(Codecs.audioFeatures)
-          case "image" => Codecs.decodePpm(m.bytes).map(Codecs.imageFeatures)
+          case "image" => Codecs.decodeImage(m.bytes).map(Codecs.imageFeatures)
           case _ => None
         }
         decoded match {

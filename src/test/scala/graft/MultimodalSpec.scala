@@ -79,6 +79,36 @@ class MultimodalSpec extends SparkSpec {
     assert((small.rgb(0) & 0xff) == 0 && (small.rgb(3) & 0xff) == 120) // nn pick
   }
 
+  test("real PNG and JPEG decode via the JDK ImageIO readers") {
+    // render a 6x4 with exact per-pixel colors, encode with ImageIO
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6)
+        img.setRGB(x, y, (x * 40 << 16) | (130 << 8) | 220)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val m = Seq(
+      Media(10L, "image", encoded("png"), 6, 4, 0),
+      Media(11L, "image", encoded("jpg"), 6, 4, 0)
+    ).toDS()
+    val f = Multimodal.featureExtractReal(m).collect()
+      .map(x => x.media_id -> x).toMap
+    // PNG is lossless: exact dims + channel means (R mean of 0..200 step 40)
+    assert(f(10L).kind == "image")
+    assert(f(10L).features(0) == 6f && f(10L).features(1) == 4f)
+    assert(math.abs(f(10L).features(2) - 100f) < 1e-4)
+    assert(f(10L).features(3) == 130f && f(10L).features(4) == 220f)
+    // JPEG is lossy: decoded (not stubbed), dims exact, means approximate
+    assert(f(11L).kind == "image")
+    assert(f(11L).features(0) == 6f && f(11L).features(1) == 4f)
+    assert(math.abs(f(11L).features(2) - 100f) < 12f)
+    assert(math.abs(f(11L).features(3) - 130f) < 12f)
+    assert(math.abs(f(11L).features(4) - 220f) < 12f)
+  }
+
   test("malformed payloads fall back to the stub and are flagged") {
     val m = Seq(
       Media(3L, "audio", Array[Byte](1, 2, 3), 0, 0, 8000),
