@@ -259,6 +259,32 @@ object TextQ {
           col("cos"), bi(col("rank")).as("rank"))
     }, None),
 
+    // Embedding-cosine near-dup pairs (builder brief), exact oracle form
+    // on the vec_id % 5 slice. The synthetic corpus plants NO true
+    // near-dups (measured max pairwise cos = 0.513 at sf0.01), so the
+    // threshold sits at the tail of the empirical distribution to keep
+    // the result set non-trivial; the LSH-bucketed scale path
+    // (Similarity.cosineDups) is spec-tested on planted duplicates.
+    Q("t_embdup", (s, dir) => {
+      val v = Tables.embeddings(s, dir).where(col("vec_id") % 5 === 0)
+      Similarity.cosineDupsExact(v, "vec_id", "embedding", threshold = 0.4)
+        .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"),
+          r6(col("cos")).as("cos"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id % 5 = 0
+      ), d AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(a.e, b.e)]), (p, c) -> p + c)
+               / (sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(a.e, a.e)]), (p, c) -> p + c))
+                * sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(b.e, b.e)]), (p, c) -> p + c))) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(cos, 6) AS cos
+      FROM d WHERE cos >= 0.4""")),
+
     // IVF-Flat ANN: k-means inverted lists + nProbe probing (MLlib
     // quantizer — rows-only check; agreement spec pins >=0.9 recall).
     Q("s_ivf", (s, dir) => {

@@ -105,6 +105,57 @@ object Similarity {
   def lshSignature(vec: Column, planes: Int, seed: Int = 0): Column =
     packSignature(lshProjections(vec, planes, seed + 1), seed, planes)
 
+  /** Embedding-cosine near-duplicate pairs, EXACT form: all (a < b) pairs
+    * with cosine ≥ `threshold`. O(n²) pair scoring — the verification
+    * twin for [[cosineDups]]; only for probes/small slices.
+    */
+  def cosineDupsExact(vecs: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val v = prepped(vecs, idCol, vecCol)
+    val a = v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed scale path:
+    * candidate (a < b) pairs share an exact random-hyperplane signature
+    * in ≥1 of `tables` tables; exact cosine rescoring keeps pairs ≥
+    * `threshold`. Same signature kernel as [[lshTopK]]; `maxBucket`
+    * drops degenerate buckets (all-near-identical crawl shards) from
+    * pair generation. Recall rises with `tables` and falls with
+    * `planes`; for true near-dups (cos ≥ 0.9) the default is spec-pinned
+    * ≥ 0.9 recall.
+    */
+  def cosineDups(vecs: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, planes: Int = 8, tables: Int = 8,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    val v = prepped(vecs, idCol, vecCol)
+    val sigs = v.select(col(idCol), lshProjections(col("__v"), planes, tables).as("__p"))
+      .select(col(idCol), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
+      .select(col(idCol), col("s.tbl"), col("s.sig"))
+    val bounded = if (maxBucket == Int.MaxValue) sigs else {
+      val w = Window.partitionBy("tbl", "sig")
+      sigs.withColumn("__bsz", count(lit(1)).over(w))
+        .where(col("__bsz") <= maxBucket).drop("__bsz")
+    }
+    // id-only candidate dedup; vectors re-join after the distinct
+    val a = bounded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
+    val b = bounded.select(col(idCol).as("id_b"), col("tbl"), col("sig"))
+    val cands = a.join(b, Seq("tbl", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (the inverted
     * lists); each query probes its `nProbe` nearest centroids and scores

@@ -102,6 +102,20 @@ object EventStreams {
       }
   }
 
+  /** STREAMING exact dedup — the streaming twin of the batch exact-dedup
+    * (`Dedup.exactGroups` / W2): keep the first row per key column set.
+    * On a stream this is Spark's native
+    * `dropDuplicatesWithinWatermark` — state for a key expires once the
+    * watermark passes it, so state stays bounded (an unbounded
+    * `dropDuplicates` would accumulate every key forever — the 100 TB
+    * failure mode). On a batch frame the same call degrades to plain
+    * dropDuplicates semantics.
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, lateness: String,
+                  keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def runningDrawdown(events: Dataset[KeyedValue]): Dataset[RunningOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)

@@ -122,6 +122,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch == out)
   }
 
+  test("streaming exact dedup keeps first per key across batches, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.EventStreams
+      .dedupStream(mem.toDF(), "ts", "10 minutes", Seq("k"))
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    // batch 1: k0 twice (in-batch dup), k1 once
+    mem.addData(Ev(new Timestamp(t0), "k0", 1.0),
+      Ev(new Timestamp(t0 + 1000), "k0", 2.0),
+      Ev(new Timestamp(t0 + 2000), "k1", 3.0))
+    q.processAllAvailable()
+    // batch 2: k0 again within the watermark -> still a dup, dropped;
+    // k2 is new
+    mem.addData(Ev(new Timestamp(t0 + 5000), "k0", 4.0),
+      Ev(new Timestamp(t0 + 6000), "k2", 5.0))
+    q.processAllAvailable()
+    // batch 3 advances the WATERMARK (watermarks update between
+    // micro-batches) so k0's state row (event time t0) expires...
+    mem.addData(Ev(new Timestamp(t0 + 30 * 60000), "k3", 0.0))
+    q.processAllAvailable()
+    // ...and batch 4's fresh k0 then passes (bounded-state semantics)
+    mem.addData(Ev(new Timestamp(t0 + 31 * 60000), "k0", 6.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_test").as[Ev].collect()
+    val k0 = out.filter(_.k == "k0").map(_.v).toSet
+    assert(out.count(_.k == "k1") == 1 && out.count(_.k == "k2") == 1)
+    assert(k0 == Set(1.0, 6.0), s"k0 rows: $k0") // first + post-expiry, dups dropped
+
+    // batch twin: the same keep-one-per-key semantics as Dedup keepFirst
+    val batchRows = Seq(Ev(new Timestamp(t0), "k0", 1.0),
+      Ev(new Timestamp(t0 + 1000), "k0", 2.0), Ev(new Timestamp(t0 + 2000), "k1", 3.0))
+    val batchDedup = graft.ops.Dedup.keepFirst(batchRows.toDF(), Seq("k"),
+      Seq(col("ts"))).select("k").as[String].collect().toSet
+    assert(batchDedup == Set("k0", "k1"))
+  }
+
   test("flatMapGroupsWithState running drawdown carries state across batches") {
     import graft.streaming.{EventStreams, KeyedValue, RunningOut}
     implicit val sqlCtx = spark.sqlContext

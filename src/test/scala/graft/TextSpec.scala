@@ -148,6 +148,31 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.count() <= uncapped.count())
   }
 
+  test("embedding cosine near-dup: LSH path >=0.9 recall on planted dups") {
+    // 60 well-spread base vectors + a jittered near-copy of every 3rd:
+    // the only cos >= 0.95 pairs are (base, its copy)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        math.cos(i * 2.399 + d * 0.71).toFloat))
+    }
+    val copies = (0 until 60 by 3).map { i =>
+      (1000L + i, Array.tabulate(16)(d =>
+        (math.cos(i * 2.399 + d * 0.71) + 0.01 * ((i + d) % 3)).toFloat))
+    }
+    val vecs = (base ++ copies).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupsExact(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted (base, copy) pair is found (phase wrap-around also
+    // makes some base-base pairs close — they're true >=0.95 pairs too)
+    val planted = (0 until 60 by 3).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(exact), "planted dups all found")
+    val lsh = Similarity.cosineDups(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "no false positives (exact rescoring)")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall was $recall")
+  }
+
   test("lsh top-k cosines agree with brute force on found pairs") {
     val vecs = (0 until 30).map { i =>
       val th = i * 0.21
