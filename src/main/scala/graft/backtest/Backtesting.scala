@@ -101,6 +101,42 @@ object Backtesting {
       .select("rebaldate", "permno", "smoothed")
   }
 
+  /** Daily realized returns on periodic holdings
+    * (`finds/backtesting/dailyperformance.py:14-47` DailyPerformance):
+    * holdings set at rebalance r DRIFT between rebalances — each day the
+    * position grows by retx — and the daily portfolio return is
+    * Σ drifted-weight × ret. The reference's day-by-day Python loop
+    * becomes one plan: assign each daily row its governing rebalance
+    * (the latest rebal STRICTLY before the date — on a rebal date the
+    * OLD holdings still earn that day's return), window-product the
+    * drift, aggregate per date.
+    *
+    * `holdings`: (rebaldate, permno, weight); `daily`: (date, permno,
+    * ret, retx), int YYYYMMDD dates. Missing ret counts 0 and missing
+    * retx drifts by 1 (the reference's reindex/fillna); a date appears
+    * in the output iff some holding permno has a daily row.
+    *
+    * The rebalance calendar is a provably small dimension (one value per
+    * rebalance), collected like the fractile breakpoints and folded in
+    * as an array literal — no shuffle, no broadcast-nested-loop join.
+    */
+  def dailyPerformance(holdings: DataFrame, daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val rebals = holdings.select(col("rebaldate").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val gov = array_max(filter(typedlit(rebals), r => r < col("date").cast("long")))
+    val dd = daily.withColumn("__r", gov).where(col("__r").isNotNull)
+      .join(holdings.select(col("rebaldate").cast("long").as("__r"),
+        col("permno"), col("weight")), Seq("__r", "permno"))
+    val w = Window.partitionBy("__r", "permno").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dd.withColumn("__drift",
+        coalesce(product(lit(1.0) + coalesce(col("retx"), lit(0.0))).over(w), lit(1.0)))
+      .groupBy("date")
+      .agg(sum(col("weight") * col("__drift") * coalesce(col("ret"), lit(0.0))).as("ret"),
+        count(lit(1)).as("n_holdings"))
+  }
+
   /** Turnover between consecutive holdings after drifting the prior
     * month's weights by retx (backtest.py:156-175): full-outer join of
     * holdings at r with drifted holdings at prev(r).

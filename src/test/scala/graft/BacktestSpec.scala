@@ -44,6 +44,29 @@ class BacktestingSpec extends SparkSpec {
     assert(math.abs(out - (0.6 * 0.10 + 0.4 * -0.05 + -1.0 * 0.0)) < 1e-12)
   }
 
+  test("daily performance: drift between rebalances matches the reference loop") {
+    // rebal 20200101: {A=1: 0.6, B=2: 0.4}; rebal 20200104: {A: 1.0}
+    val h = Seq((20200101, 1, 0.6), (20200101, 2, 0.4), (20200104, 1, 1.0))
+      .toDF("rebaldate", "permno", "weight")
+    val daily = Seq(
+      (20200102, 1, Some(0.01), Some(0.01)), (20200102, 2, Some(0.02), Some(0.02)),
+      (20200103, 1, Some(-0.01), Some(-0.01)), // B has no row: ret 0, drift 1
+      (20200104, 1, Some(0.03), Some(0.03)), (20200104, 2, Some(0.01), Some(0.01)),
+      (20200105, 1, Some(0.02), Some(0.02))
+    ).toDF("date", "permno", "ret", "retx")
+    val out = Backtesting.dailyPerformance(h, daily)
+      .select("date", "ret").as[(Int, Double)].collect().toMap
+    // hand-run of dailyperformance.py's loop:
+    // 0102: .6*.01 + .4*.02 = .014; drift A .606, B .408
+    // 0103: .606*(-.01) = -.00606; drift A .59994, B .408
+    // 0104: .59994*.03 + .408*.01 = .0220782 (old holdings earn rebal day)
+    // 0105: new holdings {A: 1.0}: 1.0*.02 = .02
+    assert(math.abs(out(20200102) - 0.014) < 1e-12)
+    assert(math.abs(out(20200103) - -0.00606) < 1e-12)
+    assert(math.abs(out(20200104) - 0.0220782) < 1e-12)
+    assert(math.abs(out(20200105) - 0.02) < 1e-12)
+  }
+
   test("turnover: half L1 distance of weights after drift") {
     val h = Seq((1, 1, 0.5), (1, 2, 0.5), (2, 1, 1.0))
       .toDF("rebaldate", "permno", "weight")
