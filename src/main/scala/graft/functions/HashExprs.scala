@@ -264,6 +264,46 @@ object PairKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** Packed pairs of an INT array: each (a, b) as one primitive long
+    * (a << 32) | b — exact for any int values; the result explodes into
+    * primitive longs (no per-pair row allocation) and aggregates on a
+    * single primitive key. Unpack with `shiftrightunsigned(pk, 32)` and
+    * `pk & 0xffffffff`.
+    */
+  def packedPairsInt(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var x = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getInt(i).toLong << 32
+      var j = i + 1
+      while (j < n) {
+        out(x) = a | (arr.getInt(j).toLong & 0xffffffffL)
+        x += 1; j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** [[PairKernel.packedPairsInt]] as a codegen'd expression:
+  * array<int> → array<long> of (a<<32)|b packed pairs.
+  */
+case class PackedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_packed_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairKernel.packedPairsInt(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairKernel.packedPairsInt($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackedPairs =
+    copy(child = newChild)
 }
 
 case class SortedPairs(child: Expression) extends UnaryExpression {
@@ -299,6 +339,8 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
 object HashF {
   def sortedPairs(arr: Column): Column =
     Bridge.column(SortedPairs(Bridge.expression(arr)))
+  def packedPairs(arr: Column): Column =
+    Bridge.column(PackedPairs(Bridge.expression(arr)))
   def langId(text: Column): Column =
     Bridge.column(LangIdExpr(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =

@@ -60,7 +60,27 @@ object GraphOps {
     val byNbr = e.groupBy("nb")
       .agg(sort_array(collect_list(col("n"))).as("ns"),
         first("w_aa").as("w_aa"), first("w_ra").as("w_ra"))
-    val shared = byNbr
+    // int node ids take the PACKED pair path: each pair is one primitive
+    // long (a<<32)|b — the explode emits primitive longs (no per-pair row
+    // allocation) and the d²/2-row aggregation runs on a single primitive
+    // key. Wider id types keep the struct-pair kernel.
+    val intIds = byNbr.schema("ns").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    val shared = if (intIds) {
+      byNbr
+        .select(explode(graft.functions.HashF.packedPairs(col("ns"))).as("pk"),
+          col("w_aa"), col("w_ra"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("common"),
+          sum(col("w_aa")).as("adamic_adar"),
+          sum(col("w_ra")).as("resource_alloc"))
+        .select(shiftrightunsigned(col("pk"), 32).cast("int").as("n_a"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).cast("int").as("n_b"),
+          col("common"), col("adamic_adar"), col("resource_alloc"))
+    } else byNbr
       .select(explode(graft.functions.HashF.sortedPairs(col("ns"))).as("p"),
         col("w_aa"), col("w_ra"))
       .groupBy(col("p.a").as("n_a"), col("p.b").as("n_b"))

@@ -177,7 +177,7 @@ object Similarity {
     // (one pass) + few Lloyd iterations replaces k-means|| init + 20
     // iterations: same recall (spec-pinned >=0.9), ~3x fewer jobs.
     val model = new KMeans().setK(nLists).setSeed(seed)
-      .setInitMode("random").setMaxIter(8).setTol(1e-3)
+      .setInitMode("random").setMaxIter(5).setTol(1e-3)
       .fit(feats)
     val assigned = model.transform(feats)
       .select(col(idCol), col("prediction").as("list"))

@@ -79,6 +79,25 @@ class FunctionsSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("packed pairs equal struct pairs unpacked (int ids)") {
+    import graft.functions.HashF
+    val lists = Seq(
+      (1L, Seq(3, 7, 11, 42)),
+      (2L, Seq(5, 9)),
+      (3L, Seq(8)),            // single element: no pairs
+      (4L, Seq(0, 1, Int.MaxValue))
+    ).toDF("id", "ns")
+    val packed = lists.select(col("id"), explode(HashF.packedPairs(col("ns"))).as("pk"))
+      .select(col("id"), shiftrightunsigned(col("pk"), 32).cast("int").as("a"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).cast("int").as("b"))
+      .as[(Long, Int, Int)].collect().toSet
+    val structs = lists.select(col("id"), explode(HashF.sortedPairs(col("ns"))).as("p"))
+      .select(col("id"), col("p.a"), col("p.b"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(packed == structs)
+    assert(packed.count(_._1 == 1L) == 6) // 4 choose 2
+  }
+
   test("minhash kernel matches the HOF formulation exactly") {
     import graft.text.{NearDup, TextOps}
     val docs = sampleDocs.toDF("id", "text")
