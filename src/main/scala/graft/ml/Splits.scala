@@ -1,0 +1,75 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting + batching for training pipelines
+  * (reference `finds/recipes/learn.py:36-73` `form_batches` /
+  * `form_splits`, re-expressed for a 100 TB corpus).
+  *
+  * The reference shuffles index lists in memory; here the "shuffle" is a
+  * DETERMINISTIC double-Lehmer hash of the row id (the
+  * [[graft.ops.Bootstrap]] generator — reproducible across engines and
+  * cluster sizes, no RNG state). Split assignment is a pure per-row map
+  * (no shuffle); batch numbering is one window per split. Stratification
+  * falls out of hashing the ID: within every label slice the hash is
+  * uniform, so fractions hold per label in expectation; `strataCol`
+  * makes it exact per stratum (row_number within label).
+  */
+object Splits {
+
+  /** Double-Lehmer uniform in [0, 1) from a non-negative long id —
+    * the Bootstrap draw generator normalized to a fraction.
+    */
+  def uniform01(id: Column): Column =
+    (((id + 1) * 48271L % 2147483647L * 16807L) % 2147483647L)
+      .cast("double") / 2147483647.0
+
+  /** Add a `split` column: `names(i)` where the id-hash falls in the
+    * i-th cumulative fraction bucket. Pure per-row projection — at any
+    * scale this is a free map over the scan.
+    */
+  def assign(df: DataFrame, idCol: String, fractions: Seq[Double],
+             names: Seq[String]): DataFrame = {
+    require(fractions.length == names.length && fractions.sum <= 1.0 + 1e-9)
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
+    val u = uniform01(col(idCol).cast("long"))
+    val expr = names.zip(cum).foldRight(lit(names.last)) { case ((n, c), acc) =>
+      when(u < c, n).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Exact stratified split: within each stratum, rank rows by
+    * (id-hash, id) and cut by cumulative fractions — every stratum gets
+    * the exact proportions (the reference's per-label split of
+    * form_splits). One shuffle on the stratum key.
+    */
+  def assignStratified(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Seq[Double], names: Seq[String]): DataFrame = {
+    require(fractions.length == names.length && fractions.sum <= 1.0 + 1e-9)
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
+    val u = uniform01(col(idCol).cast("long"))
+    val w = Window.partitionBy(strataCol).orderBy(u, col(idCol))
+    val n = Window.partitionBy(strataCol)
+    val frac = (row_number().over(w).cast("double") - 0.5) / count(lit(1)).over(n)
+    val expr = names.zip(cum).foldRight(lit(names.last)) { case ((nm, c), acc) =>
+      when(frac < c, nm).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Number rows into fixed-size batches within each split (form_batches
+    * learn.py:36-49): batch = floor(rank / batchSize), rank ordered by
+    * (id-hash, id) so batch membership is deterministic and independent
+    * of physical layout.
+    */
+  def batches(df: DataFrame, idCol: String, batchSize: Int,
+              splitCol: String = "split"): DataFrame = {
+    val w = Window.partitionBy(splitCol)
+      .orderBy(uniform01(col(idCol).cast("long")), col(idCol))
+    df.withColumn("batch",
+      ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+}

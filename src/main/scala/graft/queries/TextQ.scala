@@ -259,6 +259,31 @@ object TextQ {
           col("cos"), bi(col("rank")).as("rank"))
     }, None),
 
+    // Deterministic train/val/test split + batch numbering over the
+    // corpus (learn.py form_splits/form_batches as scale ops): the
+    // double-Lehmer id hash is pure per-row arithmetic, identical in
+    // DuckDB, so the full assignment is hash-checked.
+    Q("t_split", (s, dir) => {
+      import graft.ml.Splits
+      val assigned = Splits.assign(Tables.documents(s, dir), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      Splits.batches(assigned, "doc_id", batchSize = 64)
+        .select(bi(col("doc_id")).as("doc_id"), col("split"), bi(col("batch")).as("batch"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+               CAST(((doc_id + 1) * 48271 % 2147483647 * 16807) % 2147483647 AS DOUBLE)
+                 / 2147483647.0 AS u
+        FROM documents
+      ), sp AS (
+        SELECT doc_id, u,
+               CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM u
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, split,
+             CAST((row_number() OVER (PARTITION BY split ORDER BY u, doc_id) - 1) // 64 AS BIGINT) AS batch
+      FROM sp""")),
+
     // Embedding-cosine near-dup pairs (builder brief), exact oracle form
     // on the vec_id % 5 slice. The synthetic corpus plants NO true
     // near-dups (measured max pairwise cos = 0.513 at sf0.01), so the

@@ -121,3 +121,43 @@ class SmoothSpec extends SparkSpec {
     assert(out.select("f1", "f2").distinct().count() == 4)
   }
 }
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ml.Splits
+
+  private def ids = (0L until 1000L).map(Tuple1(_)).toDF("id")
+
+  test("assign: deterministic, near-exact fractions, stable across layouts") {
+    val a = Splits.assign(ids, "id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 800L) < 50, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 100L) < 40)
+    // same assignment regardless of partitioning (pure per-row hash)
+    val b = Splits.assign(ids.repartition(7), "id", Seq(0.8, 0.1, 0.1),
+      Seq("train", "val", "test"))
+    assert(a.as[(Long, String)].collect().toMap == b.as[(Long, String)].collect().toMap)
+  }
+
+  test("stratified assignment hits exact per-stratum proportions") {
+    val labeled = (0L until 400L).map(i => (i, s"c${i % 4}")).toDF("id", "label")
+    val out = Splits.assignStratified(labeled, "id", "label",
+      Seq(0.75, 0.25), Seq("train", "test"))
+    val per = out.groupBy("label", "split").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    (0 until 4).foreach { c =>
+      assert(per((s"c$c", "train")) == 75L)
+      assert(per((s"c$c", "test")) == 25L)
+    }
+  }
+
+  test("batches: fixed size within split, deterministic order") {
+    val a = Splits.assign(ids, "id", Seq(1.0), Seq("all"))
+    val out = Splits.batches(a, "id", batchSize = 64)
+    val sizes = out.groupBy("batch").count().as[(Long, Long)].collect().toMap
+    assert(sizes.size == 16) // ceil(1000/64)
+    (0L until 15L).foreach(b => assert(sizes(b) == 64L))
+    assert(sizes(15L) == 1000L - 15 * 64)
+  }
+}

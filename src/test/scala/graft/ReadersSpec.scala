@@ -222,3 +222,33 @@ class EdgarIndexSpec extends SparkSpec {
     assert(rows.contains((789019, "10-Q", 20230124)))
   }
 }
+
+class FomcSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Fomc
+  import org.apache.spark.sql.functions._
+
+  test("dateOfLink takes the last 8 digits, matching the reference dateOf") {
+    val links = Seq(
+      "https://www.federalreserve.gov/monetarypolicy/fomcminutes20230614.htm",
+      "https://www.federalreserve.gov/fomc/minutes/19960703.htm",
+      "https://www.federalreserve.gov/fomc/MINUTES/1997/19970204min.htm")
+      .map(Tuple1(_)).toDF("link")
+    val out = links.select(Fomc.dateOfLink(col("link"))).as[Int].collect()
+    assert(out.sameElements(Array(20230614, 19960703, 19970204)))
+  }
+
+  test("minutesText joins <p> blocks, strips tags, decodes entities") {
+    val html =
+      """<html><head><title>skip</title></head><body>
+        |<P class="x">The Committee&nbsp;met at <b>9:00</b> a.m.</P>
+        |<div>not a paragraph</div>
+        |<p>Votes for:	Smith &amp; Jones.
+        |Second line.</p>
+        |<p>   </p>
+        |</body></html>""".stripMargin
+    val out = Seq(Tuple1(html)).toDF("html")
+      .select(Fomc.minutesText(col("html"))).as[String].head()
+    assert(out == "The Committee met at 9:00 a.m.\nVotes for: Smith & Jones.\nSecond line.")
+  }
+}
