@@ -57,4 +57,44 @@ class PlanSpec extends SparkSpec {
       l.contains("HashAggregate(keys=[query_id") || l.contains("HashAggregate(keys=[neighbor_id"))
     assert(distinctAggs.forall(l => !l.contains("va") && !l.contains("vb")), p)
   }
+
+  test("dailyPerformance assigns rebalances without a nested-loop join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val h = Seq((20200101, 1, 0.5), (20200104, 1, 1.0))
+      .toDF("rebaldate", "permno", "weight")
+    val daily = Seq((20200102, 1, 0.01, 0.01)).toDF("date", "permno", "ret", "retx")
+    val p = graft.backtest.Backtesting.dailyPerformance(h, daily)
+      .queryExecution.executedPlan.toString
+    // the rebal calendar folds in as an array literal: no BNLJ, no cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("t_split is a pure projection + window — no joins at all") {
+    val p = plan("t_split")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("bucketed-by-key join plans with no exchange and no sort") {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("buckets").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val a = (0 until 1000).map(i => (i % 100, i.toDouble)).toDF("k", "x")
+      val b = (0 until 500).map(i => (i % 100, i.toString)).toDF("k", "s")
+      Bucketing.writeBucketed(a, "bspec_a", s"$dir/a", Seq("k"), 8)
+      Bucketing.writeBucketed(b, "bspec_b", s"$dir/b", Seq("k"), 8)
+      val joined = Bucketing.table(spark, "bspec_a")
+        .join(Bucketing.table(spark, "bspec_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p) // co-located: zero shuffle
+      assert(joined.count() == 5000)     // 10 x 5 per key over 100 keys
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bspec_a")
+      spark.sql("DROP TABLE IF EXISTS bspec_b")
+    }
+  }
 }
