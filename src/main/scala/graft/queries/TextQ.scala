@@ -250,14 +250,48 @@ object TextQ {
              cos, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5""")),
 
-    // LSH-bucketed ANN (scale path; deterministic hyperplanes via xxhash64
-    // — rows-only check).
+    // LSH-bucketed ANN (scale path). The hyperplane components are pure
+    // integer arithmetic (no engine-specific hash), so the WHOLE pipeline
+    // — 48 plane projections, 12-bit signatures x 4 tables, bucket join,
+    // exact rescoring, top-5 — replays in DuckDB and is hash-checked.
     Q("s_lsh", (s, dir) => {
       val v = Tables.embeddings(s, dir)
       Similarity.lshTopK(v, "vec_id", "embedding", k = 5, planes = 12, tables = 4)
         .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
           col("cos"), bi(col("rank")).as("rank"))
-    }, None),
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), comp AS (
+        SELECT p,
+               [ (CAST((((p * 2654435761 + d * 40503 + 1) * 48271 % 2147483647 * 16807) % 2147483647) % 2000001 AS DOUBLE) / 1000000.0) - 1.0
+                 FOR d IN range(0, 64) ] AS cl
+        FROM range(48) t(p)
+      ), proj AS (
+        SELECT vec_id, p,
+               list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(e, cl)]), (a, b) -> a + b) AS pr
+        FROM v CROSS JOIN comp
+      ), sig AS (
+        SELECT vec_id, p // 12 AS tbl,
+               sum(CASE WHEN pr >= 0 THEN 1 << (p % 12) ELSE 0 END) AS sg
+        FROM proj GROUP BY 1, 2
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS q, b.vec_id AS n
+        FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sg = b.sg AND a.vec_id <> b.vec_id
+      ), sc AS (
+        SELECT q, n,
+               ROUND(
+                 list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(va.e, vb.e)]), (p, c) -> p + c)
+                 / (sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(va.e, va.e)]), (p, c) -> p + c))
+                  * sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(vb.e, vb.e)]), (p, c) -> p + c))), 6) AS cos
+        FROM cand JOIN v va ON va.vec_id = q JOIN v vb ON vb.vec_id = n
+      ), r AS (
+        SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+        FROM sc
+      )
+      SELECT CAST(q AS BIGINT) AS query_id, CAST(n AS BIGINT) AS neighbor_id,
+             cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5""")),
 
     // Deterministic train/val/test split + batch numbering over the
     // corpus (learn.py form_splits/form_batches as scale ops): the

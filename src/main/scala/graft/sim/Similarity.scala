@@ -64,11 +64,18 @@ object Similarity {
     topK(a.join(b, col("query_id") =!= col("neighbor_id")), k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a fixed hash mapped to [-1, 1]. Reproducible across runs/engines.
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d)
+    * mapped to [-1, 1]. PURE integer arithmetic (a Knuth-mix seed through
+    * the double-Lehmer step) rather than an engine-specific hash — the
+    * identical expression runs in DuckDB, which makes the full LSH
+    * pipeline oracle-checkable. Products stay far below 2^63 for any
+    * realistic (p, d).
     */
-  private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(p, d), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  private def planeComponent(p: Column, d: Column): Column = {
+    val seed = p * lit(2654435761L) + d * lit(40503L) + 1
+    val h = (seed * 48271L % 2147483647L * 16807L) % 2147483647L
+    ((h % 2000001L).cast("double") / 1000000.0) - 1.0
+  }
 
   /** All `planes × tables` hyperplane projections of `vec` in ONE fold:
     * the accumulator carries (partial sums, element index). Plane g of the
