@@ -1,17 +1,71 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.backtest.Backtesting
 import graft.core.Tables
 import graft.ops.TimeWeighted
 import graft.text.DocStore
 import QHelp._
 
 /** Third coverage batch: time-weighted bins (A8 — the bin_quotes
-  * semantics) and the document-store where-DSL (S6).
+  * semantics), the document-store where-DSL (S6), and the daily drift
+  * performance loop (dailyperformance.py) as one plan.
   */
 object Batch3 {
 
   val qs: Seq[Q] = Seq(
+
+    // DailyPerformance (dailyperformance.py:14-47): holdings drift by
+    // retx between rebalances; daily portfolio return = sum of drifted
+    // weight x ret. Synthetic panel from orders (deterministic decimal
+    // sums); two rebalances with different compositions exercise the
+    // holdings switch. The windowed drift product replays exactly in
+    // DuckDB (same multiply order).
+    Q("j14_dailyperf", (s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy((col("o_custkey") % 50).as("permno"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+            dayofmonth(col("o_orderdate"))).as("date"))
+        .agg((((dsum(col("o_totalprice")) % 100) / 1000.0) - 0.05).as("ret"))
+        .withColumn("retx", col("ret") / 2)
+      val h = ((0 until 50 by 5).map(p => (19960101, p, 0.1)) ++
+        (0 until 50 by 10).map(p => (19970101, p, 0.2)))
+        .toDF("rebaldate", "permno", "weight")
+      Backtesting.dailyPerformance(h, daily)
+        .select(bi(col("date")).as("date"), r6(col("ret")).as("ret"),
+          bi(col("n_holdings")).as("n_holdings"))
+    }, Some("""
+      WITH daily AS (
+        SELECT o_custkey % 50 AS permno,
+               year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate) AS date,
+               (CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 100) / 1000.0 - 0.05 AS ret
+        FROM orders GROUP BY 1, 2
+      ), d2 AS (
+        SELECT date, permno, ret, ret / 2 AS retx FROM daily
+      ), h(rebaldate, permno, weight) AS (
+        VALUES (19960101, 0, 0.1), (19960101, 5, 0.1), (19960101, 10, 0.1),
+               (19960101, 15, 0.1), (19960101, 20, 0.1), (19960101, 25, 0.1),
+               (19960101, 30, 0.1), (19960101, 35, 0.1), (19960101, 40, 0.1),
+               (19960101, 45, 0.1),
+               (19970101, 0, 0.2), (19970101, 10, 0.2), (19970101, 20, 0.2),
+               (19970101, 30, 0.2), (19970101, 40, 0.2)
+      ), dd AS (
+        SELECT d.date, d.permno, d.ret, d.retx, h.rebaldate AS r, h.weight
+        FROM d2 d JOIN h ON d.permno = h.permno
+          AND h.rebaldate = CASE WHEN d.date > 19970101 THEN 19970101
+                                 WHEN d.date > 19960101 THEN 19960101 END
+      ), drift AS (
+        SELECT date, weight, ret,
+               coalesce(product(1.0 + coalesce(retx, 0.0)) OVER (
+                 PARTITION BY r, permno ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0) AS dr
+        FROM dd
+      )
+      SELECT CAST(date AS BIGINT) AS date,
+             ROUND(sum(weight * dr * coalesce(ret, 0.0)), 6) AS ret,
+             COUNT(*) AS n_holdings
+      FROM drift GROUP BY 1""")),
 
     // A8: time-weighted tumbling bins — each event's value holds until
     // the user's next event; weight in a 6h bin = interval overlap,
