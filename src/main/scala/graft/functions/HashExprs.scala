@@ -50,6 +50,88 @@ object HashKernels {
     sig
   }
 
+  // --- cross-engine polynomial hashing (the ORACLE-CHECKABLE family) ---
+  // Two byte-fold polynomial hashes mod large primes, combined into a
+  // 61-bit value: pure integer arithmetic that any SQL engine replays
+  // exactly (DuckDB list_reduce over ascii codes). The xxhash64 kernels
+  // below remain the higher-quality alternates; the NearDup defaults use
+  // the poly family so the driver's DuckDB differential covers the FULL
+  // minhash/simhash pipelines, not just row counts.
+  private val P1 = 1000000007L
+  private val P2 = 998244353L
+  private val M31 = 2147483647L
+
+  /** 61-bit polynomial hash of an (ASCII) UTF8String:
+    * h1·2³¹ + h2 with h1 = fold (a·31 + byte) mod 1e9+7,
+    * h2 = fold (a·131 + byte) mod 998244353.
+    */
+  def polyHash61(s: UTF8String): Long = {
+    val n = s.numBytes
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i) & 0xffL
+      h1 = (h1 * 31 + c) % P1
+      h2 = (h2 * 131 + c) % P2
+      i += 1
+    }
+    h1 * 2147483648L + h2
+  }
+
+  /** SimHash64 over tokens with [[polyHash61]] (bits 61-63 of the token
+    * hash are structurally zero, so those signature bits read 0 — a
+    * 61-effective-bit simhash; banding/hamming semantics unchanged).
+    */
+  def simhashPoly(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = polyHash61(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** MinHash signature with the poly hash: per shingle x = h61 mod
+    * (2³¹−1); element s = min over shingles of the double-Lehmer mix
+    * ((s·2654435761 + x + 1)·48271 mod M·16807) mod M. Empty input →
+    * all-null signature (mirroring the xxhash64 kernel).
+    */
+  def minhashPolySig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val x = polyHash61(shingles.getUTF8String(i)) % M31
+        var s = 0
+        while (s < numHashes) {
+          val v = ((s * 2654435761L + x + 1) * 48271L % M31 * 16807L) % M31
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** MinHash signature: element s is min over shingles of
     * xxhash64(shingle, s) — Spark's two-child xxhash64 stream: base =
     * hash(shingle, 42), then hashInt(s, base). Signed min, matching
@@ -89,6 +171,36 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** SimHash64 via the cross-engine polynomial hash (codegen'd). */
+case class SimHashPoly(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_poly"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashPoly(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashPoly($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly =
+    copy(child = newChild)
+}
+
+/** MinHash signature via the cross-engine polynomial hash (codegen'd). */
+case class MinHashPolySignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_poly"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashPolySig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashPolySig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashPolySignature =
     copy(child = newChild)
 }
 
@@ -345,8 +457,12 @@ object HashF {
     Bridge.column(LangIdExpr(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def simhashPoly(tokens: Column): Column =
+    Bridge.column(SimHashPoly(Bridge.expression(tokens)))
   def minhashSig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+  def minhashPolySig(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashPolySignature(Bridge.expression(shingles), numHashes))
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 }

@@ -196,21 +196,102 @@ object TextQ {
       FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
       WHERE CAST(i AS DOUBLE) / (x.nsh + y.nsh - i) >= 0.6""")),
 
-    // MinHash + LSH near-dup (xxhash64-based — not SQL-expressible; the
-    // driver records a rows-only check; t_jaccard is the exact oracle twin).
+    // MinHash + LSH near-dup. The signature hash is the cross-engine
+    // polynomial family, so the ENTIRE pipeline — shingle hash, 64
+    // double-Lehmer minima, 16-band bucket join, exact-Jaccard verify —
+    // replays in DuckDB and is hash-checked.
     Q("t_minhash", (s, dir) => {
       NearDup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
           shingleWidth = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"), col("jaccard"))
-    }, None),
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z_]+'), x -> len(x) >= 3) AS tk
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(s) AS sg FROM sh
+      ), hx AS (
+        SELECT doc_id, sg,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
+                + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 131 + c) % 998244353)) % 2147483647 AS x
+        FROM ex
+      ), mh AS (
+        SELECT doc_id, sd.s,
+               min(((sd.s * 2654435761 + x + 1) * 48271 % 2147483647 * 16807) % 2147483647) AS v
+        FROM hx CROSS JOIN range(64) sd(s) GROUP BY 1, 2
+      ), sig AS (
+        SELECT doc_id, list(v ORDER BY s) AS sig FROM mh GROUP BY 1
+      ), banded AS (
+        SELECT doc_id, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
+        FROM sig CROSS JOIN range(16) t2(b)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.id_a
+        JOIN ex eb ON eb.doc_id = c.id_b AND ea.sg = eb.sg
+        GROUP BY 1, 2
+      ), sizes AS (
+        SELECT doc_id, len(s) AS nsh FROM sh
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(CAST(i AS DOUBLE) / (x.nsh + y.nsh - i), 6) AS jaccard
+      FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (x.nsh + y.nsh - i), 6) >= 0.5""")),
 
-    // SimHash near-dup: 64-bit signatures, Hamming ≤ 8 pairs (rows-only).
-    // Candidates via 9-band pigeonhole equi-join — no O(n²) cross join.
+    // SimHash near-dup: 64-bit signatures (cross-engine poly token hash),
+    // Hamming <= 8 pairs via 9-band pigeonhole equi-join — no O(n²) cross
+    // join — fully replayed in DuckDB.
     Q("t_simhash", (s, dir) => {
       NearDup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
         .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"),
           bi(col("hamming")).as("hamming"))
-    }, None),
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z_]+'), x -> len(x) >= 3) AS tk
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, unnest(tk) AS t FROM toks
+      ), h64 AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ascii(c) AS BIGINT) FOR c IN string_split(t, '')]),
+                 (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ascii(c) AS BIGINT) FOR c IN string_split(t, '')]),
+                 (a, c) -> (a * 131 + c) % 998244353) AS h
+        FROM tok
+      ), bits AS (
+        SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM h64 CROSS JOIN range(64) t2(b) GROUP BY 1, 2
+      ), sigraw AS (
+        SELECT doc_id, sum(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+        FROM bits GROUP BY 1
+      ), sig AS (
+        SELECT t.doc_id, coalesce(s.sig, 0) AS sig
+        FROM toks t LEFT JOIN sigraw s ON t.doc_id = s.doc_id
+      ), banded AS (
+        SELECT doc_id, sig, b AS band,
+               (sig >> (7 * b)) & (CASE WHEN b = 8 THEN 255 ELSE 127 END) AS bv
+        FROM sig CROSS JOIN range(9) t3(b)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 8""")),
 
     // Brute-force cosine top-k (exactness baseline for ANN; query subset
     // keyed % 10 to bound the pair count at bench scale). Norms are

@@ -14,29 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** MinHash signature: for seed s, min over shingles of
-    * xxhash64(shingle, s). Returns array of `numHashes` signature longs.
-    * Native one-pass kernel; [[minHashSigHof]] is the Column-level twin
-    * kept for the equivalence spec.
+  /** MinHash signature (DEFAULT = the cross-engine polynomial hash, so
+    * the whole minhash pipeline is oracle-checkable in DuckDB): element s
+    * is the min over shingles of a double-Lehmer mix of the shingle's
+    * 61-bit poly hash. [[minHashSigXx]] is the xxhash64 alternate (better
+    * mixing, engine-specific); its HOF twin [[minHashSigHof]] backs the
+    * kernel-equivalence spec.
     */
   def minHashSig(shingles: Column, numHashes: Int): Column =
+    graft.functions.HashF.minhashPolySig(shingles, numHashes)
+
+  /** xxhash64-based MinHash signature (native one-pass kernel). */
+  def minHashSigXx(shingles: Column, numHashes: Int): Column =
     graft.functions.HashF.minhashSig(shingles, numHashes)
 
-  /** HOF formulation of [[minHashSig]] — one array_min(transform) pass
+  /** HOF formulation of [[minHashSigXx]] — one array_min(transform) pass
     * per seed; spec-only (the kernel must produce identical signatures).
     */
   def minHashSigHof(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(s =>
       array_min(transform(shingles, sh => xxhash64(sh, lit(s))))): _*)
 
-  /** LSH banding: (docId, band, bucketHash) rows; docs sharing any
-    * (band, bucket) become candidate pairs.
+  /** LSH banding: (docId, band, bucket) rows; docs sharing any
+    * (band, bucket) become candidate pairs. The bucket is the signature
+    * SLICE itself (array equality join key) — no re-hash, so the banding
+    * replays verbatim in the SQL oracle.
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
     }
     df.select(col(idCol), explode(array(bandRows: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
@@ -93,15 +101,21 @@ object NearDup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens: sign-sum of per-token xxhash64 bits.
+  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
     * Per-row map — no shuffle; near-dups share low Hamming distance.
-    * Native one-pass kernel; [[simHashHof]] is the Column twin for the
-    * equivalence spec.
+    * DEFAULT = the cross-engine polynomial token hash (oracle-checkable;
+    * bits 61-63 structurally zero — a 61-effective-bit simhash).
+    * [[simHashXx]] is the xxhash64 alternate; its Column twin
+    * [[simHashHof]] backs the kernel-equivalence spec.
     */
   def simHash(text: Column): Column =
+    graft.functions.HashF.simhashPoly(TextOps.tokens(text))
+
+  /** xxhash64-based SimHash (native one-pass kernel). */
+  def simHashXx(text: Column): Column =
     graft.functions.HashF.simhash64(TextOps.tokens(text))
 
-  /** HOF formulation of [[simHash]] — spec-only equivalence twin. */
+  /** HOF formulation of [[simHashXx]] — spec-only equivalence twin. */
   def simHashHof(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
     val bitIdx = sequence(lit(0), lit(63))

@@ -48,9 +48,46 @@ class FunctionsSpec extends SparkSpec {
   test("simhash64 kernel matches the HOF formulation exactly") {
     import graft.text.NearDup
     val docs = sampleDocs.toDF("id", "text")
-    val out = docs.select(NearDup.simHash(col("text")).as("a"),
+    val out = docs.select(NearDup.simHashXx(col("text")).as("a"),
       NearDup.simHashHof(col("text")).as("b")).as[(Long, Long)].collect()
     out.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("poly hash kernels match an independent Scala re-computation") {
+    import graft.text.NearDup
+    // pin the poly family against a from-scratch reimplementation of the
+    // published recurrence (the DuckDB oracle replays the same arithmetic
+    // as the third implementation)
+    def poly61(s: String): Long = {
+      var h1 = 0L; var h2 = 0L
+      s.getBytes("UTF-8").foreach { b =>
+        h1 = (h1 * 31 + (b & 0xffL)) % 1000000007L
+        h2 = (h2 * 131 + (b & 0xffL)) % 998244353L
+      }
+      h1 * 2147483648L + h2
+    }
+    val toks = Seq("the", "quick", "brown_fox", "a")
+    val expectedSim = {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val h = poly61(t)
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+      }
+      (0 until 64).map(b => if (counts(b) > 0) 1L << b else 0L).reduce(_ | _)
+    }
+    val gotSim = Seq(Tuple1(toks)).toDF("t")
+      .select(graft.functions.HashF.simhashPoly(col("t"))).as[Long].head()
+    assert(gotSim == expectedSim)
+
+    val expectedMins = (0 until 8).map { s =>
+      toks.map { t =>
+        val x = poly61(t) % 2147483647L
+        ((s * 2654435761L + x + 1) * 48271L % 2147483647L * 16807L) % 2147483647L
+      }.min
+    }
+    val gotMins = Seq(Tuple1(toks)).toDF("t")
+      .select(NearDup.minHashSig(col("t"), 8)).as[Seq[Long]].head()
+    assert(gotMins == expectedMins)
   }
 
   test("shingle kernel matches the HOF fold formulation exactly") {
@@ -103,7 +140,7 @@ class FunctionsSpec extends SparkSpec {
     val docs = sampleDocs.toDF("id", "text")
     val sh = docs.select(TextOps.wordShingles(col("text"), 3).as("sh"))
       .where(size(col("sh")) > 0)
-    val out = sh.select(NearDup.minHashSig(col("sh"), 16).as("a"),
+    val out = sh.select(NearDup.minHashSigXx(col("sh"), 16).as("a"),
         NearDup.minHashSigHof(col("sh"), 16).as("b"))
       .as[(Seq[Long], Seq[Long])].collect()
     assert(out.nonEmpty)
