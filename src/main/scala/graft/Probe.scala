@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.core.Tables
 
 /** Scratch profiling main (not part of the driver contract). */
 object Probe {
@@ -21,21 +20,17 @@ object Probe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
-    def edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust")).distinct()
-
-    time("edges-default-thresh-cold")(edges.count())
-    time("edges-default-thresh-warm")(edges.count())
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-    time("edges-64m-thresh")(edges.count())
-    time("edges-64m-thresh-2")(edges.count())
-    time("linkpred-64m")(
-      graft.queries.Catalog.queries("g_linkpred")(spark, dir).count())
+    val v = graft.core.Tables.embeddings(spark, dir)
+    time("sigs-only") {
+      v.select(col("vec_id"),
+        graft.sim.Similarity.lshProjections(
+          col("embedding").cast("array<double>"), 12, 4).as("p")).count()
+    }
+    time("s_lsh-cold")(graft.queries.Catalog.queries("s_lsh")(spark, dir).count())
     spark.sharedState.cacheManager.clearCache()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
-    time("linkpred-default")(
-      graft.queries.Catalog.queries("g_linkpred")(spark, dir).count())
+    time("s_lsh-warm")(graft.queries.Catalog.queries("s_lsh")(spark, dir).count())
+    spark.sharedState.cacheManager.clearCache()
+    time("t_simhash-warm")(graft.queries.Catalog.queries("t_simhash")(spark, dir).count())
 
     spark.stop()
   }

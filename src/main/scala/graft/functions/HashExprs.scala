@@ -79,9 +79,31 @@ object HashKernels {
     h1 * 2147483648L + h2
   }
 
-  /** SimHash64 over tokens with [[polyHash61]] (bits 61-63 of the token
-    * hash are structurally zero, so those signature bits read 0 — a
-    * 61-effective-bit simhash; banding/hamming semantics unchanged).
+  /** 62-bit token hash for SimHash: the two polynomial folds are each
+    * passed through the double-Lehmer mix, so every bit of both 31-bit
+    * halves is balanced (the RAW folds have biased top bits — h1 < 2³⁰
+    * etc. — which made random docs agree on many signature bits and
+    * exploded the hamming<=8 candidate set ~600x).
+    */
+  def polyMix62(s: UTF8String): Long = {
+    val n = s.numBytes
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i) & 0xffL
+      h1 = (h1 * 31 + c) % P1
+      h2 = (h2 * 131 + c) % P2
+      i += 1
+    }
+    val m1 = ((h1 + 1) * 48271L % M31 * 16807L) % M31
+    val m2 = ((h2 + 40503L) * 48271L % M31 * 16807L) % M31
+    m1 * 2147483648L + m2
+  }
+
+  /** SimHash64 over tokens with [[polyMix62]] (bits 62-63 structurally
+    * zero — a 62-effective-bit simhash; banding/hamming semantics
+    * unchanged).
     */
   def simhashPoly(tokens: ArrayData): Long = {
     val n = tokens.numElements()
@@ -89,7 +111,7 @@ object HashKernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = polyHash61(tokens.getUTF8String(i))
+        val h = polyMix62(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

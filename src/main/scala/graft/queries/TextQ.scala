@@ -262,15 +262,20 @@ object TextQ {
         FROM documents
       ), tok AS (
         SELECT doc_id, unnest(tk) AS t FROM toks
-      ), h64 AS (
+      ), hraw AS (
         SELECT doc_id,
                list_reduce(list_prepend(CAST(0 AS BIGINT),
                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(t, '')]),
-                 (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
-               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 (a, c) -> (a * 31 + c) % 1000000007) AS h1,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(t, '')]),
-                 (a, c) -> (a * 131 + c) % 998244353) AS h
+                 (a, c) -> (a * 131 + c) % 998244353) AS h2
         FROM tok
+      ), h64 AS (
+        SELECT doc_id,
+               (((h1 + 1) * 48271 % 2147483647 * 16807) % 2147483647) * 2147483648
+               + (((h2 + 40503) * 48271 % 2147483647 * 16807) % 2147483647) AS h
+        FROM hraw
       ), bits AS (
         SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
         FROM h64 CROSS JOIN range(64) t2(b) GROUP BY 1, 2

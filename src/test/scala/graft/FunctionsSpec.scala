@@ -66,11 +66,21 @@ class FunctionsSpec extends SparkSpec {
       }
       h1 * 2147483648L + h2
     }
+    def mix62(s: String): Long = {
+      var h1 = 0L; var h2 = 0L
+      s.getBytes("UTF-8").foreach { b =>
+        h1 = (h1 * 31 + (b & 0xffL)) % 1000000007L
+        h2 = (h2 * 131 + (b & 0xffL)) % 998244353L
+      }
+      val m1 = ((h1 + 1) * 48271L % 2147483647L * 16807L) % 2147483647L
+      val m2 = ((h2 + 40503L) * 48271L % 2147483647L * 16807L) % 2147483647L
+      m1 * 2147483648L + m2
+    }
     val toks = Seq("the", "quick", "brown_fox", "a")
     val expectedSim = {
       val counts = new Array[Int](64)
       toks.foreach { t =>
-        val h = poly61(t)
+        val h = mix62(t)
         (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
       }
       (0 until 64).map(b => if (counts(b) > 0) 1L << b else 0L).reduce(_ | _)
