@@ -69,6 +69,84 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `planes x tables` LSH hyperplane projections of one vector in one
+  * compiled pass — the native twin of `Similarity.lshProjectionsHof`
+  * (whose aggregate/zip_with fold is interpreted and cost ~1 ms/row).
+  * Components are the cross-engine Lehmer-mixed values, precomputed once
+  * per (nProj, dims) into a process-wide cache (the mix is ~8 integer ops
+  * per component — computing it per row per element would double the
+  * kernel's work).
+  *
+  * Accumulation order matches the HOF fold (per element d ascending, one
+  * add per plane) — results are bit-identical, which the DuckDB oracle
+  * (s_lsh) depends on.
+  */
+object LshKernel {
+  private val M31 = 2147483647L
+  @volatile private var cache: (Int, Int, Array[Double]) = (0, 0, new Array[Double](0))
+
+  /** comp(p, d) laid out row-major by d: comps(d * nProj + p). */
+  def components(nProj: Int, dims: Int): Array[Double] = {
+    val c = cache
+    if (c._1 == nProj && c._2 >= dims) c._3
+    else synchronized {
+      val c2 = cache
+      if (c2._1 == nProj && c2._2 >= dims) c2._3
+      else {
+        val grow = math.max(dims, 128)
+        val arr = new Array[Double](grow * nProj)
+        var d = 0
+        while (d < grow) {
+          var p = 0
+          while (p < nProj) {
+            val seed = p * 2654435761L + d * 40503L + 1
+            val h = (seed * 48271L % M31 * 16807L) % M31
+            arr(d * nProj + p) = (h % 2000001L).toDouble / 1000000.0 - 1.0
+            p += 1
+          }
+          d += 1
+        }
+        cache = (nProj, grow, arr)
+        arr
+      }
+    }
+  }
+
+  def project(vec: ArrayData, nProj: Int): ArrayData = {
+    val n = vec.numElements()
+    val comps = components(nProj, n)
+    val sums = new Array[Double](nProj)
+    var d = 0
+    while (d < n) {
+      val x = vec.getDouble(d)
+      val base = d * nProj
+      var p = 0
+      while (p < nProj) {
+        sums(p) += x * comps(base + p)
+        p += 1
+      }
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sums)
+  }
+}
+
+/** [[LshKernel.project]] as a codegen'd expression over `array<double>`. */
+case class LshProjectionsExpr(child: Expression, nProj: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_lsh_proj"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshKernel.project(input.asInstanceOf[ArrayData], nProj)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshKernel.project($c, $nProj)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshProjectionsExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for graft's native expressions.
   *
   * Built on the public `ExpressionUtils.column/expression` bridge so the
@@ -84,4 +162,8 @@ object VectorF {
     * pair).
     */
   def dotp(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Codegen'd LSH projections (all planes x tables sums in one pass). */
+  def lshProj(vec: Column, nProj: Int): Column =
+    toCol(LshProjectionsExpr(toExpr(vec), nProj))
 }

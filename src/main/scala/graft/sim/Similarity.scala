@@ -77,13 +77,20 @@ object Similarity {
     ((h % 2000001L).cast("double") / 1000000.0) - 1.0
   }
 
-  /** All `planes × tables` hyperplane projections of `vec` in ONE fold:
-    * the accumulator carries (partial sums, element index). Plane g of the
-    * output array is table g/planes, bit g%planes — the same
-    * `xxhash64(plane, dim)` component stream as a per-plane evaluation,
-    * at 1/48th the passes.
+  /** All `planes × tables` hyperplane projections of `vec` in ONE pass —
+    * the native codegen'd kernel ([[graft.functions.LshKernel]]; component
+    * table precomputed once per process). [[lshProjectionsHof]] is the
+    * Column-fold twin kept for the equivalence spec; both produce
+    * bit-identical sums (same per-element accumulation order), which the
+    * s_lsh DuckDB oracle replays.
     */
-  def lshProjections(vec: Column, planes: Int, tables: Int): Column = {
+  def lshProjections(vec: Column, planes: Int, tables: Int): Column =
+    VectorF.lshProj(vec.cast("array<double>"), planes * tables)
+
+  /** HOF fold form of [[lshProjections]] — the accumulator carries
+    * (partial sums, element index); interpreted, spec-only.
+    */
+  def lshProjectionsHof(vec: Column, planes: Int, tables: Int): Column = {
     val nProj = planes * tables
     val planeIdx = sequence(lit(0), lit(nProj - 1))
     val init = struct(

@@ -173,6 +173,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall was $recall")
   }
 
+  test("native lsh projections match the HOF fold bit-for-bit") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 3.7 + d) * (d + 1)))
+    }.toDF("vec_id", "v")
+    val out = vecs.select(
+        Similarity.lshProjections(col("v"), 12, 4).as("a"),
+        Similarity.lshProjectionsHof(col("v"), 12, 4).as("b"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    out.foreach { case (a, b) => assert(a == b) }
+  }
+
   test("lsh top-k cosines agree with brute force on found pairs") {
     val vecs = (0 until 30).map { i =>
       val th = i * 0.21
