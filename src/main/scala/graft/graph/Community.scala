@@ -153,7 +153,8 @@ object Community {
     * nx_comm.greedy_modularity_communities — Clauset-Newman-Moore):
     * every node starts as its own community; repeatedly merge the
     * CONNECTED pair with the largest modularity gain
-    * ΔQ = e_ij/m − 2γ·d_i·d_j/(2m)² while the best gain is positive.
+    * ΔQ = e_ij/m − 2γ·d_i·d_j/(2m)² while the best gain is NON-NEGATIVE
+    * (networkx breaks only on a negative dq, so zero-gain merges happen).
     * Ties break to the smallest (i, j). Returns (node, community),
     * community = smallest member node id.
     *
@@ -197,7 +198,7 @@ object Community {
       var bestDq = 0.0
       for (((i, j), eij) <- w) {
         val dq = eij / m - 2.0 * gamma * deg(i) * deg(j) / (twoM * twoM)
-        val better = dq > 0 && (best == null ||
+        val better = dq >= 0 && (best == null ||
           dq > bestDq + 1e-15 ||
           (math.abs(dq - bestDq) <= 1e-15 &&
             (i < best._1 || (i == best._1 && j < best._2))))
