@@ -144,6 +144,25 @@ object GraphQ {
                  / (n * (n - 1) / 2.0), 6) AS performance
       FROM stats""")),
 
+    // Eccentricity per node (nx.eccentricity, graph.py:230) — longest
+    // shortest path within the component; same all-sources BFS as
+    // closeness, max instead of sum.
+    Q("g_ecc", (s, dir) => {
+      Centrality.eccentricity(nationGraph(s, dir))
+        .select(bi(col("node")).as("node"), bi(col("eccentricity")).as("eccentricity"))
+    }, Some(s"""
+      WITH RECURSIVE $edgeSql,
+      walk(src, node, dist) AS (
+        SELECT n, n, 0 FROM nodes
+        UNION
+        SELECT w.src, und.d, w.dist + 1
+        FROM walk w JOIN und ON w.node = und.s
+        WHERE w.dist < 25
+      ),
+      sp AS (SELECT src, node, min(dist) AS dd FROM walk GROUP BY 1, 2)
+      SELECT CAST(src AS BIGINT) AS node, CAST(max(dd) AS BIGINT) AS eccentricity
+      FROM sp GROUP BY 1""")),
+
     // Connected components (nx.connected_components, graph_info
     // graph.py:73-76) — min-label propagation in Spark, recursive
     // reachability CTE in the oracle.

@@ -102,6 +102,35 @@ object EventStreams {
       }
   }
 
+  /** STREAMING twin of the TAQ tumbling trade bins (`Taq.binTrades` /
+    * A7): per (symbol, window) volume, counts, first/last/min/max price,
+    * VWAP and the volume-weighted signed effective half-spread — the
+    * identical aggregate list, under a watermark so closed bins emit
+    * once and late trades drop. On a batch frame `withWatermark` is a
+    * no-op and this equals the batch bins (parity spec'd).
+    *
+    * `aligned` carries event-time `tsCol` plus price/volume/sign/
+    * prev_mid (the `Taq.alignTrades` output shape).
+    */
+  def binTradesStream(aligned: DataFrame, tsCol: String, width: String,
+                      lateness: String): DataFrame =
+    aligned.withWatermark(tsCol, lateness)
+      .groupBy(col("symbol"), window(col(tsCol), width))
+      .agg(sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_trades"),
+        min_by(col("price"), col(tsCol)).as("first_price"),
+        max_by(col("price"), col(tsCol)).as("last_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        (sum(col("price") * col("volume")) / sum(col("volume"))).as("vwap"),
+        (sum(when(col("prev_mid").isNotNull,
+            col("sign") * (col("price") - col("prev_mid")) * col("volume")))
+          / sum(when(col("prev_mid").isNotNull, col("volume"))))
+          .as("eff_halfspread"))
+      .select(col("symbol"), col("window.start").as("bin_start"),
+        col("volume"), col("n_trades"), col("first_price"), col("last_price"),
+        col("min_price"), col("max_price"), col("vwap"), col("eff_halfspread"))
+
   /** STREAMING exact dedup — the streaming twin of the batch exact-dedup
     * (`Dedup.exactGroups` / W2): keep the first row per key column set.
     * On a stream this is Spark's native

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Top-level so Spark can derive an encoder (inner classes need outer scope). */
 case class Ev(ts: Timestamp, k: String, v: Double)
+case class AlignedTrade(ts: Timestamp, symbol: String, price: Double,
+                        volume: Long, sign: Double, prev_mid: Option[Double])
 
 /** Structured-Streaming twin of the tumbling-bin batch semantics
   * (SURVEY.md §2.8): the streamed result over a replayed event set must
@@ -120,6 +122,45 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double, Option[Double])].collect()
       .map(r => (r._1, r._2 * 1000L) -> r._4).toMap
     assert(batch == out)
+  }
+
+  test("streamed TAQ trade bins equal the batch bins (A7 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def tr(i: Int, sym: String, px: Double, vol: Long, sign: Double,
+           mid: Option[Double]) =
+      AlignedTrade(new Timestamp(t0 + i * 1000L), sym, px, vol, sign, mid)
+    val trades = Seq(
+      tr(0, "A", 10.0, 100, 1.0, Some(9.99)),
+      tr(10, "A", 10.02, 50, -1.0, Some(10.03)),
+      tr(70, "A", 10.05, 200, 1.0, Some(10.04)),  // second bin
+      tr(5, "B", 50.0, 10, 1.0, None),            // no prev_mid: excluded from spread
+      tr(20, "B", 50.10, 30, -1.0, Some(50.12)))
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      graft.streaming.EventStreams.binTradesStream(df, "ts", "1 minute", "2 minutes")
+        .select(col("symbol"), col("bin_start"), col("volume"), col("n_trades"),
+          col("first_price"), col("last_price"),
+          round(col("vwap"), 9).as("vwap"),
+          round(col("eff_halfspread"), 9).as("es"))
+
+    val mem = MemoryStream[AlignedTrade]
+    val q = agg(mem.toDF()).writeStream
+      .format("memory").queryName("bins_test").outputMode("complete").start()
+    mem.addData(trades: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("bins_test")
+      .as[(String, Timestamp, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    val batch = agg(trades.toDF())
+      .as[(String, Timestamp, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3) // A: 2 bins, B: 1 bin
+    // B's first trade has no prev_mid: spread uses only the second trade
+    val b = streamed.find(_._1 == "B").get
+    assert(math.abs(b._8 - (-1.0 * (50.10 - 50.12))) < 1e-9)
   }
 
   test("streaming exact dedup keeps first per key across batches, bounded state") {
