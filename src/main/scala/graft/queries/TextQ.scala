@@ -437,6 +437,50 @@ object TextQ {
       Similarity.ivfTopK(v, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
         .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
           col("cos"), bi(col("rank")).as("rank"))
-    }, None)
+    }, None),
+
+    // IVF with a FIXED deterministic quantizer (no k-means fit): the
+    // inverted-list mechanics — assignment, probing, candidate join,
+    // exact rescoring, top-k — replayed verbatim in DuckDB. The MLlib
+    // path above keeps the rows-only + recall-spec check.
+    Q("s_ivf2", (s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.ivfTopKFixed(v, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+        .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
+          col("cos"), bi(col("rank")).as("rank"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, e AS ce
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+      ), sl AS (
+        SELECT v.vec_id, c.list,
+               list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(e, e)]), (p, q) -> p + q)
+               + list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(ce, ce)]), (p, q) -> p + q)
+               - 2.0 * list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(e, ce)]), (p, q) -> p + q) AS cd
+        FROM v CROSS JOIN c
+      ), ranked AS (
+        SELECT vec_id, list,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cd ASC, list ASC) AS pr
+        FROM sl
+      ), assigned AS (SELECT vec_id AS n, list FROM ranked WHERE pr = 1),
+      probes AS (SELECT vec_id AS q, list FROM ranked WHERE pr <= 4),
+      cand AS (
+        SELECT DISTINCT q, n FROM probes JOIN assigned USING (list) WHERE q <> n
+      ), sc AS (
+        SELECT q, n,
+               ROUND(
+                 list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(va.e, vb.e)]), (p, c2) -> p + c2)
+                 / (sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(va.e, va.e)]), (p, c2) -> p + c2))
+                  * sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(vb.e, vb.e)]), (p, c2) -> p + c2))), 6) AS cos
+        FROM cand JOIN v va ON va.vec_id = q JOIN v vb ON vb.vec_id = n
+      ), r AS (
+        SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+        FROM sc
+      )
+      SELECT CAST(q AS BIGINT) AS query_id, CAST(n AS BIGINT) AS neighbor_id,
+             cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5"""))
   )
 }

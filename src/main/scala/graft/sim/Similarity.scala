@@ -220,6 +220,47 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** IVF with a FIXED deterministic coarse quantizer: the centroids are
+    * the `nLists` lowest-id vectors (no k-means fit — pure relational
+    * plan), assignment is argmin L2 over the broadcast centroids (ties →
+    * smallest list id), probing/candidates/rescoring identical to
+    * [[ivfTopK]]. Quantizer quality is worse than k-means, recall comes
+    * from `nProbe` — and every step replays in SQL, so this variant is
+    * DuckDB-oracle-checkable end to end (the MLlib path keeps the
+    * rows-only + recall-spec check).
+    */
+  def ivfTopKFixed(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                   nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val v = prepped(vecs, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = v.orderBy(col(idCol)).limit(nLists)
+      .select(row_number().over(Window.partitionBy(lit(1)).orderBy(idCol)).as("__rn"),
+        col("__v").as("centroid"))
+      .select((col("__rn") - 1).as("list"), col("centroid"))
+    val dist = VectorF.dotp(col("__v"), col("__v")) +
+      VectorF.dotp(col("centroid"), col("centroid")) -
+      lit(2.0) * VectorF.dotp(col("__v"), col("centroid"))
+    // membership: nearest centroid per vector
+    val wAssign = Window.partitionBy(idCol).orderBy(col("__cdist").asc, col("list").asc)
+    val scoredLists = v.select(col(idCol), col("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdist", dist)
+      .withColumn("__pr", row_number().over(wAssign))
+    val assigned = scoredLists.where(col("__pr") === 1)
+      .select(col(idCol).as("neighbor_id"), col("list"))
+    val probes = scoredLists.where(col("__pr") <= nProbe)
+      .select(col(idCol).as("query_id"), col("list"))
+    val cands = probes.join(assigned, "list")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val pairs = cands
+      .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
+        "query_id")
+      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
+        "neighbor_id")
+    topK(pairs, k)
+  }
+
   /** ANN via LSH buckets: candidates share the exact signature in at least
     * one of `tables` independent hyperplane tables; exact cosine re-scoring
     * on candidates only.
