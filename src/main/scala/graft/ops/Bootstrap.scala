@@ -31,7 +31,11 @@ object Bootstrap {
     val spark = df.sparkSession
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(idCol), col(valueCol).as("__v"))
-      .withColumn("__rid", row_number().over(Window.orderBy(idCol)) - 1)
+      // rid assignment is inherently a GLOBAL enumeration of the
+      // (bounded) observation set; run it as one named partition rather
+      // than an unpartitioned window (same plan, no WindowExec warning)
+      .withColumn("__rid",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(idCol)) - 1)
     val nObs = vals.count()
     val draws = spark.range(n.toLong * nObs)
       .select((col("id") / nObs).cast("long").as("b"),
