@@ -1,0 +1,133 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+
+/** Mutable buffer for [[CappedSortedSet]]: a distinct-value set that
+  * gives up (overflow) once it exceeds the cap, freeing its memory. Both
+  * map-side partial aggregation and the shuffled merge carry at most
+  * cap+1 values per group — the property that makes a groupBy-adjacency
+  * build safe under hub keys at scale.
+  */
+final class CappedSet(var overflow: Boolean) {
+  val values = new java.util.HashSet[java.lang.Long]()
+}
+
+/** `cappedSortedSet(child, cap)` — distinct values of an int/long column
+  * per group as a SORTED array, or NULL when the group has more than
+  * `cap` distinct values.
+  *
+  * The point versus `collect_set` + post-filter is bounded state: a hub
+  * group stops accumulating the moment it crosses the cap (update AND
+  * merge), so per-group memory and shuffle payload are O(cap), not
+  * O(group size). Used by [[graft.graph.GraphOps.linkPrediction]] to
+  * build per-neighbor adjacency lists in ONE shuffle with the
+  * hub-neighbor guard enforced inside the aggregation.
+  *
+  * Int values sort by their sign-extended long form (order-preserving).
+  */
+case class CappedSortedSet(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedSet] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_capped_sorted_set"
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType | LongType if cap > 0 => TypeCheckResult.TypeCheckSuccess
+    case IntegerType | LongType =>
+      TypeCheckResult.TypeCheckFailure(s"cap must be positive, got $cap")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"int/long column required, got $t")
+  }
+
+  override def createAggregationBuffer(): CappedSet = new CappedSet(false)
+
+  override def update(buf: CappedSet, input: InternalRow): CappedSet = {
+    if (!buf.overflow) {
+      val v = child.eval(input)
+      if (v != null) {
+        val l = v match {
+          case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+          case l: java.lang.Long => l
+        }
+        buf.values.add(l)
+        if (buf.values.size > cap) { buf.overflow = true; buf.values.clear() }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: CappedSet, other: CappedSet): CappedSet = {
+    if (other.overflow) { buf.overflow = true; buf.values.clear() }
+    else if (!buf.overflow) {
+      buf.values.addAll(other.values)
+      if (buf.values.size > cap) { buf.overflow = true; buf.values.clear() }
+    }
+    buf
+  }
+
+  override def eval(buf: CappedSet): Any =
+    if (buf.overflow) null
+    else {
+      val arr = new Array[Long](buf.values.size)
+      val it = buf.values.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      java.util.Arrays.sort(arr)
+      if (child.dataType == LongType) UnsafeArrayData.fromPrimitiveArray(arr)
+      else {
+        val ints = new Array[Int](arr.length)
+        var j = 0
+        while (j < arr.length) { ints(j) = arr(j).toInt; j += 1 }
+        UnsafeArrayData.fromPrimitiveArray(ints)
+      }
+    }
+
+  override def serialize(buf: CappedSet): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + 8 * buf.values.size)
+    bb.put(if (buf.overflow) 1.toByte else 0.toByte)
+    bb.putInt(buf.values.size)
+    val it = buf.values.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedSet = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new CappedSet(bb.get() == 1)
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.values.add(java.lang.Long.valueOf(bb.getLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedSortedSet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedSortedSet =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CappedSortedSet =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for graft's native aggregates. */
+object AggF {
+  /** Sorted distinct int/long array per group; NULL once the group
+    * exceeds `cap` distinct values (bounded state — see
+    * [[CappedSortedSet]]).
+    */
+  def cappedSortedSet(c: Column, cap: Int): Column =
+    Bridge.column(CappedSortedSet(Bridge.expression(c), cap).toAggregateExpression())
+}

@@ -25,41 +25,55 @@ object GraphOps {
     * common-neighbor count, Jaccard, Adamic-Adar, preferential
     * attachment (graph.py:295-317).
     *
+    * Duplicate (node, neighbor) rows are tolerated — both the degree agg
+    * (count_distinct) and the adjacency set dedup inside their own
+    * aggregation, so callers need NOT pre-`distinct()` the edge list
+    * (that's a whole extra shuffle + materialization of the raw edges).
+    *
     * A shared neighbor of degree d emits d² pair rows, so one hub
     * neighbor dominates the join at scale; `maxNeighborDegree` drops
     * hub neighbors from pair generation (node degrees for Jaccard /
-    * pref-attach stay full). The neighbor-degree join runs BEFORE the
-    * self-join — once per edge, not once per generated pair.
+    * pref-attach stay full). The per-neighbor adjacency list is built in
+    * ONE shuffle with [[graft.functions.AggF.cappedSortedSet]] — the
+    * guard is enforced INSIDE the aggregation (a hub group stops
+    * accumulating and yields NULL the moment it crosses the cap, on the
+    * map side too), replacing the former distinct + degree-count + join
+    * + collect four-shuffle pipeline with identical semantics.
     */
   def linkPrediction(edges0: DataFrame, node: String, neighbor: String,
                      maxNeighborDegree: Int = Int.MaxValue): DataFrame = {
-    // three consumers (node degrees, neighbor degrees, pair generation)
-    // read the edge list — persist so the upstream build (often a join +
-    // distinct) runs once per action instead of three times
-    val edges = edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy(col(node).as("n")).agg(count(lit(1)).as("deg"))
-    // per-NEIGHBOR weights computed once per edge (1/log d, 1/d) — the
-    // pair join multiplies rows by the shared-neighbor degree, so any
-    // per-row arithmetic there runs d× more often
-    // nbdeg == 1 neighbors can never form a pair (and 1/log(1) divides by
-    // zero under ANSI) — drop them before the self-join
-    val nbrDeg = edges.groupBy(col(neighbor).as("nb")).agg(count(lit(1)).as("nbdeg"))
-      .where(col("nbdeg") > 1 && col("nbdeg") <= maxNeighborDegree)
-      .select(col("nb"), (lit(1.0) / log(col("nbdeg"))).as("w_aa"),
-        (lit(1.0) / col("nbdeg")).as("w_ra"))
-    // pair generation from per-neighbor adjacency lists: one groupBy
-    // builds the (sorted) node list per shared neighbor, a native
-    // generator emits its d(d−1)/2 pairs — replaces the self-join whose
-    // 24M-row hash probe dominated this query's wall time. List size is
-    // bounded by maxNeighborDegree.
-    val e = edges.select(col(node).as("n"), col(neighbor).as("nb"))
-      .join(nbrDeg, "nb")
-    // the adjacency frame is tiny (one row per neighbor) so AQE coalesces
-    // it to ~1 partition — but each row EXPLODES into d²/2 pairs, so
-    // repartition by neighbor first or the expansion runs single-threaded
-    val byNbr = e.groupBy("nb")
-      .agg(sort_array(collect_list(col("n"))).as("ns"),
-        first("w_aa").as("w_aa"), first("w_ra").as("w_ra"))
+    // two consumers (node degrees, pair generation) scan the edge list.
+    // Deliberately NOT persisted: profiled at sf0.1, the InMemoryRelation
+    // build + columnar re-scan cost ~4.7 s while the saved re-scan of a
+    // codegen'd broadcast-join upstream is ~1 s. Callers with a genuinely
+    // expensive upstream can persist before calling.
+    val edges = edges0
+    val deg = edges.groupBy(col(node).as("n"))
+      .agg(count_distinct(col(neighbor)).as("deg"))
+    // one groupBy builds the sorted adjacency list per shared neighbor; a
+    // native generator then emits its d(d−1)/2 pairs — no self-join. The
+    // per-neighbor weights (1/log d, 1/d) come from size(ns) = the true
+    // neighbor degree (kept groups never overflowed). nbdeg == 1
+    // neighbors can't form a pair — dropped before the weight arithmetic
+    // (also keeps 1/log(1) out of the plan).
+    val cappable = edges.schema(node).dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val adj =
+      if (cappable)
+        edges.groupBy(col(neighbor).as("nb"))
+          .agg(graft.functions.AggF.cappedSortedSet(col(node), maxNeighborDegree).as("ns"))
+          .where(col("ns").isNotNull)
+      else // non-int ids: plain collect_set, guard applied after the fact
+        edges.groupBy(col(neighbor).as("nb"))
+          .agg(sort_array(collect_set(col(node))).as("ns"))
+          .where(size(col("ns")) <= maxNeighborDegree)
+    val byNbr = adj.where(size(col("ns")) > 1)
+      .select(col("ns"),
+        (lit(1.0) / log(size(col("ns")).cast("double"))).as("w_aa"),
+        (lit(1.0) / size(col("ns")).cast("double")).as("w_ra"))
     // int node ids take the PACKED pair path: each pair is one primitive
     // long (a<<32)|b — the explode emits primitive longs (no per-pair row
     // allocation) and the d²/2-row aggregation runs on a single primitive

@@ -231,12 +231,13 @@ object Batch2 {
     // common neighbors, Jaccard, Adamic-Adar, preferential attachment
     // (graph.py:295-317).
     Q("g_linkpred", (s, dir) => {
-      // linkPrediction persists the edge list internally — its three
-      // consumers (degrees both sides + pair generation) otherwise re-run
-      // this join+distinct per branch (profiled: 2s x3 of a 10s query)
+      // NO .distinct() here: linkPrediction dedups inside its own aggs
+      // (count_distinct degrees + set-valued adjacency), so the raw
+      // join output feeds it directly — the distinct was a whole extra
+      // shuffle + cache materialization of the edge list
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust")).distinct()
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
       // maxNeighborDegree=500 is the hub guard (observed max customer
       // degree 102 at sf0.1 — a no-op here, the ceiling at scale); the
       // oracle applies the identical cap

@@ -156,4 +156,75 @@ class FunctionsSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { case (a, b) => assert(a == b) }
   }
+
+  test("cappedSortedSet: distinct, sorted, cap overflow -> null, nulls ignored") {
+    import graft.functions.AggF
+    // 8 partitions force map-side partial buffers + a shuffled merge
+    val df = Seq(
+      (1, 5), (1, 3), (1, 5), (1, -2), // group 1: 3 distinct
+      (2, 1), (2, 2), (2, 3), (2, 4),  // group 2: 4 distinct > cap 3
+      (3, 7)                           // group 3: singleton
+    ).toDF("g", "v").repartition(8)
+    val out = df.groupBy("g").agg(AggF.cappedSortedSet(col("v"), 3).as("ns"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Int](1))).toMap
+    assert(out(1).get == Seq(-2, 3, 5)) // sorted incl. negative
+    assert(out(2).isEmpty)              // overflow -> null
+    assert(out(3).get == Seq(7))
+    // nulls in the column are ignored, not collected
+    val withNull = Seq((1, Some(2)), (1, None), (1, Some(1)))
+      .toDF("g", "v").repartition(4)
+      .groupBy("g").agg(AggF.cappedSortedSet(col("v"), 10).as("ns"))
+      .head().getSeq[Int](1)
+    assert(withNull == Seq(1, 2))
+  }
+
+  test("cappedSortedSet long ids match collect_set + post-filter") {
+    import graft.functions.AggF
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 2000).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(60).toLong))
+      .toDF("g", "v").repartition(16)
+    val capped = df.groupBy("g").agg(AggF.cappedSortedSet(col("v"), 25).as("ns"))
+      .where(col("ns").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val naive = df.groupBy("g").agg(sort_array(collect_set(col("v"))).as("ns"))
+      .where(size(col("ns")) <= 25)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(capped == naive)
+  }
+
+  test("linkPrediction matches a naive pair computation on a random bipartite graph") {
+    import graft.graph.GraphOps
+    val rnd = new scala.util.Random(11)
+    // duplicated edge rows on purpose: the operator dedups internally
+    val raw = (0 until 3000).map(_ => (rnd.nextInt(50), rnd.nextInt(80)))
+    val edges = raw.toDF("n", "nb")
+    val got = GraphOps.linkPrediction(edges, "n", "nb", maxNeighborDegree = 60)
+      .select("n_a", "n_b", "common", "jaccard", "adamic_adar", "pref_attach")
+      .as[(Int, Int, Long, Double, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
+    // naive: per-neighbor member lists -> all pairs, degrees from the
+    // DEDUPED edge list
+    val es = raw.distinct.toArray
+    val deg = es.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val byNbr = es.groupBy(_._2).filter { case (_, v) => v.length <= 60 }
+    val pairs = scala.collection.mutable.Map[(Int, Int), (Long, Double, Double)]()
+    byNbr.foreach { case (_, mem) =>
+      val ns = mem.map(_._1).distinct.sorted
+      val d = ns.length.toDouble
+      for (i <- ns.indices; j <- (i + 1) until ns.length) {
+        val k = (ns(i), ns(j))
+        val (c, aa, ra) = pairs.getOrElse(k, (0L, 0.0, 0.0))
+        pairs(k) = (c + 1, aa + 1.0 / math.log(d), ra + 1.0 / d)
+      }
+    }
+    val want = pairs.map { case ((a, b), (c, aa, ra)) =>
+      (a, b) -> ((c, c.toDouble / (deg(a) + deg(b) - c), aa, deg(a).toLong * deg(b)))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (c, j, aa, pa)) =>
+      val (wc, wj, waa, wpa) = want(k)
+      assert(c == wc && pa == wpa, s"$k")
+      assert(math.abs(j - wj) < 1e-12 && math.abs(aa - waa) < 1e-9, s"$k")
+    }
+  }
 }
