@@ -74,6 +74,56 @@ object EventsQ {
              MAX(us) - MIN(us) AS dur_us
       FROM z GROUP BY 1, 2""")),
 
+    // STREAMING MinHash+LSH near-dup candidates (NearDupStream.
+    // lshCandidates) run on the batch frame — the stateful per-bucket
+    // pair generation degenerates to all-pairs per bucket, so DuckDB
+    // replays it from the t_minhash signature CTEs. est_jaccard is the
+    // signature-agreement estimate (matching positions / 64).
+    Q("e_lshdup", (s, dir) => {
+      graft.streaming.NearDupStream
+        .lshCandidates(Tables.documents(s, dir), "doc_id", "text",
+          maxBucketSize = 100000)
+        .toDF().distinct()
+        .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"),
+          r6(col("est_jaccard")).as("est_jaccard"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z_]+'), x -> len(x) >= 3) AS tk
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(s) AS sg FROM sh
+      ), hx AS (
+        SELECT doc_id, sg,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
+                + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 131 + c) % 998244353)) % 2147483647 AS x
+        FROM ex
+      ), mh AS (
+        SELECT doc_id, sd.s,
+               min(((sd.s * 2654435761 + x + 1) * 48271 % 2147483647 * 16807) % 2147483647) AS v
+        FROM hx CROSS JOIN range(64) sd(s) GROUP BY 1, 2
+      ), sig AS (
+        SELECT doc_id, list(v ORDER BY s) AS sig FROM mh GROUP BY 1
+      ), banded AS (
+        SELECT doc_id, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
+        FROM sig CROSS JOIN range(16) t2(b)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      )
+      SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+             ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0, 6) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b""")),
+
     // JSON prop extraction + agg (the driver's events.props column;
     // reference analog: Mongo doc field access unstructured.py:59-154).
     Q("e_json", (s, dir) => {

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Top-level so Spark can derive an encoder (inner classes need outer scope). */
 case class Ev(ts: Timestamp, k: String, v: Double)
+case class DocRow(doc_id: Long, text: String)
+case class TsDocRow(doc_id: Long, ts: Timestamp, text: String)
 case class AlignedTrade(ts: Timestamp, symbol: String, price: Double,
                         volume: Long, sign: Double, prev_mid: Option[Double])
 
@@ -234,5 +236,96 @@ class StreamingSpec extends SparkSpec {
     val viaState = EventStreams.runningDrawdown(staticEvents.toDS())
       .collect().map(r => (r.key, r.ts.getTime - t0) -> (r.cum, r.drawdown)).toMap
     assert(viaState == out)
+  }
+
+  test("streaming LSH near-dup candidates equal batch candidate pairs across batches") {
+    import graft.streaming.{NearDupStream, LshCandidate}
+    import graft.text.{NearDup, TextOps}
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with planted near-dups: bases + one-word mutations
+    // (alphabetic vocab — digits are token separators in TextOps.tokens)
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 300).map(i =>
+      "" + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar + ('a' + i % 7).toChar)
+    def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(300))).mkString(" ")
+    val bases = (0 until 15).map(i => (i.toLong, words(60)))
+    val dups = bases.take(6).map { case (i, t) =>
+      (100L + i, t.split(" ").toIndexedSeq.updated(3, "zzz").mkString(" "))
+    }
+    val docs = (bases ++ dups).map { case (i, t) => DocRow(i, t) }
+
+    val mem = MemoryStream[DocRow]
+    val q = NearDupStream.lshCandidates(mem.toDF(), "doc_id", "text",
+        maxBucketSize = 1000)
+      .writeStream.format("memory").queryName("lsh_stream_test")
+      .outputMode("append").start()
+    // split so some near-dup pairs STRADDLE micro-batches (state carry)
+    mem.addData(docs.take(12): _*); q.processAllAvailable()
+    mem.addData(docs.drop(12): _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("lsh_stream_test")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    // batch twin: the SAME signature + banding into candidatePairs
+    val sh = docs.toDF()
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id").as("id"),
+      NearDup.minHashSig(col("sh"), 64).as("sig"))
+    val batch = NearDup.candidatePairs(
+        NearDup.lshBands(sig, "id", "sig", 16, 4), "id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed.nonEmpty)
+    // planted near-dups carry a high signature-agreement estimate
+    val ests = spark.table("lsh_stream_test").as[LshCandidate].collect()
+    assert(ests.exists(_.est_jaccard > 0.5))
+  }
+
+  test("LSH near-dup bucket cap drops degenerate buckets (bounded state)") {
+    import graft.streaming.NearDupStream
+    implicit val sqlCtx = spark.sqlContext
+    // 5 identical docs -> every band collides in one bucket; cap 3
+    val docs = (1L to 5L).map(i => DocRow(i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val mem = MemoryStream[DocRow]
+    val q = NearDupStream.lshCandidates(mem.toDF(), "doc_id", "text",
+        maxBucketSize = 3)
+      .writeStream.format("memory").queryName("lsh_cap_test")
+      .outputMode("append").start()
+    mem.addData(docs: _*); q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lsh_cap_test")
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    // the 4th arrival tips each bucket over the cap and the 5th finds it
+    // inert: pairs exist among 4 docs only (6 pairs), one doc is absent
+    assert(pairs.size == 6, s"pairs: $pairs")
+    val members = pairs.flatMap(p => Set(p._1, p._2))
+    assert(members.size == 4)
+  }
+
+  test("LSH near-dup TTL evicts stale bucket entries by event time") {
+    import graft.streaming.NearDupStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    def d(id: Long, offMin: Long) = TsDocRow(id, new Timestamp(t0 + offMin * 60000L), text)
+
+    val mem = MemoryStream[TsDocRow]
+    val q = NearDupStream.lshCandidates(mem.toDF(), "doc_id", "text",
+        tsCol = Some("ts"), ttlMs = 60 * 60000L) // 1h window
+      .writeStream.format("memory").queryName("lsh_ttl_test")
+      .outputMode("append").start()
+    // doc 1 at t0; doc 2 at +30min (within TTL -> pair);
+    // doc 3 at +120min (both stale by then -> no pair with 1 or 2)
+    mem.addData(d(1, 0)); q.processAllAvailable()
+    mem.addData(d(2, 30)); q.processAllAvailable()
+    mem.addData(d(3, 120)); q.processAllAvailable()
+    // doc 4 at +150min pairs with 3 only (within its 1h lookback)
+    mem.addData(d(4, 150)); q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lsh_ttl_test")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"pairs: $pairs")
   }
 }
