@@ -100,6 +100,28 @@ object Joins {
       SELECT cls, COUNT(*) AS n, ROUND(AVG(p_retailprice), 6) AS avg_price
       FROM part LEFT JOIN (VALUES (1, 10, 'small'), (10, 25, 'medium'), (25, 51, 'large')) d(lo, hi, cls)
         ON p_size >= lo AND p_size < hi
-      GROUP BY cls"""))
+      GROUP BY cls""")),
+
+    // Skew-salted equi-join (the brief's "salting for skew"): lineitem ⋈
+    // orders through Skew.saltedJoin must be row-identical to the plain
+    // join — the oracle is the UNSALTED SQL join, proving the salt never
+    // changes what matches.
+    Q("j15_salted", (s, dir) => {
+      graft.ops.Skew.saltedJoin(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice")),
+          Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          Seq("l_orderkey"), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(bi(count(lit(1))).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1"""))
   )
 }

@@ -202,4 +202,31 @@ class OutliersSpec extends SparkSpec {
     val out = Outliers.iqrFence(df, "v", 1.5, "f")
     assert(out.where(col("f").isNull).count() == 1)
   }
+
+  test("saltedJoin is row-identical to the plain join on a skewed key") {
+    // hot key: 5000 of 6000 left rows share k=0; right has 1-3 rows/key
+    val left = ((0 until 5000).map(i => (0, i)) ++
+      (0 until 1000).map(i => (1 + i % 50, i))).toDF("k", "lv")
+    val right = (0 until 51).flatMap(k => (0 to k % 3).map(j => (k, k * 10 + j)))
+      .toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").as[(Int, Int, Int)].collect().sorted.toSeq
+    val plain = left.join(right, Seq("k"))
+    val salted = Skew.saltedJoin(left, right, Seq("k"), buckets = 8)
+    assert(canon(salted) == canon(plain))
+    // left join: unmatched left rows appear exactly once despite salting
+    val left2 = left.union(Seq((999, -1)).toDF("k", "lv"))
+    val plainL = left2.join(right, Seq("k"), "left")
+      .select("k", "lv", "rv").as[(Int, Int, Option[Int])].collect().sorted.toSeq
+    val saltedL = Skew.saltedJoin(left2, right, Seq("k"), 8, "left")
+      .select("k", "lv", "rv").as[(Int, Int, Option[Int])].collect().sorted.toSeq
+    assert(saltedL == plainL)
+    // the join condition actually carries the salt (hot key split across
+    // buckets): the physical join keys include __salt
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("__salt"), planStr.take(500))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("k"), 8, "full_outer")
+    }
+  }
 }
