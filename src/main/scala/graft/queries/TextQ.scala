@@ -134,6 +134,99 @@ object TextQ {
              CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
       FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1""")),
 
+    // COMPOSITE corpus-cleaning pipeline — the training-data flagship:
+    // one pass scores every doc (language ID, quality, BPE-ish token
+    // count, rolling-hash fingerprint — all codegen'd kernels fused in a
+    // single Project), gates on quality, exact-dedups on the fingerprint
+    // (keep lowest doc_id), then aggregates the surviving corpus per
+    // predicted language. The only shuffles are the dedup window and the
+    // final small agg. The DuckDB oracle replays every stage.
+    Q("t_pipeline", (s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        round(TextOps.qualityScore(col("text")), 6).as("q"),
+        TextOps.bpeishTokenCount(col("text")).as("ntok"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val gated = scored.where(col("q") >= 0.65)
+      val kept = Dedup.keepFirst(gated, Seq("fp"), Seq(col("doc_id")))
+      kept.groupBy(col("pred_lang"), col("source"))
+        .agg(bi(count(lit(1))).as("n_docs"),
+          bi(sum(col("ntok"))).as("tokens"),
+          // exact decimal sum, then one double divide: avg() would sum
+          // doubles in engine-dependent order and can straddle a
+          // round-half boundary (memory: oracle-parity rules)
+          r6(dsum(col("q")) / count(lit(1))).as("avg_quality"),
+          bi(min(col("doc_id"))).as("first_doc"))
+    }, Some("""
+      WITH ql AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS DOUBLE) AS words
+        FROM documents
+      ), lid AS (
+        SELECT doc_id,
+          (len(string_split_regex(' '||lower(text)||' ', '\sthe\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sand\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sof\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sto\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sis\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sa\s'))-1) AS s_en,
+          (len(string_split_regex(' '||lower(text)||' ', '\sel\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sla\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sde\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sque\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sy\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\slos\s'))-1) AS s_es,
+          (len(string_split_regex(' '||lower(text)||' ', '\sder\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sdie\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sund\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sdas\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sist\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sein\s'))-1) AS s_de,
+          (len(string_split_regex(' '||lower(text)||' ', '\sle\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sla\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sles\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sde\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\set\s'))-1)
+          + (len(string_split_regex(' '||lower(text)||' ', '\sest\s'))-1) AS s_fr,
+          length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) * 2 AS s_zh
+        FROM documents
+      ), fp AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g') AS t
+        FROM documents
+      ), scored AS (
+        SELECT d.doc_id, d.source,
+          CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+               WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+               WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+               ELSE 'zh' END AS pred_lang,
+          ROUND(least(ql.n / 500.0, 1.0) * 0.3
+              + (CASE WHEN ql.n > 0 THEN alpha / ql.n ELSE 0.0 END) * 0.4
+              + (1.0 - (CASE WHEN ql.n > 0 THEN least(punct / ql.n * 10.0, 1.0) ELSE 0.0 END)) * 0.1
+              + least((CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END) / 8.0, 1.0) * 0.2, 6) AS q,
+          len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS ntok,
+          CAST(CASE WHEN length(fp.t) = 0 THEN 0
+               ELSE list_reduce(
+                 list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN string_split(fp.t, '')]),
+                 (a, c) -> (a * 31 + c) % 1000000007)
+               END AS BIGINT) AS fprint
+        FROM documents d
+        JOIN ql ON ql.doc_id = d.doc_id
+        JOIN lid ON lid.doc_id = d.doc_id
+        JOIN fp ON fp.doc_id = d.doc_id
+      ), kept AS (
+        SELECT * FROM scored WHERE q >= 0.65
+        QUALIFY row_number() OVER (PARTITION BY fprint ORDER BY doc_id) = 1
+      )
+      SELECT pred_lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tokens,
+             ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM kept GROUP BY 1, 2""")),
+
     // Near-dup detection: exact word-3-gram Jaccard over pairs sharing at
     // least one shingle (explode + equi-join on shingle — no O(n²) scan).
     // Shingles with document frequency > maxDf are pruned from the SETS
