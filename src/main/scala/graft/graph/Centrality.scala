@@ -36,6 +36,26 @@ object Centrality {
   private def degs(und: DataFrame): DataFrame =
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
+  /** Unnormalized power iteration in EXACT integer arithmetic:
+    * w_k(n) = number of length-k walks ending at n (w_0 ≡ 1), i.e.
+    * A^k · 1 on the symmetrized adjacency. Normalizing w_k gives the
+    * power-method eigenvector estimate — but the counts themselves are
+    * integers, so unlike [[eigenvector]] (per-iteration float L2
+    * normalization, engine-specific summation order) they replay
+    * bit-for-bit in any engine: the oracle vehicle for the eigenvector
+    * family (`g_eigen`). Fixed iteration count — one join + one agg per
+    * round, lineage linear in `iters`.
+    */
+  def walkCounts(edges: DataFrame, iters: Int): DataFrame = {
+    val und = symmetrize(edges)
+    var v = allNodes(und).withColumn("w", lit(1L))
+    for (_ <- 1 to iters) {
+      v = und.join(v, und("dst") === v("node"))
+        .groupBy(und("src").as("node")).agg(sum("w").as("w"))
+    }
+    v
+  }
+
   private def allNodes(und: DataFrame): DataFrame =
     und.select(col("src").as("node")).distinct()
 

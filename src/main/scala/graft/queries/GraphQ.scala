@@ -104,6 +104,29 @@ object GraphQ {
                ELSE 0.0 END, 6) AS closeness
       FROM agg""")),
 
+    // Eigenvector-direction estimate via EXACT walk counting
+    // (nx.eigenvector_centrality graph.py:198; power method A^k·1 with
+    // integer counts — cross-engine exact, unlike per-iteration float
+    // normalization). score = walks / max(walks).
+    Q("g_eigen", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Centrality.walkCounts(nationGraph(s, dir), iters = 6)
+        .withColumn("__mx", max("w").over(Window.partitionBy(lit(1))))
+        .select(bi(col("node")).as("node"), bi(col("w")).as("walks"),
+          r6(col("w").cast("double") / col("__mx")).as("score"))
+    }, Some(s"""
+      WITH $edgeSql,
+      v0 AS (SELECT n AS node, CAST(1 AS BIGINT) AS w FROM nodes),
+      v1 AS (SELECT und.s AS node, SUM(w) AS w FROM und JOIN v0 ON und.d = v0.node GROUP BY 1),
+      v2 AS (SELECT und.s AS node, SUM(w) AS w FROM und JOIN v1 ON und.d = v1.node GROUP BY 1),
+      v3 AS (SELECT und.s AS node, SUM(w) AS w FROM und JOIN v2 ON und.d = v2.node GROUP BY 1),
+      v4 AS (SELECT und.s AS node, SUM(w) AS w FROM und JOIN v3 ON und.d = v3.node GROUP BY 1),
+      v5 AS (SELECT und.s AS node, SUM(w) AS w FROM und JOIN v4 ON und.d = v4.node GROUP BY 1),
+      v6 AS (SELECT und.s AS node, SUM(w) AS w FROM und JOIN v5 ON und.d = v5.node GROUP BY 1)
+      SELECT CAST(node AS BIGINT) AS node, CAST(w AS BIGINT) AS walks,
+             ROUND(CAST(w AS DOUBLE) / MAX(w) OVER (), 6) AS score
+      FROM v6""")),
+
     // Community quality of the region partition (nx_comm.modularity +
     // partition_quality, graph.py:271-287): one row of
     // (communities, modularity, coverage, performance).

@@ -145,4 +145,18 @@ class CommunitySpec extends SparkSpec {
     val q = Community.modularity(edges, out)
     assert(math.abs(q - 0.42602040816326536) < 1e-9, s"modularity $q")
   }
+
+  test("walkCounts: exact A^k·1 on a star graph, alternating center/leaf counts") {
+    // star: 0 is the hub of leaves 1..3; w0 ≡ 1
+    // k=1: hub = 3 (one per leaf), leaf = 1 (from the hub)
+    // k=2: hub = 3·1, leaf = 3       k=3: hub = 9, leaf = 3
+    val star = Seq((0, 1), (0, 2), (0, 3)).toDF("src", "dst")
+    val w3 = Centrality.walkCounts(star, iters = 3)
+      .as[(Int, Long)].collect().toMap
+    assert(w3(0) == 9L && w3(1) == 3L && w3(2) == 3L && w3(3) == 3L, s"$w3")
+    // direction agrees with eigenvector centrality on the same graph:
+    // hub strictly dominates the (equal) leaves
+    val ev = Centrality.eigenvector(star).as[(Int, Double)].collect().toMap
+    assert(ev(0) > ev(1) && math.abs(ev(1) - ev(2)) < 1e-9)
+  }
 }
