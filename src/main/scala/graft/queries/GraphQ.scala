@@ -85,7 +85,9 @@ object GraphQ {
     // graph.py:228) — all-sources BFS in Spark, recursive CTE in the
     // oracle.
     Q("g_closeness", (s, dir) => {
-      Centrality.closeness(nationGraph(s, dir))
+      // size-guarded local BFS — see g_ecc; Centrality.closeness is the
+      // corpus-scale path
+      Centrality.closenessLocal(nationGraph(s, dir))
         .select(bi(col("node")).as("node"), r6(col("closeness")).as("closeness"))
     }, Some(s"""
       WITH RECURSIVE $edgeSql,
@@ -171,7 +173,10 @@ object GraphQ {
     // shortest path within the component; same all-sources BFS as
     // closeness, max instead of sum.
     Q("g_ecc", (s, dir) => {
-      Centrality.eccentricity(nationGraph(s, dir))
+      // the aggregated nation graph is ≤ 25 nodes — the size-guarded
+      // local BFS (same values, spec'd equal to the distributed form)
+      // skips ~2 Spark jobs per BFS level
+      Centrality.eccentricityLocal(nationGraph(s, dir))
         .select(bi(col("node")).as("node"), bi(col("eccentricity")).as("eccentricity"))
     }, Some(s"""
       WITH RECURSIVE $edgeSql,

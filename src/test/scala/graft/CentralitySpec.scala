@@ -146,6 +146,30 @@ class CommunitySpec extends SparkSpec {
     assert(math.abs(q - 0.42602040816326536) < 1e-9, s"modularity $q")
   }
 
+  test("local BFS closeness/eccentricity equal the distributed forms (incl. disconnected)") {
+    // two components: a random blob + a separate triangle — exercises
+    // the wf_improved component scaling
+    val rnd = new scala.util.Random(3)
+    val blob = (0 until 120).map(_ => (rnd.nextInt(20), rnd.nextInt(20)))
+      .filter(e => e._1 != e._2)
+    val tri = Seq((100, 101), (101, 102), (102, 100))
+    val edges = (blob ++ tri).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.select(col("node").cast("long"), col(v).cast("double"))
+        .as[(Long, Double)].collect().toMap
+    val cDist = m(Centrality.closeness(edges), "closeness")
+    val cLoc = m(Centrality.closenessLocal(edges), "closeness")
+    assert(cDist.keySet == cLoc.keySet)
+    cDist.foreach { case (k, v) => assert(math.abs(v - cLoc(k)) < 1e-12, s"node $k") }
+    val eDist = m(Centrality.eccentricity(edges), "eccentricity")
+    val eLoc = m(Centrality.eccentricityLocal(edges), "eccentricity")
+    assert(eDist == eLoc)
+    // the guard refuses oversized graphs
+    intercept[IllegalArgumentException] {
+      Centrality.closenessLocal(edges, maxEdges = 10)
+    }
+  }
+
   test("walkCounts: exact A^k·1 on a star graph, alternating center/leaf counts") {
     // star: 0 is the hub of leaves 1..3; w0 ≡ 1
     // k=1: hub = 3 (one per leaf), leaf = 1 (from the hub)
