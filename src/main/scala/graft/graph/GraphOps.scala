@@ -142,6 +142,38 @@ object GraphOps {
     labels
   }
 
+  /** Driver-local union-find components for a PROVABLY-SMALL aggregated
+    * graph (size-guarded collect, the closenessLocal/greedyModularity
+    * precedent): same (node, component = smallest member id) contract as
+    * [[connectedComponents]], which remains the corpus-scale path. The
+    * min-label iteration costs ~2 Spark jobs per diameter step — pure
+    * scheduler overhead at 25 nodes.
+    */
+  def connectedComponentsLocal(edges: DataFrame, maxEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = Centrality.symmetrize(edges)
+    val cnt = und.count()
+    require(cnt <= maxEdges,
+      s"local components guard: $cnt symmetrized edges > $maxEdges — use connectedComponents")
+    val es = und.selectExpr("cast(src as long)", "cast(dst as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins
+    }
+    val nodes = es.map(_._1).distinct
+    nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+  }
+
   /** One-row whole-graph summary (graph.py:30-86 `graph_info`, undirected
     * unweighted form): node/edge counts, density, transitivity
     * (3·triangles / wedges), average clustering coefficient, connected
@@ -149,11 +181,14 @@ object GraphOps {
     *
     * Everything except the component iteration is ONE lazy plan; the
     * component frame comes from [[connectedComponents]] (inherently
-    * iterative) and joins in as a small aggregate.
+    * iterative) — or, with `smallGraph = true`, from the size-guarded
+    * local union-find — and joins in as a small aggregate.
     */
-  def graphInfo(edges: DataFrame): DataFrame = {
+  def graphInfo(edges: DataFrame, smallGraph: Boolean = false): DataFrame = {
     val cc = Centrality.clusteringCoefficient(edges)
-    val comp = connectedComponents(edges)
+    val compFrame =
+      if (smallGraph) connectedComponentsLocal(edges) else connectedComponents(edges)
+    val comp = compFrame
       .groupBy("component").agg(count(lit(1)).as("csz"))
       .agg(count(lit(1)).as("components"), max("csz").as("largest_component"))
     val und = Centrality.symmetrize(edges)

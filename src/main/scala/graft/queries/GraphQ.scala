@@ -195,7 +195,9 @@ object GraphQ {
     // graph.py:73-76) — min-label propagation in Spark, recursive
     // reachability CTE in the oracle.
     Q("g_components", (s, dir) => {
-      GraphOps.connectedComponents(nationGraph(s, dir))
+      // size-guarded local union-find — see g_ecc; connectedComponents
+      // (min-label propagation) is the corpus-scale path
+      GraphOps.connectedComponentsLocal(nationGraph(s, dir))
         .select(bi(col("node")).as("node"), bi(col("component")).as("component"))
     }, Some(s"""
       WITH RECURSIVE $edgeSql,
@@ -210,7 +212,7 @@ object GraphQ {
     // Whole-graph one-row summary (graph_info graph.py:30-86): counts,
     // density, transitivity, average clustering, components.
     Q("g_info", (s, dir) => {
-      GraphOps.graphInfo(nationGraph(s, dir))
+      GraphOps.graphInfo(nationGraph(s, dir), smallGraph = true)
         .select(bi(col("nodes")).as("nodes"), bi(col("edges")).as("edges"),
           r6(col("density")).as("density"),
           r6(col("transitivity")).as("transitivity"),

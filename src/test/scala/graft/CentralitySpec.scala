@@ -168,6 +168,14 @@ class CommunitySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Centrality.closenessLocal(edges, maxEdges = 10)
     }
+    // local union-find components equal the distributed min-label form
+    import graft.graph.GraphOps
+    val ccDist = GraphOps.connectedComponents(edges)
+      .select(col("node").cast("long"), col("component").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val ccLoc = GraphOps.connectedComponentsLocal(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDist == ccLoc)
   }
 
   test("walkCounts: exact A^k·1 on a star graph, alternating center/leaf counts") {
