@@ -124,6 +124,44 @@ object EventsQ {
       JOIN sig sa ON sa.doc_id = c.id_a
       JOIN sig sb ON sb.doc_id = c.id_b""")),
 
+    // STREAMING embedding-ANN near-dup candidates (AnnStream.
+    // cosineCandidates) on the batch frame — stateful hyperplane-LSH
+    // buckets; DuckDB replays the s_lsh arithmetic-hyperplane signatures
+    // and the exact cosine.
+    Q("e_annstream", (s, dir) => {
+      graft.streaming.AnnStream
+        .cosineCandidates(Tables.embeddings(s, dir), "vec_id", "embedding",
+          planes = 12, tables = 4, maxBucketSize = 100000)
+        .toDF().distinct()
+        .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"),
+          r6(col("cos")).as("cos"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), comp AS (
+        SELECT p,
+               [ (CAST((((p * 2654435761 + d * 40503 + 1) * 48271 % 2147483647 * 16807) % 2147483647) % 2000001 AS DOUBLE) / 1000000.0) - 1.0
+                 FOR d IN range(0, 64) ] AS cl
+        FROM range(48) t(p)
+      ), proj AS (
+        SELECT vec_id, p,
+               list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(e, cl)]), (a, b) -> a + b) AS pr
+        FROM v CROSS JOIN comp
+      ), sig AS (
+        SELECT vec_id, p // 12 AS tbl,
+               sum(CASE WHEN pr >= 0 THEN 1 << (p % 12) ELSE 0 END) AS sg
+        FROM proj GROUP BY 1, 2
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sg = b.sg AND a.vec_id < b.vec_id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(
+               list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(va.e, vb.e)]), (p, c) -> p + c)
+               / (sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(va.e, va.e)]), (p, c) -> p + c))
+                * sqrt(list_reduce(list_prepend(0.0, [x[1] * x[2] FOR x IN list_zip(vb.e, vb.e)]), (p, c) -> p + c))), 6) AS cos
+      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b""")),
+
     // JSON prop extraction + agg (the driver's events.props column;
     // reference analog: Mongo doc field access unstructured.py:59-154).
     Q("e_json", (s, dir) => {

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One hyperplane-LSH-banded vector row: `bucket` renders (table,
+  * signature), `vec` is the double-cast embedding. Top-level for
+  * encoders.
+  */
+case class VecBanded(bucket: String, id: Long, vec: Seq[Double], ts: Long)
+
+case class VecEntry(id: Long, vec: Seq[Double], norm: Double, ts: Long)
+
+case class VecBucketState(docs: List[VecEntry], inert: Boolean)
+
+case class AnnCandidate(id_a: Long, id_b: Long, cos: Double)
+
+/** STREAMING embedding-cosine near-duplicate candidates — the §2.8 twin
+  * of [[graft.sim.Similarity.cosineDups]]' candidate stage: "is this
+  * incoming embedding a near-dup of anything recent?" over an unbounded
+  * vector stream.
+  *
+  * Per arriving vector: the one-pass hyperplane projection kernel →
+  * per-table sign signatures (per-row maps, no shuffle) → ONE shuffle on
+  * the (table, signature) bucket into `flatMapGroupsWithState`. Each
+  * arrival emits a candidate pair against every retained vector in its
+  * bucket with the EXACT cosine (left-to-right dot-product accumulation,
+  * the same order as `VectorF.dotp` and the DuckDB oracle — bit-stable
+  * cross-engine).
+  *
+  * State is bounded exactly like [[NearDupStream.lshCandidates]]: a
+  * bucket crossing `maxBucketSize` goes inert (a degenerate
+  * all-near-identical shard), and with a `tsCol` each arrival lazily
+  * evicts entries older than `ttlMs` relative to its own event time —
+  * no engine timers, so batch replay is identical. Pairs colliding in
+  * several tables are emitted once per table — deduplicate downstream.
+  *
+  * On a BATCH frame this degenerates to per-bucket all-pairs generation
+  * (parity spec'd against cosineDups' candidate set; oracle-checked as
+  * `e_annstream` with the s_lsh arithmetic-hyperplane SQL).
+  */
+object AnnStream {
+
+  def cosineCandidates(vecs: DataFrame, idCol: String, vecCol: String,
+                       tsCol: Option[String] = None,
+                       planes: Int = 8, tables: Int = 8,
+                       maxBucketSize: Int = 256,
+                       ttlMs: Long = Long.MaxValue): Dataset[AnnCandidate] = {
+    import vecs.sparkSession.implicits._
+    val tsExpr: Column = tsCol match {
+      case Some(c) => col(c).cast("timestamp").cast("long") * 1000L
+      case None => lit(0L)
+    }
+    val p = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"),
+      graft.sim.Similarity.lshProjections(col(vecCol), planes, tables).as("__p"),
+      tsExpr.as("ts"))
+    val banded = p.select(col("id"), col("vec"), col("ts"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            graft.sim.Similarity.packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
+      .select(concat_ws(":", col("s.tbl"), col("s.sig")).as("bucket"),
+        col("id"), col("vec"), col("ts"))
+      .as[VecBanded]
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[VecBucketState, AnnCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[VecBanded], state: GroupState[VecBucketState]) =>
+          var st = state.getOption.getOrElse(VecBucketState(Nil, inert = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnnCandidate]
+          it.toArray.sortBy(r => (r.ts, r.id)).foreach { r =>
+            if (!st.inert) {
+              if (ttlMs != Long.MaxValue)
+                st = st.copy(docs = st.docs.filter(_.ts >= r.ts - ttlMs))
+              val rNorm = math.sqrt(dot(r.vec, r.vec))
+              st.docs.foreach { e =>
+                if (e.id != r.id) {
+                  val (a, b) = if (e.id < r.id) (e.id, r.id) else (r.id, e.id)
+                  out += AnnCandidate(a, b, dot(e.vec, r.vec) / (e.norm * rNorm))
+                }
+              }
+              st =
+                if (st.docs.length >= maxBucketSize) VecBucketState(Nil, inert = true)
+                else st.copy(docs = VecEntry(r.id, r.vec, rNorm, r.ts) :: st.docs)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

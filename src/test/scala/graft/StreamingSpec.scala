@@ -304,6 +304,40 @@ class StreamingSpec extends SparkSpec {
     assert(members.size == 4)
   }
 
+  test("streaming ANN candidates equal the batch LSH bucket pairs across batches") {
+    import graft.streaming.{AnnStream, AnnCandidate}
+    import graft.sim.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val dups = bases.take(8).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val all = bases ++ dups
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnStream.cosineCandidates(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        planes = 8, tables = 8, maxBucketSize = 1000)
+      .writeStream.format("memory").queryName("ann_stream_test")
+      .outputMode("append").start()
+    mem.addData(all.take(17): _*); q.processAllAvailable()
+    mem.addData(all.drop(17): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ann_stream_test")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    // batch twin: cosineDups with no threshold = the candidate set
+    val batch = Similarity.cosineDups(all.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = -2.0, planes = 8, tables = 8)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+    // planted near-identical vectors score ~1
+    val ests = spark.table("ann_stream_test").as[AnnCandidate].collect()
+    assert(ests.exists(_.cos > 0.99))
+  }
+
   test("LSH near-dup TTL evicts stale bucket entries by event time") {
     import graft.streaming.NearDupStream
     implicit val sqlCtx = spark.sqlContext
