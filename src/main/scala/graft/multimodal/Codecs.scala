@@ -16,10 +16,12 @@ object Codecs {
   final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
   final case class PpmImage(width: Int, height: Int, rgb: Array[Byte])
 
-  /** Parse a RIFF/WAVE container with PCM-16 data (the canonical
-    * 44-byte-header layout plus any extra chunks before `data`).
-    * Returns None when the container is malformed — a media lake gates
-    * on this rather than throwing.
+  /** Parse a RIFF/WAVE container: PCM-16 (format 1) plus the REAL
+    * compressed telephony codecs — G.711 A-law (format 6) and μ-law
+    * (format 7), 8-bit log-companded samples expanded to 16-bit PCM by
+    * the standard G.711 segment tables. Returns None when the container
+    * is malformed or the codec is unknown — a media lake gates on this
+    * rather than throwing.
     */
   def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
     if (bytes.length < 44) return None
@@ -27,6 +29,7 @@ object Codecs {
     if (b.getInt(0) != 0x46464952 /* "RIFF" */ ||
         b.getInt(8) != 0x45564157 /* "WAVE" */) return None
     var pos = 12
+    var fmtTag = -1
     var fmtRate = -1
     var fmtChannels = -1
     var fmtBits = -1
@@ -37,7 +40,7 @@ object Codecs {
       val size = b.getInt(pos + 4)
       if (size < 0 || pos + 8 + size > bytes.length) return None
       if (id == 0x20746d66 /* "fmt " */ && size >= 16) {
-        if (b.getShort(pos + 8) != 1) return None // PCM only
+        fmtTag = b.getShort(pos + 8)
         fmtChannels = b.getShort(pos + 10)
         fmtRate = b.getInt(pos + 12)
         fmtBits = b.getShort(pos + 22)
@@ -47,12 +50,101 @@ object Codecs {
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (fmtRate <= 0 || fmtChannels <= 0 || fmtBits != 16 || dataOff < 0) return None
-    val n = dataLen / 2
-    val samples = new Array[Short](n)
-    var i = 0
-    while (i < n) { samples(i) = b.getShort(dataOff + 2 * i); i += 1 }
-    Some(WavAudio(fmtRate, fmtChannels, samples))
+    if (fmtRate <= 0 || fmtChannels <= 0 || dataOff < 0) return None
+    fmtTag match {
+      case 1 if fmtBits == 16 =>
+        val n = dataLen / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) { samples(i) = b.getShort(dataOff + 2 * i); i += 1 }
+        Some(WavAudio(fmtRate, fmtChannels, samples))
+      case 6 | 7 if fmtBits == 8 => // G.711 A-law / μ-law
+        val samples = new Array[Short](dataLen)
+        var i = 0
+        while (i < dataLen) {
+          val raw = bytes(dataOff + i)
+          samples(i) = if (fmtTag == 7) muLawToPcm(raw) else aLawToPcm(raw)
+          i += 1
+        }
+        Some(WavAudio(fmtRate, fmtChannels, samples))
+      case _ => None
+    }
+  }
+
+  /** G.711 μ-law byte → 16-bit linear PCM (ITU-T standard expansion:
+    * BIAS 0x84, 3-bit segment, 4-bit mantissa).
+    */
+  def muLawToPcm(u: Byte): Short = {
+    val x = ~u & 0xFF
+    var t = ((x & 0x0F) << 3) + 0x84
+    t <<= (x & 0x70) >> 4
+    (if ((x & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law byte → 16-bit linear PCM (ITU-T standard expansion:
+    * XOR 0x55, segment-scaled mantissa; sign bit SET means positive).
+    */
+  def aLawToPcm(a: Byte): Short = {
+    val x = (a ^ 0x55) & 0xFF
+    var t = (x & 0x0F) << 4
+    val seg = (x & 0x70) >> 4
+    seg match {
+      case 0 => t += 8
+      case 1 => t += 0x108
+      case s => t += 0x108; t <<= s - 1
+    }
+    (if ((x & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Extract MJPEG frames from a RIFF/AVI container — REAL compressed
+    * VIDEO decode in pure JVM: the AVI chunk tree is walked by hand and
+    * each `..dc`/`..db` video chunk whose payload opens with a JPEG SOI
+    * marker decodes through the same ImageIO path as still images.
+    * Returns None for a non-AVI payload or when no frame decodes
+    * (non-JPEG video codecs — H.264 etc. — still have no JVM decoder;
+    * the stub seam remains for those only).
+    */
+  def decodeAviMjpeg(bytes: Array[Byte], maxFrames: Int = 64): Option[Seq[PpmImage]] = {
+    if (bytes.length < 12) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (b.getInt(0) != 0x46464952 /* "RIFF" */ ||
+        b.getInt(8) != 0x20495641 /* "AVI " */) return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[PpmImage]
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end && frames.length < maxFrames) {
+        val id = b.getInt(pos)
+        val size = b.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > end) return
+        if (id == 0x5453494C /* "LIST" */ && size >= 4) {
+          walk(pos + 12, pos + 8 + size) // skip the list-type fourcc
+        } else {
+          // video frame chunk: '##dc' (compressed) or '##db' (uncompressed)
+          val cc3 = (id >>> 16) & 0xFF
+          val cc4 = (id >>> 24) & 0xFF
+          if (cc3 == 'd' && (cc4 == 'c' || cc4 == 'b') && size >= 2 &&
+              bytes(pos + 8) == 0xFF.toByte && bytes(pos + 9) == 0xD8.toByte) {
+            val payload = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+            decodeImageIO(payload).foreach(frames += _)
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** Per-video features from decoded MJPEG frames:
+    * [n_frames, width, height, meanR, meanG, meanB] averaged over frames.
+    */
+  def videoFeatures(frames: Seq[PpmImage]): Array[Float] = {
+    val per = frames.map(imageFeatures)
+    val mr = per.map(_(2)).sum / frames.length
+    val mg = per.map(_(3)).sum / frames.length
+    val mb = per.map(_(4)).sum / frames.length
+    Array(frames.length.toFloat, frames.head.width.toFloat,
+      frames.head.height.toFloat, mr, mg, mb)
   }
 
   /** Parse a binary P6 PPM (maxval ≤ 255). */

@@ -15,11 +15,13 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
 
 /** Multimodal-column plumbing for the LLM-data pipeline: schema,
   * partitioning and per-partition batch iteration are real Spark.
-  * Images decode for REAL in pure JVM: P6 PPM by hand, PNG/JPEG/GIF/BMP
-  * via the JDK's built-in `javax.imageio` readers ([[Codecs]]); audio
-  * decodes RIFF/PCM WAV. Only compressed AUDIO/VIDEO codecs (MP3,
-  * H.264) are absent from the JDK, so [[decodeStub]] remains the marked
-  * seam for those.
+  * Decoded for REAL in pure JVM ([[Codecs]]): images (P6 PPM by hand,
+  * PNG/JPEG/GIF/BMP via the JDK's built-in `javax.imageio` readers),
+  * audio (RIFF WAV — PCM-16 plus the compressed G.711 A-law/μ-law
+  * telephony codecs), and video (MJPEG-in-AVI — the chunk tree walked
+  * by hand, frames through ImageIO). Only non-JPEG video and perceptual
+  * audio codecs (H.264, MP3) have no JVM decoder, so [[decodeStub]]
+  * remains the marked seam for those alone.
   *
   * Scale shape: decode/feature-extract is a per-partition map over the
   * binary column (the Scala analog of mapInPandas batches) — no shuffle;
@@ -28,10 +30,12 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
   */
 object Multimodal {
 
-  /** Real decode + feature extraction: WAV audio → [duration, rms, peak,
-    * zcr]; PPM image → [w, h, meanR, meanG, meanB]; anything else (or a
-    * malformed payload) falls back to the stub features, flagged by
-    * kind = "<kind>:stub" so the caller can gate on decode success.
+  /** Real decode + feature extraction: WAV audio (PCM/G.711) →
+    * [duration, rms, peak, zcr]; image → [w, h, meanR, meanG, meanB];
+    * MJPEG-AVI video → [n_frames, w, h, meanR, meanG, meanB]; anything
+    * else (or a malformed payload) falls back to the stub features,
+    * flagged by kind = "<kind>:stub" so the caller can gate on decode
+    * success.
     */
   def featureExtractReal(media: Dataset[Media], stubDim: Int = 4): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -41,6 +45,7 @@ object Multimodal {
         val decoded: Option[Array[Float]] = m.kind match {
           case "audio" => Codecs.decodeWav(m.bytes).map(Codecs.audioFeatures)
           case "image" => Codecs.decodeImage(m.bytes).map(Codecs.imageFeatures)
+          case "video" => Codecs.decodeAviMjpeg(m.bytes).map(Codecs.videoFeatures)
           case _ => None
         }
         decoded match {

@@ -109,6 +109,94 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(11L).features(4) - 220f) < 12f)
   }
 
+  test("real G.711 mu-law/A-law WAV decode (compressed audio, format tags 7/6)") {
+    import graft.multimodal.Codecs
+    // encode PCM -> G.711 with the reference compressors, decode back
+    def muLawEncode(pcm: Short): Byte = {
+      val BIAS = 0x84
+      var x = pcm.toInt
+      val sign = if (x < 0) { x = -x; 0x80 } else 0
+      if (x > 32635) x = 32635
+      x += BIAS
+      var seg = 0
+      while (seg < 8 && x > (0xFF << seg)) seg += 1
+      val mant = (x >> (seg + 3)) & 0x0F
+      (~(sign | (seg << 4) | mant)).toByte
+    }
+    def wavG711(tag: Int, data: Array[Byte], rate: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(36 + data.length); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(16); b.putShort(tag.toShort); b.putShort(1)
+      b.putInt(rate); b.putInt(rate); b.putShort(1); b.putShort(8)
+      b.put("data".getBytes); b.putInt(data.length)
+      b.put(data)
+      b.array()
+    }
+    // mu-law round trip: decode(encode(x)) within segment quantization
+    val pcm = Array[Short](0, 1000, -1000, 8000, -8000, 30000, -30000)
+    pcm.foreach { x =>
+      val rt = Codecs.muLawToPcm(muLawEncode(x))
+      assert(math.abs(rt - x) <= math.max(64, math.abs(x / 16)), s"mu-law $x -> $rt")
+    }
+    // A-law golden points from the ITU tables: 0x55 decodes to 8 (smallest
+    // positive gets sign bit SET -> 0xD5), 0x2A is the negative mirror
+    assert(Codecs.aLawToPcm(0xD5.toByte) == 8)
+    assert(Codecs.aLawToPcm(0x55.toByte) == -8)
+    assert(Codecs.aLawToPcm(0xFF.toByte) == 848) // classic g711.c golden
+    // end-to-end: a mu-law WAV decodes through featureExtractReal as "audio"
+    val tone = Array.tabulate(4000)(i =>
+      (16384 * math.sin(i * 2 * math.Pi / 50)).toShort)
+    val mu = wavG711(7, tone.map(muLawEncode), 8000)
+    val f = Multimodal.featureExtractReal(Seq(Media(20L, "audio", mu, 0, 0, 8000)).toDS())
+      .collect().head
+    assert(f.kind == "audio", "G.711 mu-law must decode, not stub")
+    assert(math.abs(f.features(0) - 0.5f) < 1e-6) // 4000 samples @ 8 kHz
+    assert(math.abs(f.features(1) - 0.3535f) < 0.01) // sine rms = A/sqrt(2) = 0.354
+  }
+
+  test("real MJPEG-AVI video decode: frames through ImageIO") {
+    import graft.multimodal.Codecs
+    def jpegFrame(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes); b.putInt(payload.length); b.put(payload)
+      b.array()
+    }
+    val movi = "movi".getBytes ++
+      chunk("00dc", jpegFrame(50)) ++ chunk("00dc", jpegFrame(200))
+    val list = chunk("LIST", movi)
+    val avi = {
+      val body = "AVI ".getBytes ++ list
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(body.length); b.put(body)
+      b.array()
+    }
+    val frames = Codecs.decodeAviMjpeg(avi)
+    assert(frames.isDefined && frames.get.length == 2, s"frames: ${frames.map(_.length)}")
+    assert(frames.get.head.width == 8 && frames.get.head.height == 6)
+    // featureExtractReal: kind stays "video" (decoded), n_frames/dims/means
+    val f = Multimodal.featureExtractReal(Seq(Media(30L, "video", avi, 8, 6, 0)).toDS())
+      .collect().head
+    assert(f.kind == "video", "MJPEG-AVI must decode, not stub")
+    assert(f.features(0) == 2f && f.features(1) == 8f && f.features(2) == 6f)
+    // mean gray across the two frames ~ (50 + 200) / 2 (JPEG is lossy)
+    assert(math.abs(f.features(3) - 125f) < 8f, s"meanR ${f.features(3)}")
+    // a non-AVI payload still gates to None
+    assert(Codecs.decodeAviMjpeg("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
   test("malformed payloads fall back to the stub and are flagged") {
     val m = Seq(
       Media(3L, "audio", Array[Byte](1, 2, 3), 0, 0, 8000),
