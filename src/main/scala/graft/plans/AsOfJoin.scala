@@ -65,13 +65,18 @@ case class SortMergeAsOfExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute]
   // The merge zips child partitions pairwise, so the sides must be
   // EXACTLY co-partitioned: require ALL cluster keys (a subset-key hash
   // partitioning would satisfy plain ClusteredDistribution yet misalign
-  // the pairs) and pin the partition count (AQE may otherwise coalesce
-  // the two shuffles differently — caught by AsOfPropertySpec).
-  override def requiredChildDistribution: Seq[Distribution] = {
-    val n = conf.numShufflePartitions
-    Seq(ClusteredDistribution(leftKeys, requireAllClusterKeys = true, Some(n)),
-      ClusteredDistribution(rightKeys, requireAllClusterKeys = true, Some(n)))
-  }
+  // the pairs). The partition COUNT is deliberately NOT pinned — that is
+  // EnsureRequirements' job (it shuffles a mismatched side to the
+  // compatible count, exactly the SortMergeJoin contract), and pinning
+  // it forced a full re-shuffle of inputs already bucketed by the join
+  // key (the zero-exchange bucketed as-of, asserted in PlanSpec). AQE
+  // coalesces the two shuffled sides consistently for binary nodes and
+  // re-validates requirements after each re-plan; misalignment would
+  // fail the pairwise zip loudly (and is exercised by AsOfPropertySpec
+  // with AQE on).
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys, requireAllClusterKeys = true),
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
     (rightKeys :+ rightTime).map(a => SortOrder(a, Ascending)))

@@ -75,6 +75,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("native as-of over bucketed+sorted tables runs with zero exchange") {
+    import graft.sources.Bucketing
+    import graft.ops.AsOf
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asofbuckets").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val left = (0 until 2000).map(i => (i % 50, i / 50 * 10, i.toDouble))
+        .toDF("k", "t", "x")
+      val right = (0 until 1000).map(i => (i % 50, i / 50 * 23, i * 1.5))
+        .toDF("k", "t", "v")
+      Bucketing.writeBucketed(left, "asof_l", s"$dir/l", Seq("k"), 8)
+      Bucketing.writeBucketed(right, "asof_r", s"$dir/r", Seq("k"), 8)
+      spark.conf.set("spark.graft.asof.native", "true")
+      val j = AsOf.joinBackward(Bucketing.table(spark, "asof_l"),
+        Bucketing.table(spark, "asof_r"), Seq("k"), "t", Seq("v"),
+        allowExact = true)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeAsOf"), p.take(800)) // native operator engaged
+      assert(!p.contains("Exchange"), p.take(2000)) // co-located: zero shuffle
+      // values still correct vs the union-merge library form
+      spark.conf.set("spark.graft.asof.native", "false")
+      val lib = AsOf.joinBackward(Bucketing.table(spark, "asof_l"),
+        Bucketing.table(spark, "asof_r"), Seq("k"), "t", Seq("v"),
+        allowExact = true)
+      val a = j.select("k", "t", "x", "v").as[(Int, Int, Double, Option[Double])]
+        .collect().sorted.toSeq
+      val b = lib.select("k", "t", "x", "v").as[(Int, Int, Double, Option[Double])]
+        .collect().sorted.toSeq
+      assert(a == b)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.asof.native")
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("bucketed-by-key join plans with no exchange and no sort") {
     import graft.sources.Bucketing
     import spark.implicits._
