@@ -299,6 +299,37 @@ object Centrality {
     (stats, nodes.length)
   }
 
+  /** Unnormalized HITS power iteration in EXACT integer arithmetic on a
+    * DIRECTED edge list (the [[walkCounts]] trick applied to
+    * [[hits]]): with a_0 ≡ 1,
+    *   h_k(u) = Σ_{u→v} a_{k-1}(v),  a_k(v) = Σ_{u→v} h_k(u)
+    * — pure path counting, bit-identical in any engine, so the HITS
+    * family gets an oracle vehicle (`g_hits`). Nodes missing a side
+    * (no out-edges / no in-edges) carry 0, matching the dangling
+    * handling of the normalized float [[hits]]. Returns
+    * (node, hub_walks, auth_walks).
+    */
+  def hitsCounts(edges0: DataFrame, iters: Int,
+                 src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges0.select(col(src).as("s"), col(dst).as("d")).distinct()
+    val nodes = e.select(col("s").as("node"))
+      .unionAll(e.select(col("d").as("node"))).distinct()
+    var auth = nodes.withColumn("a", lit(1L))
+    var hub = nodes.withColumn("h", lit(1L))
+    for (_ <- 1 to iters) {
+      val h1 = e.join(auth, e("d") === auth("node"))
+        .groupBy(e("s").as("node")).agg(sum("a").as("h"))
+      hub = nodes.join(h1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+      val a1 = e.join(hub, e("s") === hub("node"))
+        .groupBy(e("d").as("node")).agg(sum("h").as("a"))
+      auth = nodes.join(a1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_walks"), col("a").as("auth_walks"))
+  }
+
   /** [[closeness]] (wf_improved), computed driver-locally under the
     * [[bfsLocalStats]] size guard.
     */

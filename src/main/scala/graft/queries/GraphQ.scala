@@ -129,6 +129,39 @@ object GraphQ {
              ROUND(CAST(w AS DOUBLE) / MAX(w) OVER (), 6) AS score
       FROM v6""")),
 
+    // HITS hub/authority via EXACT path counting on the directed
+    // customer→supplier graph (nx.hits graph.py:201; same integer-exact
+    // trick as g_eigen — the normalized float hits() is spec-only).
+    Q("g_hits", (s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      Centrality.hitsCounts(e, iters = 3)
+        .select(bi(col("node")).as("node"),
+          bi(col("hub_walks")).as("hub_walks"),
+          bi(col("auth_walks")).as("auth_walks"))
+    }, Some("""
+      WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      n AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+      a0 AS (SELECT node, CAST(1 AS BIGINT) AS a FROM n),
+      h1 AS (SELECT n.node, COALESCE(SUM(a0.a), 0) AS h
+             FROM n LEFT JOIN e ON e.s = n.node LEFT JOIN a0 ON a0.node = e.d GROUP BY 1),
+      a1 AS (SELECT n.node, COALESCE(SUM(h1.h), 0) AS a
+             FROM n LEFT JOIN e ON e.d = n.node LEFT JOIN h1 ON h1.node = e.s GROUP BY 1),
+      h2 AS (SELECT n.node, COALESCE(SUM(a1.a), 0) AS h
+             FROM n LEFT JOIN e ON e.s = n.node LEFT JOIN a1 ON a1.node = e.d GROUP BY 1),
+      a2 AS (SELECT n.node, COALESCE(SUM(h2.h), 0) AS a
+             FROM n LEFT JOIN e ON e.d = n.node LEFT JOIN h2 ON h2.node = e.s GROUP BY 1),
+      h3 AS (SELECT n.node, COALESCE(SUM(a2.a), 0) AS h
+             FROM n LEFT JOIN e ON e.s = n.node LEFT JOIN a2 ON a2.node = e.d GROUP BY 1),
+      a3 AS (SELECT n.node, COALESCE(SUM(h3.h), 0) AS a
+             FROM n LEFT JOIN e ON e.d = n.node LEFT JOIN h3 ON h3.node = e.s GROUP BY 1)
+      SELECT CAST(n.node AS BIGINT) AS node,
+             CAST(h3.h AS BIGINT) AS hub_walks,
+             CAST(a3.a AS BIGINT) AS auth_walks
+      FROM n JOIN h3 ON h3.node = n.node JOIN a3 ON a3.node = n.node""")),
+
     // Community quality of the region partition (nx_comm.modularity +
     // partition_quality, graph.py:271-287): one row of
     // (communities, modularity, coverage, performance).

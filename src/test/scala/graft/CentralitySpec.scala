@@ -178,6 +178,21 @@ class CommunitySpec extends SparkSpec {
     assert(ccDist == ccLoc)
   }
 
+  test("hitsCounts: exact hub/auth path counts on a hand-computed triangle") {
+    // 1→2, 1→3, 2→3; a0 ≡ 1
+    // h1 = (2,1,0); a1 = (0,2,3); h2 = (5,3,0); a2 = (0,5,8)
+    val e = Seq((1, 2), (1, 3), (2, 3)).toDF("src", "dst")
+    val out = Centrality.hitsCounts(e, iters = 2)
+      .as[(Int, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1) == (5L, 0L) && out(2) == (3L, 5L) && out(3) == (0L, 8L), s"$out")
+    // direction agrees with the normalized float hits(): node 1 is the
+    // top hub, node 3 the top authority
+    val hv = Centrality.hits(e).select("node", "hub", "authority")
+      .as[(Int, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(hv(1)._1 > hv(2)._1 && hv(3)._2 > hv(2)._2)
+  }
+
   test("walkCounts: exact A^k·1 on a star graph, alternating center/leaf counts") {
     // star: 0 is the hub of leaves 1..3; w0 ≡ 1
     // k=1: hub = 3 (one per leaf), leaf = 1 (from the hub)
