@@ -314,20 +314,22 @@ object Centrality {
     val e = edges0.select(col(src).as("s"), col(dst).as("d")).distinct()
     val nodes = e.select(col("s").as("node"))
       .unionAll(e.select(col("d").as("node"))).distinct()
+    // zero-count nodes are NOT re-joined inside the loop — a zero term
+    // contributes nothing to the next sum, so the sparse frames are
+    // exact; the full node set (with 0s) materializes once at the end
     var auth = nodes.withColumn("a", lit(1L))
-    var hub = nodes.withColumn("h", lit(1L))
+    var hub = auth.select(col("node"), col("a").as("h"))
     for (_ <- 1 to iters) {
-      val h1 = e.join(auth, e("d") === auth("node"))
+      hub = e.join(auth, e("d") === auth("node"))
         .groupBy(e("s").as("node")).agg(sum("a").as("h"))
-      hub = nodes.join(h1, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
-      val a1 = e.join(hub, e("s") === hub("node"))
+      auth = e.join(hub, e("s") === hub("node"))
         .groupBy(e("d").as("node")).agg(sum("h").as("a"))
-      auth = nodes.join(a1, Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
     }
-    hub.join(auth, "node")
-      .select(col("node"), col("h").as("hub_walks"), col("a").as("auth_walks"))
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_walks"),
+        coalesce(col("a"), lit(0L)).as("auth_walks"))
   }
 
   /** [[closeness]] (wf_improved), computed driver-locally under the
