@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // multi-second GC stalls (observed as 10s RPC timeouts) once a long
   // bench run accumulated cached blocks. The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // Catalyst whole-stage codegen emits hundreds of generated classes over
+  // a 76-query run; the JDK default 240 MB JIT code cache fills mid-run,
+  // the JIT stops compiling, and later queries run partly interpreted
+  // (measured: the same query 4-30x slower late in a session). 1 GB keeps
+  // every hot loop compiled for the whole catalog.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
