@@ -283,6 +283,28 @@ object ShingleKernel {
   }
 }
 
+/** [[HashKernels.polyHash61]] as a scalar codegen'd expression: string →
+  * 61-bit cross-engine polynomial hash. Joining / windowing exploded
+  * shingles on this long instead of the shingle STRING shrinks the
+  * shuffle payload and makes the join key a primitive compare, while the
+  * identical fold replays in DuckDB (the t_minhash `hx` CTE without the
+  * final mod) — so hashed pipelines stay oracle-checkable, collisions
+  * included.
+  */
+case class PolyHash61(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash61"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.polyHash61(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.polyHash61($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash61 =
+    copy(child = newChild)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
@@ -477,6 +499,8 @@ object HashF {
     Bridge.column(PackedPairs(Bridge.expression(arr)))
   def langId(text: Column): Column =
     Bridge.column(LangIdExpr(Bridge.expression(text)))
+  def polyHash61(s: Column): Column =
+    Bridge.column(PolyHash61(Bridge.expression(s)))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def simhashPoly(tokens: Column): Column =

@@ -17,6 +17,51 @@ import QHelp._
   */
 object TextQ {
 
+  /** Shared DuckDB CTE chain of the MinHash+LSH pipeline (shingles →
+    * cross-engine poly hashes → 64 double-Lehmer minima → 16-band bucket
+    * join → exact-Jaccard verify counts) — the oracle body of `t_minhash`,
+    * reused by `t_dupgroups` which clusters the same verified pairs.
+    */
+  private val minhashCtes = """toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z_]+'), x -> len(x) >= 3) AS tk
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+        FROM toks WHERE len(tk) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(s) AS sg FROM sh
+      ), hx AS (
+        SELECT doc_id, sg,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 131 + c) % 998244353) AS hf
+        FROM ex
+      ), mh AS (
+        SELECT doc_id, sd.s,
+               min(((sd.s * 2654435761 + (hf % 2147483647) + 1) * 48271 % 2147483647 * 16807) % 2147483647) AS v
+        FROM hx CROSS JOIN range(64) sd(s) GROUP BY 1, 2
+      ), sig AS (
+        SELECT doc_id, list(v ORDER BY s) AS sig FROM mh GROUP BY 1
+      ), banded AS (
+        SELECT doc_id, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
+        FROM sig CROSS JOIN range(16) t2(b)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN hx ea ON ea.doc_id = c.id_a
+        JOIN hx eb ON eb.doc_id = c.id_b AND ea.hf = eb.hf
+        GROUP BY 1, 2
+      ), sizes AS (
+        SELECT doc_id, len(s) AS nsh FROM sh
+      )"""
+
   val qs: Seq[Q] = Seq(
 
     // Token counting: whitespace + BPE-ish regex (builder brief).
@@ -244,17 +289,22 @@ object TextQ {
       // shingle rows per pair and |A∪B| = |A|+|B|−|A∩B| — the join carries
       // only (doc_id, shingle) rows, never the arrays (at 100 TB the
       // array-intersect-per-candidate-pair form is quadratic in doc size).
-      val wdf = Window.partitionBy("s")
+      val wdf = Window.partitionBy("h")
       // persist the pruned exploded shingles: the frame feeds sizes and
       // BOTH sides of the self-join — without it the shingle fold and the
-      // df-window shuffle would run three times
+      // df-window shuffle would run three times. The shingle STRING is
+      // hashed to its cross-engine 61-bit poly value map-side, so the
+      // df window, the self-join shuffle, and the join compare all work
+      // on one primitive long instead of a ~25-byte string (the oracle
+      // hashes identically — collisions, if any, replay bit-for-bit).
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), graft.functions.HashF.polyHash61(col("s")).as("h"))
         .withColumn("__df", count(lit(1)).over(wdf))
         .where(col("__df") <= maxDf).drop("__df")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("inter"))
       val j = inter
@@ -273,15 +323,24 @@ object TextQ {
         FROM toks WHERE len(tk) >= 3
       ), ex0 AS (
         SELECT doc_id, unnest(s) AS sg FROM sh
+      ), hx AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
+                  (a, c) -> (a * 131 + c) % 998244353) AS h
+        FROM ex0
       ), ex AS (
-        SELECT doc_id, sg FROM (
-          SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM ex0
+        SELECT doc_id, h FROM (
+          SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM hx
         ) WHERE df <= 1000
       ), sizes AS (
         SELECT doc_id, count(*) AS nsh FROM ex GROUP BY 1
       ), inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -297,50 +356,43 @@ object TextQ {
       NearDup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
           shingleWidth = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .select(bi(col("id_a")).as("id_a"), bi(col("id_b")).as("id_b"), col("jaccard"))
-    }, Some("""
-      WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z_]+'), x -> len(x) >= 3) AS tk
-        FROM documents
-      ), sh AS (
-        SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
-        FROM toks WHERE len(tk) >= 3
-      ), ex AS (
-        SELECT doc_id, unnest(s) AS sg FROM sh
-      ), hx AS (
-        SELECT doc_id, sg,
-               (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
-                  (a, c) -> (a * 31 + c) % 1000000007) * 2147483648
-                + list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sg, '')]),
-                  (a, c) -> (a * 131 + c) % 998244353)) % 2147483647 AS x
-        FROM ex
-      ), mh AS (
-        SELECT doc_id, sd.s,
-               min(((sd.s * 2654435761 + x + 1) * 48271 % 2147483647 * 16807) % 2147483647) AS v
-        FROM hx CROSS JOIN range(64) sd(s) GROUP BY 1, 2
-      ), sig AS (
-        SELECT doc_id, list(v ORDER BY s) AS sig FROM mh GROUP BY 1
-      ), banded AS (
-        SELECT doc_id, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
-        FROM sig CROSS JOIN range(16) t2(b)
-      ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-      ), inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS i
-        FROM cand c
-        JOIN ex ea ON ea.doc_id = c.id_a
-        JOIN ex eb ON eb.doc_id = c.id_b AND ea.sg = eb.sg
-        GROUP BY 1, 2
-      ), sizes AS (
-        SELECT doc_id, len(s) AS nsh FROM sh
-      )
+    }, Some(s"""
+      WITH $minhashCtes
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
              ROUND(CAST(i AS DOUBLE) / (x.nsh + y.nsh - i), 6) AS jaccard
       FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
       WHERE ROUND(CAST(i AS DOUBLE) / (x.nsh + y.nsh - i), 6) >= 0.5""")),
+
+    // Near-dup CLUSTERS: the corpus-dedup keep/drop step. Verified
+    // MinHash pairs → connected components (min-label propagation in
+    // Spark, recursive reachability CTE in DuckDB) → every clustered doc
+    // mapped to its group's smallest id as the canonical keeper.
+    // Transitive: A≈B≈C forms one group of 3 even when A,C never matched.
+    Q("t_dupgroups", (s, dir) => {
+      val pairs = NearDup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
+        shingleWidth = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      NearDup.dupGroups(pairs)
+        .select(bi(col("doc_id")).as("doc_id"), bi(col("keep_id")).as("keep_id"),
+          bi(col("group_size")).as("group_size"))
+    }, Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      prs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+        WHERE ROUND(CAST(i AS DOUBLE) / (x.nsh + y.nsh - i), 6) >= 0.5
+      ), und AS (
+        SELECT id_a AS s, id_b AS d FROM prs UNION ALL SELECT id_b, id_a FROM prs
+      ), nodes AS (SELECT DISTINCT s AS n FROM und),
+      reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT und.d, reach.r FROM reach JOIN und ON reach.node = und.s
+      ),
+      comp AS (SELECT node, min(r) AS keep FROM reach GROUP BY 1),
+      gsz AS (SELECT keep, count(*) AS sz FROM comp GROUP BY 1)
+      SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp.keep AS BIGINT) AS keep_id,
+             CAST(sz AS BIGINT) AS group_size
+      FROM comp JOIN gsz ON comp.keep = gsz.keep""")),
 
     // SimHash near-dup: 64-bit signatures (cross-engine poly token hash),
     // Hamming <= 8 pairs via 9-band pigeonhole equi-join — no O(n²) cross

@@ -88,10 +88,15 @@ object NearDup {
     val sig = sh.withColumn("sig", minHashSig(col("sh"), bands * rowsPerBand))
     val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol)
     val sizes = sh.select(col(idCol), size(col("sh")).as("nsh"))
+    // shingles hashed to the cross-engine 61-bit poly value map-side:
+    // the verify joins shuffle one primitive long per (doc, shingle)
+    // instead of the shingle string (collisions, if any, replay
+    // bit-for-bit in the DuckDB oracle's identical fold)
     val ex = sh.select(col(idCol), explode(col("sh")).as("s"))
+      .select(col(idCol), graft.functions.HashF.polyHash61(col("s")).as("h"))
     val inter = cands
-      .join(ex.select(col(idCol).as("id_a"), col("s")), "id_a")
-      .join(ex.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .join(ex.select(col(idCol).as("id_a"), col("h")), "id_a")
+      .join(ex.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
@@ -99,6 +104,25 @@ object NearDup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate CLUSTERS from verified pair output — the corpus-dedup
+    * step that turns pairwise matches into keep/drop decisions: connected
+    * components over the (id_a, id_b) pair graph (transitive closure —
+    * A≈B and B≈C put A,B,C in one group even if A,C never matched), each
+    * doc mapped to its group's smallest id as the canonical keeper.
+    * Returns (doc_id, keep_id, group_size); docs with no near-dup are
+    * absent (they keep themselves). Min-label propagation — distributed,
+    * rounds bounded by the largest group's diameter, which for dedup
+    * graphs is small (clusters are near-cliques).
+    */
+  def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comps = graft.graph.GraphOps.connectedComponents(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val sizes = comps.groupBy("component").agg(count(lit(1)).as("group_size"))
+    comps.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component").as("keep_id"),
+        col("group_size"))
   }
 
   /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.

@@ -67,6 +67,18 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("dupGroups clusters transitively and keeps the smallest id") {
+    // pair graph: 5-2, 2-9 (chain -> one group {2,5,9} kept by 2) and
+    // 7-8 (group of 2); doc 1 never pairs -> absent
+    val pairs = Seq((5L, 2L, 0.9), (2L, 9L, 0.8), (7L, 8L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = NearDup.dupGroups(pairs)
+      .select("doc_id", "keep_id", "group_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 2L, 3L), (5L, 2L, 3L), (9L, 2L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
   test("bpeish token count: letters, digits, punctuation") {
     val df = Seq((1, "ab12 cd, ef!")).toDF("id", "t")
     // tokens: ab, 12, cd, ',', ef, '!' -> 6
