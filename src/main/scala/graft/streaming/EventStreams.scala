@@ -145,6 +145,33 @@ object EventStreams {
     stream.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Event-time interval join, written once for batch and stream (the
+    * trades⋈quotes / events⋈events enrichment shape): left rows pair
+    * with same-key right rows whose timestamp lies in
+    * [leftTs − `before`, leftTs]. Column names must be disjoint except
+    * `key`; output carries all columns of both sides.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, before: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs),
+      "inner").drop(right(key))
+
+  /** Streaming twin of [[intervalJoin]] — the canonical STREAM-STREAM
+    * join: both sides watermarked, the time-range condition lets Spark
+    * bound each side's buffered state (right rows are dropped once the
+    * left watermark passes rightTs + `before`; late rows beyond
+    * `lateness` drop). Append mode; inner join, so no emit-on-timeout
+    * semantics to configure.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String, before: String,
+                         lateness: String): DataFrame =
+    intervalJoin(left.withWatermark(leftTs, lateness),
+      right.withWatermark(rightTs, lateness), key, leftTs, rightTs, before)
+
   def runningDrawdown(events: Dataset[KeyedValue]): Dataset[RunningOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)

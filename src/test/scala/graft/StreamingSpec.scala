@@ -86,6 +86,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows(w0) == 2L)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // left: one observation per key per ~97s; right: updates at offset
+    // timestamps, some inside the 2-minute lookback, some outside
+    val lrows = (0 until 60).map(i =>
+      Ev(new Timestamp(t0 + i * 97000L), s"k${i % 3}", i.toDouble))
+    val rrows = (0 until 80).map(i =>
+      Ev(new Timestamp(t0 + i * 71000L - 30000L), s"k${i % 3}", i * 10.0))
+
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+            stream: Boolean) = {
+      val rr = r.select(col("ts").as("rts"), col("k"), col("v").as("rv"))
+      if (stream)
+        EventStreams.intervalJoinStream(l, rr, "k", "ts", "rts", "2 minutes", "10 minutes")
+      else EventStreams.intervalJoin(l, rr, "k", "ts", "rts", "2 minutes")
+    }
+
+    val lMem = MemoryStream[Ev]
+    val rMem = MemoryStream[Ev]
+    val q = run(lMem.toDF(), rMem.toDF(), stream = true)
+      .select("k", "ts", "v", "rts", "rv").writeStream
+      .format("memory").queryName("ssj_test").outputMode("append").start()
+    // replay in two batches, split across sides asymmetrically (the join
+    // buffers whichever side arrives first)
+    lMem.addData(lrows.take(30): _*); rMem.addData(rrows.take(20): _*)
+    q.processAllAvailable()
+    lMem.addData(lrows.drop(30): _*); rMem.addData(rrows.drop(20): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssj_test")
+      .as[(String, Timestamp, Double, Timestamp, Double)].collect().toSet
+    val batch = run(lrows.toDF(), rrows.toDF().select(col("ts"), col("k"), col("v")),
+        stream = false)
+      .select("k", "ts", "v", "rts", "rv")
+      .as[(String, Timestamp, Double, Timestamp, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming prevailing join: as-of semantics + agreement with AsOf.joinBackward") {
     import graft.streaming.{EventStreams, TaggedEvent, PrevailingOut}
     implicit val sqlCtx = spark.sqlContext
