@@ -19,10 +19,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // Warm-up: run the WHOLE catalog once at the smallest scale factor
+    // before timing. Each query compiles its own Catalyst-generated
+    // classes (Janino) and the JIT then compiles the hot loops — measured
+    // at 5-100 s of one-time cost for the heavy graph/text plans, dwarfing
+    // their steady-state execution. The sf0.001 pass generates the same
+    // code for pennies of data, so the timed sf0.1 pass below measures
+    // the engine, not the compiler. Disable with SPARK_GRAFT_NO_WARMUP=1.
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
+      val warmDir = "/root/testdata/sf0.001"
+      val warmSf = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -68,12 +68,15 @@ object Centrality {
     val und = symmetrize(edges, src, dst)
     val d = degs(und)
     // oriented edges with the (deg, id) order key on both endpoints
+    // o feeds THREE join legs (e1, e2, the closing edge) — persist so the
+    // und+degree subtree compiles and evaluates once, not three times
     val o = und
       .join(d.select(col("node").as("src"), col("deg").as("ds")), "src")
       .join(d.select(col("node").as("dst"), col("deg").as("dd")), "dst")
       .where(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"),
         struct(col("dd"), col("dst")).as("ordv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = o.as("e1").join(o.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.ordv") < col("e2.ordv"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
@@ -311,7 +314,12 @@ object Centrality {
     */
   def hitsCounts(edges0: DataFrame, iters: Int,
                  src: String = "src", dst: String = "dst"): DataFrame = {
+    // the edge list appears 2·iters times in the unrolled plan (hub and
+    // auth joins per round) — materialize it once so the final plan joins
+    // an in-memory relation instead of compiling/scanning the upstream
+    // 2·iters times (the upstream here is a lineitem⋈orders distinct)
     val e = edges0.select(col(src).as("s"), col(dst).as("d")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("s").as("node"))
       .unionAll(e.select(col("d").as("node"))).distinct()
     // zero-count nodes are NOT re-joined inside the loop — a zero term

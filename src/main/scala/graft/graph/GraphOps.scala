@@ -48,8 +48,12 @@ object GraphOps {
     // codegen'd broadcast-join upstream is ~1 s. Callers with a genuinely
     // expensive upstream can persist before calling.
     val edges = edges0
+    // deg (one row per node) backs TWO broadcast joins (deg_a, deg_b);
+    // persisting the tiny aggregate stops the second broadcast from
+    // re-running the full edge scan + distinct-count shuffle
     val deg = edges.groupBy(col(node).as("n"))
       .agg(count_distinct(col(neighbor)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one groupBy builds the sorted adjacency list per shared neighbor; a
     // native generator then emits its d(d−1)/2 pairs — no self-join. The
     // per-neighbor weights (1/log d, 1/d) come from size(ns) = the true

@@ -41,16 +41,20 @@ object GraphQ {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  // MATERIALIZED: the oracles reference und/nodes many times (unrolled
+  // walk CTEs, recursive BFS); DuckDB would otherwise inline the whole
+  // 4-table join per reference — the g_betweenness sigma^3 join made the
+  // fully-inlined plan blow up the optimizer (observed: >30 GB, stuck).
   private val edgeSql = """
-      t AS (SELECT least(c_nationkey, s_nationkey) a, greatest(c_nationkey, s_nationkey) b, count(*) w
+      t AS MATERIALIZED (SELECT least(c_nationkey, s_nationkey) a, greatest(c_nationkey, s_nationkey) b, count(*) w
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE c_nationkey <> s_nationkey GROUP BY 1, 2),
-      e AS (SELECT a, b FROM t CROSS JOIN (SELECT avg(w) * 1.2 AS thr FROM t) WHERE w >= thr),
-      und AS (SELECT a s, b d FROM e UNION ALL SELECT b, a FROM e),
-      nodes AS (SELECT DISTINCT s AS n FROM und),
-      deg AS (SELECT s AS n, count(*) AS d FROM und GROUP BY 1)"""
+      e AS MATERIALIZED (SELECT a, b FROM t CROSS JOIN (SELECT avg(w) * 1.2 AS thr FROM t) WHERE w >= thr),
+      und AS MATERIALIZED (SELECT a s, b d FROM e UNION ALL SELECT b, a FROM e),
+      nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM und),
+      deg AS MATERIALIZED (SELECT s AS n, count(*) AS d FROM und GROUP BY 1)"""
 
   val qs: Seq[Q] = Seq(
 
@@ -98,7 +102,7 @@ object GraphQ {
         FROM walk w JOIN und ON w.node = und.s
         WHERE w.dist < 25
       ),
-      sp AS (SELECT src, node, min(dist) AS dd FROM walk GROUP BY 1, 2),
+      sp AS MATERIALIZED (SELECT src, node, min(dist) AS dd FROM walk GROUP BY 1, 2),
       agg AS (SELECT src, count(*) AS r, sum(dd) AS sumd FROM sp GROUP BY 1)
       SELECT CAST(src AS BIGINT) AS node,
              ROUND(CASE WHEN sumd > 0
@@ -162,6 +166,51 @@ object GraphQ {
              CAST(a3.a AS BIGINT) AS auth_walks
       FROM n JOIN h3 ON h3.node = n.node JOIN a3 ON a3.node = n.node""")),
 
+    // Betweenness centrality (nx.betweenness_centrality, graph.py:229) —
+    // level-synchronous Brandes in Spark; the oracle counts shortest
+    // paths EXACTLY via unrolled walk CTEs (σ_st = walks of length
+    // dist(s,t)) and sums pair dependencies σ_sx·σ_xt/σ_st directly.
+    // Integer path counts are cross-engine exact; only the final ratio
+    // sum is float (round 6 both sides, like the Brandes deltas).
+    Q("g_betweenness", (s, dir) => {
+      Centrality.betweenness(nationGraph(s, dir), normalized = true)
+        .select(bi(col("node")).as("node"), r6(col("betweenness")).as("betweenness"))
+    }, Some(s"""
+      WITH $edgeSql,
+      w0 AS (SELECT n AS s, n AS v, CAST(1 AS BIGINT) AS c FROM nodes),
+      w1 AS (SELECT w0.s, und.d AS v, SUM(c) AS c FROM w0 JOIN und ON w0.v = und.s GROUP BY 1, 2),
+      w2 AS (SELECT w1.s, und.d AS v, SUM(c) AS c FROM w1 JOIN und ON w1.v = und.s GROUP BY 1, 2),
+      w3 AS (SELECT w2.s, und.d AS v, SUM(c) AS c FROM w2 JOIN und ON w2.v = und.s GROUP BY 1, 2),
+      w4 AS (SELECT w3.s, und.d AS v, SUM(c) AS c FROM w3 JOIN und ON w3.v = und.s GROUP BY 1, 2),
+      w5 AS (SELECT w4.s, und.d AS v, SUM(c) AS c FROM w4 JOIN und ON w4.v = und.s GROUP BY 1, 2),
+      w6 AS (SELECT w5.s, und.d AS v, SUM(c) AS c FROM w5 JOIN und ON w5.v = und.s GROUP BY 1, 2),
+      w7 AS (SELECT w6.s, und.d AS v, SUM(c) AS c FROM w6 JOIN und ON w6.v = und.s GROUP BY 1, 2),
+      w8 AS (SELECT w7.s, und.d AS v, SUM(c) AS c FROM w7 JOIN und ON w7.v = und.s GROUP BY 1, 2),
+      allw AS MATERIALIZED (
+        SELECT s, v, 0 AS l, c FROM w0 UNION ALL SELECT s, v, 1, c FROM w1
+        UNION ALL SELECT s, v, 2, c FROM w2 UNION ALL SELECT s, v, 3, c FROM w3
+        UNION ALL SELECT s, v, 4, c FROM w4 UNION ALL SELECT s, v, 5, c FROM w5
+        UNION ALL SELECT s, v, 6, c FROM w6 UNION ALL SELECT s, v, 7, c FROM w7
+        UNION ALL SELECT s, v, 8, c FROM w8
+      ),
+      sp AS MATERIALIZED (SELECT s, v, min(l) AS d FROM allw GROUP BY 1, 2),
+      sigma AS MATERIALIZED (
+        SELECT sp.s, sp.v, sp.d, allw.c AS sig
+        FROM sp JOIN allw ON allw.s = sp.s AND allw.v = sp.v AND allw.l = sp.d
+      ),
+      bt AS (
+        SELECT sx.v AS node, SUM(CAST(sx.sig AS DOUBLE) * xt.sig / st.sig) AS b
+        FROM sigma st
+        JOIN sigma sx ON sx.s = st.s AND sx.v <> st.s AND sx.v <> st.v
+        JOIN sigma xt ON xt.s = sx.v AND xt.v = st.v
+        WHERE st.s <> st.v AND sx.d + xt.d = st.d
+        GROUP BY 1
+      )
+      SELECT CAST(nodes.n AS BIGINT) AS node,
+             ROUND(COALESCE(bt.b, 0) / ((cnt.cn - 1.0) * (cnt.cn - 2.0)), 6) AS betweenness
+      FROM nodes LEFT JOIN bt ON nodes.n = bt.node
+      CROSS JOIN (SELECT count(*) AS cn FROM nodes) cnt""")),
+
     // Community quality of the region partition (nx_comm.modularity +
     // partition_quality, graph.py:271-287): one row of
     // (communities, modularity, coverage, performance).
@@ -220,7 +269,7 @@ object GraphQ {
         FROM walk w JOIN und ON w.node = und.s
         WHERE w.dist < 25
       ),
-      sp AS (SELECT src, node, min(dist) AS dd FROM walk GROUP BY 1, 2)
+      sp AS MATERIALIZED (SELECT src, node, min(dist) AS dd FROM walk GROUP BY 1, 2)
       SELECT CAST(src AS BIGINT) AS node, CAST(max(dd) AS BIGINT) AS eccentricity
       FROM sp GROUP BY 1""")),
 
