@@ -361,6 +361,52 @@ object Centrality {
       .toDF("node", "eccentricity")
   }
 
+  /** [[betweenness]] computed driver-locally under the [[bfsLocalStats]]
+    * size guard (the closenessLocal/eccentricityLocal precedent): exact
+    * Brandes per source over a collected adjacency list. The distributed
+    * level-synchronous form pays ~2 Spark jobs per BFS level FORWARD and
+    * per level BACKWARD — pure scheduler overhead on a tiny aggregated
+    * graph. Values equal the distributed form (spec'd); corpus-scale
+    * graphs keep [[betweenness]].
+    */
+  def betweennessLocal(edges: DataFrame, normalized: Boolean = true,
+                       maxEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = symmetrize(edges)
+    val cnt = und.count()
+    require(cnt <= maxEdges,
+      s"local Brandes guard: $cnt symmetrized edges > $maxEdges — use the distributed form")
+    val es = und.selectExpr("cast(src as long)", "cast(dst as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val nodes = adj.keySet.toArray.sorted
+    val bc = scala.collection.mutable.LongMap[Double]().withDefaultValue(0.0)
+    for (s <- nodes) {
+      val stack = scala.collection.mutable.ArrayBuffer[Long]()
+      val pred = scala.collection.mutable.LongMap[List[Long]]().withDefaultValue(Nil)
+      val sigma = scala.collection.mutable.LongMap[Double]().withDefaultValue(0.0)
+      val dist = scala.collection.mutable.LongMap[Int]()
+      sigma(s) = 1.0; dist(s) = 0
+      val queue = scala.collection.mutable.Queue[Long](s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue(); stack += v
+        for (w <- adj(v)) {
+          if (!dist.contains(w)) { dist(w) = dist(v) + 1; queue.enqueue(w) }
+          if (dist(w) == dist(v) + 1) { sigma(w) += sigma(v); pred(w) = v :: pred(w) }
+        }
+      }
+      val delta = scala.collection.mutable.LongMap[Double]().withDefaultValue(0.0)
+      for (w <- stack.reverseIterator) {
+        pred(w).foreach(v => delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w)))
+        if (w != s) bc(w) += delta(w)
+      }
+    }
+    val n = nodes.length
+    val scale = if (normalized) 1.0 / ((n - 1.0) * (n - 2.0)) else 0.5
+    nodes.toSeq.map(x => (x, bc(x) * scale)).toDF("node", "betweenness")
+  }
+
   /** Betweenness centrality via all-sources level-synchronous Brandes:
     * forward BFS accumulates path counts σ, the backward sweep per depth
     * level accumulates dependencies δ(v) = Σ_w σv/σw (1 + δw). Undirected,

@@ -173,7 +173,9 @@ object GraphQ {
     // Integer path counts are cross-engine exact; only the final ratio
     // sum is float (round 6 both sides, like the Brandes deltas).
     Q("g_betweenness", (s, dir) => {
-      Centrality.betweenness(nationGraph(s, dir), normalized = true)
+      // size-guarded local Brandes — see g_ecc; Centrality.betweenness
+      // (level-synchronous distributed Brandes) is the corpus-scale path
+      Centrality.betweennessLocal(nationGraph(s, dir), normalized = true)
         .select(bi(col("node")).as("node"), r6(col("betweenness")).as("betweenness"))
     }, Some(s"""
       WITH $edgeSql,

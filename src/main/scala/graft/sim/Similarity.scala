@@ -190,9 +190,19 @@ object Similarity {
     // comes from probing nProbe lists, not centroid quality. Random init
     // (one pass) + few Lloyd iterations replaces k-means|| init + 20
     // iterations: same recall (spec-pinned >=0.9), ~3x fewer jobs.
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    // Train on a bounded SAMPLE: at 100 TB the Lloyd iterations must not
+    // scan the corpus — ~3k points per centroid fixes quantizer quality
+    // independently of corpus size (the assignment pass below still
+    // covers every vector). Small corpora (< ~20/list) train on
+    // everything, keeping k <= n at every scale factor.
+    val sampleTarget = nLists * 3000L
+    val n = feats.count()
+    val train = if (n > sampleTarget)
+      feats.sample(withReplacement = false, sampleTarget.toDouble / n, seed)
+    else feats
+    val model = new KMeans().setK(math.min(nLists.toLong, n).toInt).setSeed(seed)
       .setInitMode("random").setMaxIter(5).setTol(1e-3)
-      .fit(feats)
+      .fit(train)
     val assigned = model.transform(feats)
       .select(col(idCol), col("prediction").as("list"))
     val centroids = v.sparkSession.createDataFrame(

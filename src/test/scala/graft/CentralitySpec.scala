@@ -43,6 +43,14 @@ class CentralitySpec extends SparkSpec {
       4 -> 0.5714285714, 5 -> 0.0, 6 -> 0.0, 7 -> 0.25, 8 -> 0.0)
     val out = Centrality.betweenness(edges).as[(Int, Double)].collect().toMap
     g.foreach { case (n, v) => assert(math.abs(out(n) - v) < 1e-9, s"betweenness($n)") }
+    // the size-guarded local Brandes produces the same values
+    val loc = Centrality.betweennessLocal(edges)
+      .select(col("node").cast("int"), col("betweenness"))
+      .as[(Int, Double)].collect().toMap
+    g.foreach { case (n, v) => assert(math.abs(loc(n) - v) < 1e-9, s"local($n)") }
+    intercept[IllegalArgumentException] {
+      Centrality.betweennessLocal(edges, maxEdges = 3)
+    }
   }
 
   test("eigenvector centrality matches networkx") {
