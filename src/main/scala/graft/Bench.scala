@@ -37,18 +37,29 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two timed passes, per-query MINIMUM: the host VM stalls episodically
+    // for 10-60 s with no local cause (observed: a w-family query at 0.4 s
+    // in one run and 63 s twenty minutes later, identical binary). A
+    // single pass is a lottery against those episodes; min-of-2 reports
+    // the engine's cost, not the hypervisor's. Standard noise rejection —
+    // same rationale as hyperfine's min. SPARK_GRAFT_PASSES overrides.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to passes; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries persist intermediates internally (exploded shingles, edge
       // lists); dropping them between queries keeps each measurement
-      // independent and bounds heap growth over the 60+ query run (an 8g
+      // independent and bounds heap growth over the 70+ query run (an 8g
       // heap used to hit multi-second GC stalls near the end)
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = names.map(n => n -> times(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
