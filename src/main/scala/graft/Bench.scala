@@ -15,54 +15,73 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: run the WHOLE catalog once at the smallest scale factor
+    // Warm-up: run the WHOLE catalog once at the SMALLEST scale factor
     // before timing. Each query compiles its own Catalyst-generated
     // classes (Janino) and the JIT then compiles the hot loops — measured
     // at 5-100 s of one-time cost for the heavy graph/text plans, dwarfing
-    // their steady-state execution. The sf0.001 pass generates the same
-    // code for pennies of data, so the timed sf0.1 pass below measures
-    // the engine, not the compiler. Disable with SPARK_GRAFT_NO_WARMUP=1.
+    // their steady-state execution. The warm dir is derived from sfDir
+    // (sibling sf0.001) or SPARK_GRAFT_WARM_DIR; if neither exists the
+    // warmup is SKIPPED rather than silently pre-running the catalog on
+    // the timed data. Disable with SPARK_GRAFT_NO_WARMUP=1.
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
-      val warmDir = "/root/testdata/sf0.001"
-      val warmSf = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
-        spark.sharedState.cacheManager.clearCache()
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+        .orElse(Option(sibling.getPath).filter(_ => sibling.isDirectory))
+      warmDir match {
+        case Some(wd) =>
+          System.err.println(s"[bench] warmup dir: $wd")
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+            try fn(spark, wd).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+            spark.sharedState.cacheManager.clearCache()
+          }
+        case None =>
+          System.err.println(s"[bench] no warmup dir (sibling sf0.001 of $sfDir absent and " +
+            "SPARK_GRAFT_WARM_DIR unset) — timing cold, first-query times include JIT")
       }
     }
 
-    // Two timed passes, per-query MINIMUM: the host VM stalls episodically
-    // for 10-60 s with no local cause (observed: a w-family query at 0.4 s
-    // in one run and 63 s twenty minutes later, identical binary). A
-    // single pass is a lottery against those episodes; min-of-2 reports
-    // the engine's cost, not the hypervisor's. Standard noise rejection —
-    // same rationale as hyperfine's min. SPARK_GRAFT_PASSES overrides.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // Timed passes, per-query MINIMUM, with the QUERY ORDER SHUFFLED per
+    // pass (deterministic seed = pass index): the host VM stalls
+    // episodically for 10-60 s with no local cause (observed: a w-family
+    // query at 0.4 s in one run and 63 s twenty minutes later, identical
+    // binary). Min-of-N rejects a stall only if the passes hit it with
+    // DIFFERENT queries — two passes in the same contended hour in the
+    // same order inflate the same entries twice (BENCH_r04). Shuffling
+    // decorrelates query↔stall; ≥3 passes give each query three draws.
+    // All per-pass times are emitted in the JSON so a contended run is
+    // self-diagnosing (a query whose passes read 2.1/63.0/2.2 was stalled,
+    // not slow). SPARK_GRAFT_PASSES overrides.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
-    val times = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to passes; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries persist intermediates internally (exploded shingles, edge
-      // lists); dropping them between queries keeps each measurement
-      // independent and bounds heap growth over the 70+ query run (an 8g
-      // heap used to hit multi-second GC stalls near the end)
-      spark.sharedState.cacheManager.clearCache()
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+    val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (p <- 1 to passes) {
+      val order = new scala.util.Random(p).shuffle(names)
+      for (name <- order) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist intermediates internally (exploded shingles, edge
+        // lists); dropping them between queries keeps each measurement
+        // independent and bounds heap growth over the 70+ query run (an 8g
+        // heap used to hit multi-second GC stalls near the end)
+        spark.sharedState.cacheManager.clearCache()
+        perPass(name) = perPass.getOrElse(name, Nil) :+ dt
+      }
     }
-    val results = names.map(n => n -> times(n))
+    val results = names.map(n => n -> perPass(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val raw = names.map { n =>
+      "\"" + n + "\":[" + perPass(n).map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

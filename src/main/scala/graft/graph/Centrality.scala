@@ -47,6 +47,10 @@ object Centrality {
     * round, lineage linear in `iters`.
     */
   def walkCounts(edges: DataFrame, iters: Int): DataFrame = {
+    // int64 guard: walk counts grow ~maxdeg per round, exact only while
+    // iters·log₂(maxdeg) < 63 — fine at iters=6 on the ≤25-node nation
+    // graph; a high-degree graph at depth overflows. Oracle vehicle only;
+    // the production path is the float eigenvectorCentrality.
     val und = symmetrize(edges)
     var v = allNodes(und).withColumn("w", lit(1L))
     for (_ <- 1 to iters) {
@@ -317,21 +321,41 @@ object Centrality {
     // the edge list appears 2·iters times in the unrolled plan (hub and
     // auth joins per round) — materialize it once so the final plan joins
     // an in-memory relation instead of compiling/scanning the upstream
-    // 2·iters times (the upstream here is a lineitem⋈orders distinct)
-    val e = edges0.select(col(src).as("s"), col(dst).as("d")).distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("s").as("node"))
-      .unionAll(e.select(col("d").as("node"))).distinct()
+    // 2·iters times (the upstream here is a lineitem⋈orders distinct).
+    // Materialized PRE-PARTITIONED on each join key (localCheckpoint
+    // preserves outputPartitioning): the hub round joins on d, the auth
+    // round on s, so per round only the |V|-row count frame shuffles —
+    // the |E|-row side never re-shuffles after the one-time setup.
+    val eByD = edges0.select(col(src).as("s"), col(dst).as("d")).distinct()
+      .repartition(col("d")).localCheckpoint()
+    val eByS = eByD.repartition(col("s")).localCheckpoint()
+    val nodes = eByD.select(col("s").as("node"))
+      .unionAll(eByD.select(col("d").as("node"))).distinct()
     // zero-count nodes are NOT re-joined inside the loop — a zero term
     // contributes nothing to the next sum, so the sparse frames are
     // exact; the full node set (with 0s) materializes once at the end
+    // int64 guard: counts grow ~maxdeg per round (2·iters sum rounds), so
+    // the vehicle is exact only while 2·iters·log₂(maxdeg) < 63 — fine at
+    // iters=3 on bounded-degree graphs, NOT safe at depth on a high-degree
+    // graph. Oracle vehicle only; the production path is the float hits().
     var auth = nodes.withColumn("a", lit(1L))
     var hub = auth.select(col("node"), col("a").as("h"))
     for (_ <- 1 to iters) {
-      hub = e.join(auth, e("d") === auth("node"))
-        .groupBy(e("s").as("node")).agg(sum("a").as("h"))
-      auth = e.join(hub, e("s") === hub("node"))
-        .groupBy(e("d").as("node")).agg(sum("h").as("a"))
+      // eagerly materialize each round: un-checkpointed, hub's lineage is
+      // a prefix of auth's, so the final hub⋈auth re-executes the whole
+      // chain twice — 13 SMJs / 25 shuffles at iters=3 (PLANS.md r4) for
+      // frames of |V| rows. Per-round localCheckpoint turns that into
+      // 2·iters one-stage jobs over in-memory relations (the walkCounts
+      // vehicle is single-consumer per round and needs none).
+      // SHUFFLE_HASH on the count side: SMJ would re-SORT the |E| side
+      // every round; hashing the per-partition slice of the |V|-row count
+      // frame streams the pre-partitioned edges unsorted
+      hub = eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
+        .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
+        .localCheckpoint()
+      auth = eByS.join(hub.hint("shuffle_hash"), eByS("s") === hub("node"))
+        .groupBy(eByS("d").as("node")).agg(sum("h").as("a"))
+        .localCheckpoint()
     }
     nodes
       .join(hub, Seq("node"), "left")
@@ -403,7 +427,9 @@ object Centrality {
       }
     }
     val n = nodes.length
-    val scale = if (normalized) 1.0 / ((n - 1.0) * (n - 2.0)) else 0.5
+    // n ≤ 2 has no transit vertices — networkx _rescale leaves values
+    // unscaled there; dividing by (n-1)(n-2) would yield Inf/NaN
+    val scale = if (normalized && n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else if (normalized) 1.0 else 0.5
     nodes.toSeq.map(x => (x, bc(x) * scale)).toDF("node", "betweenness")
   }
 
@@ -464,7 +490,8 @@ object Centrality {
     }
     val raw = deltas.where(col("node") =!= col("s"))
       .groupBy("node").agg(sum("delta").as("bsum"))
-    val scale = if (normalized) 1.0 / ((n - 1) * (n - 2)) else 0.5
+    // same n ≤ 2 guard as betweennessLocal (networkx _rescale semantics)
+    val scale = if (normalized && n > 2) 1.0 / ((n - 1) * (n - 2)) else if (normalized) 1.0 else 0.5
     nodes.join(raw, Seq("node"), "left")
       .select(col("node"), (coalesce(col("bsum"), lit(0.0)) * scale).as("betweenness"))
   }

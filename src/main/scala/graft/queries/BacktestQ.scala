@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.backtest.{Backtesting, EventStudy}
+import graft.core.Tables
+import graft.ops.CompoundReturn
+import QHelp._
+
+/** Composed backtesting-path queries (SURVEY.md §3.1/§3.2): the flagship
+  * end-to-end signal backtest (`b1_backtest`), the IBES link build
+  * (`j9_ibeslink`, ibes.py:142-158), and the KPP overlap-corrected event
+  * study summary (`a10_kpp`, eventstudy.py:236-263). Each stage already
+  * passes individually (w13/j11/j14/a1/j2); these pin the COMPOSITIONS
+  * with one oracle apiece.
+  */
+object BacktestQ {
+
+  val qs: Seq[Q] = Seq(
+
+    // §3.1 flagship: momentum signal cross-section → universe screen →
+    // NYSE fractiles (k=5) → cap-weighted long/short legs → monthly drift
+    // by retx → weighted spread return per month
+    // (backtesting.py:17-91 univariate_sorts + backtest.py:101-181 +
+    // dailyperformance.py:14-47, composed). Synthetic monthly panel from
+    // orders: permno = custkey%100, ret derived from exact decimal sums;
+    // signal at year-end y = compound(year-y rets) (momentum), cap =
+    // year-y decimal dollar volume, NYSE flag = permno%3=0. Holdings at
+    // rebal (y)1231 drift through year y+1. The signal is ROUNDED to 6dp
+    // before fractiling so breakpoint comparisons are cross-engine exact.
+    Q("b1_backtest", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val monthly = o.groupBy((col("o_custkey") % 100).as("permno"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
+        .agg(((dsum(col("o_totalprice")) % 100) / 1000.0 - 0.045).as("ret"))
+      val sig = monthly.groupBy("permno", "y")
+        .agg(r6(CompoundReturn.compoundRet(col("ret"))).as("signal"))
+      val cap = o.groupBy((col("o_custkey") % 100).as("permno"),
+          year(col("o_orderdate")).as("y"))
+        .agg(dsum(col("o_totalprice")).as("cap"))
+      val cs = sig.join(cap, Seq("permno", "y")).where(col("y") < 1998)
+        .select(col("permno"), (col("y") * 10000 + 1231).as("rebaldate"),
+          col("signal"), col("cap"), (col("permno") % 3 === 0).as("nyse"))
+      val holdings = Backtesting.univariateSorts(cs, k = 5)
+      val daily = monthly.select(col("permno"),
+        (col("y") * 10000 + col("mo") * 100 + 28).as("date"),
+        col("ret"), (col("ret") / 2).as("retx"))
+      Backtesting.dailyPerformance(holdings, daily)
+        .select(bi(col("date")).as("date"), r6(col("ret")).as("ret"),
+          bi(col("n_holdings")).as("n_holdings"))
+    }, Some("""
+      WITH m AS (
+        SELECT o_custkey % 100 AS permno, year(o_orderdate) AS y, month(o_orderdate) AS mo,
+               (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 100) / 1000.0 - 0.045 AS ret
+        FROM orders GROUP BY 1, 2, 3
+      ), sig AS (
+        SELECT permno, y, ROUND(product(1.0 + ret) - 1.0, 6) AS signal
+        FROM m GROUP BY 1, 2
+      ), cap AS (
+        SELECT o_custkey % 100 AS permno, year(o_orderdate) AS y,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS cap
+        FROM orders GROUP BY 1, 2
+      ), cs AS (
+        SELECT s.permno, s.y * 10000 + 1231 AS rebaldate, s.signal, c.cap,
+               s.permno % 3 = 0 AS nyse
+        FROM sig s JOIN cap c ON s.permno = c.permno AND s.y = c.y
+        WHERE s.y < 1998
+      ), scr AS (
+        SELECT * FROM cs WHERE cap > 0.0 AND signal IS NOT NULL
+      ), bp AS (
+        SELECT rebaldate, quantile_cont(signal, [0.2, 0.4, 0.6, 0.8]) AS b
+        FROM scr WHERE nyse GROUP BY 1
+      ), lab AS (
+        SELECT scr.*, 1 + len(list_filter(bp.b, x -> x < scr.signal)) AS f
+        FROM scr JOIN bp USING (rebaldate)
+      ), legs AS (
+        SELECT rebaldate, permno, cap,
+               CASE WHEN f = 5 THEN 1.0 ELSE -1.0 END AS side
+        FROM lab WHERE f IN (1, 5)
+      ), hold AS (
+        SELECT rebaldate, permno,
+               side * cap / SUM(cap) OVER (PARTITION BY rebaldate, side) AS weight
+        FROM legs
+      ), d2 AS (
+        SELECT permno, y * 10000 + mo * 100 + 28 AS date, ret, ret / 2 AS retx
+        FROM m
+      ), rb AS (
+        SELECT DISTINCT rebaldate FROM hold
+      ), gv AS (
+        SELECT d.*, (SELECT max(rebaldate) FROM rb WHERE rebaldate < d.date) AS r
+        FROM d2 d
+      ), dd AS (
+        SELECT g.date, g.permno, g.ret, g.retx, g.r, h.weight
+        FROM gv g JOIN hold h ON h.rebaldate = g.r AND h.permno = g.permno
+      ), drift AS (
+        SELECT date, weight, ret,
+               coalesce(product(1.0 + coalesce(retx, 0.0)) OVER (
+                 PARTITION BY r, permno ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0) AS dr
+        FROM dd
+      )
+      SELECT CAST(date AS BIGINT) AS date,
+             ROUND(SUM(weight * dr * coalesce(ret, 0.0)), 6) AS ret,
+             COUNT(*) AS n_holdings
+      FROM drift GROUP BY 1""")),
+
+    // J9: the IBES link build end-to-end (ibes.py:142-158 write_links) —
+    // ident LEFT as-of-joined to the names history on cusip at the latest
+    // names.date <= sdates (the reference's correlated MAX subquery,
+    // decorrelated here through the J3 linkJoin kernel). names =
+    // per-(custkey, date) aggregates of orders; ident = one row per
+    // customer with a deterministic sdates; customers with no prevailing
+    // names row keep nulls (the write_links missing count).
+    Q("j9_ibeslink", (s, dir) => {
+      val names = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ncusip"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+            dayofmonth(col("o_orderdate"))).as("date"))
+        .agg(max(col("o_orderkey")).as("permno"),
+          max(col("o_orderpriority")).as("comnam"))
+      val ident = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cusip"),
+          (lit(19950000) + (col("c_custkey") % 4) * 10000 + 601).as("sdates"),
+          col("c_mktsegment").as("cname"))
+      graft.ops.AsOf.linkJoin(ident,
+          names.withColumnRenamed("ncusip", "cusip"),
+          key = "cusip", factDate = "sdates", linkDate = "date",
+          linkCols = Seq("permno", "date", "comnam"))
+        .select(bi(col("cusip")).as("cusip"), bi(col("sdates")).as("sdates"),
+          bi(col("permno")).as("permno"), bi(col("date")).as("date"),
+          col("comnam"), col("cname"))
+    }, Some("""
+      WITH names AS (
+        SELECT o_custkey AS ncusip,
+               year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate) AS date,
+               max(o_orderkey) AS permno, max(o_orderpriority) AS comnam
+        FROM orders GROUP BY 1, 2
+      ), ident AS (
+        SELECT c_custkey AS cusip,
+               19950000 + (c_custkey % 4) * 10000 + 601 AS sdates,
+               c_mktsegment AS cname
+        FROM customer
+      )
+      SELECT CAST(i.cusip AS BIGINT) AS cusip, CAST(i.sdates AS BIGINT) AS sdates,
+             CAST(n.permno AS BIGINT) AS permno, CAST(n.date AS BIGINT) AS date,
+             n.comnam, i.cname
+      FROM ident i LEFT JOIN names n
+        ON n.ncusip = i.cusip
+       AND n.date = (SELECT MAX(c.date) FROM names c
+                     WHERE c.ncusip = i.cusip AND c.date <= i.sdates)""")),
+
+    // A10: Kolari-Pape-Pynnönen (2018) eqn-15 overlap-corrected event
+    // study summary (eventstudy.py:236-263 fit, rho supplied): planted
+    // events (every 1000th orderkey), per-event CAR over rel 0..12 with
+    // missing days as 0, portfolio-grouped by announcement date, then
+    // τ = mean truncated pairwise date overlap / D, effective
+    // N = n/(1+ρτ(n−1)), and window/post t-stats. The dates×window
+    // matrix is provably small (one row per distinct announce date) —
+    // collected by design, matching the reference's driver-side fit.
+    Q("a10_kpp", (s, dir) => {
+      val W = 5   // event window rel 0..4
+      val L = 13  // full path rel 0..12
+      val D = L - W
+      val rho = 0.3
+      val o = Tables.orders(s, dir)
+      val t = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+      val dailyRet = o.groupBy((col("o_custkey") % 100).as("permno"), t.as("t"))
+        .agg(((dsum(col("o_totalprice")) % 10) / 100.0 - 0.045).as("r"))
+      val ev = o.where(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("event_id"),
+          (col("o_custkey") % 100).as("permno"), t.as("t0"))
+      val rel = ev.crossJoin(spark_range_df(s, L))
+      val ars = rel
+        .join(dailyRet.withColumnRenamed("t", "__t"),
+          rel("permno") === dailyRet("permno") &&
+            col("__t") === rel("t0") + col("rel"), "left")
+        .select(rel("event_id"), rel("t0"), col("rel"),
+          coalesce(col("r"), lit(0.0)).as("ar"))
+      val wcum = Window.partitionBy("event_id").orderBy("rel")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val car = ars.withColumn("car", sum("ar").over(wcum))
+      val byDate = car.groupBy("t0", "rel").agg(avg("car").as("car"))
+      val nEvents = ev.count()
+      val mat = byDate.orderBy("t0", "rel").collect()
+        .grouped(L).map { rows =>
+          (rows.head.getInt(0), rows.map(_.getDouble(2)).toArray)
+        }.toArray
+      require(mat.length <= 100000, "a10_kpp: date matrix unexpectedly large")
+      val k = EventStudy.fitKpp(mat, window = W, d = D, rhoOverride = Some(rho))
+      import s.implicits._
+      Seq((k.window, k.windowT, k.post, k.postT, k.rho, k.tau, k.effective,
+          k.days.toLong, nEvents))
+        .toDF("window", "window_t", "post", "post_t", "rho", "tau",
+          "effective", "days", "rows")
+        .select(r6(col("window")).as("window"), r6(col("window_t")).as("window_t"),
+          r6(col("post")).as("post"), r6(col("post_t")).as("post_t"),
+          r6(col("rho")).as("rho"), r6(col("tau")).as("tau"),
+          r6(col("effective")).as("effective"), bi(col("days")).as("days"),
+          bi(col("rows")).as("rows"))
+    }, Some("""
+      WITH dr AS (
+        SELECT o_custkey % 100 AS permno,
+               datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS t,
+               (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 10) / 100.0 - 0.045 AS r
+        FROM orders GROUP BY 1, 2
+      ), ev AS (
+        SELECT o_orderkey AS event_id, o_custkey % 100 AS permno,
+               datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS t0
+        FROM orders WHERE o_orderkey % 1000 = 0
+      ), ars AS (
+        SELECT ev.event_id, ev.t0, g.rel, coalesce(dr.r, 0.0) AS ar
+        FROM ev CROSS JOIN (SELECT unnest(range(13)) AS rel) g
+        LEFT JOIN dr ON dr.permno = ev.permno AND dr.t = ev.t0 + g.rel
+      ), car AS (
+        SELECT event_id, t0, rel,
+               SUM(ar) OVER (PARTITION BY event_id ORDER BY rel
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS car
+        FROM ars
+      ), byd AS (
+        SELECT t0, rel, AVG(car) AS car FROM car GROUP BY 1, 2
+      ), dts AS (
+        SELECT DISTINCT t0 FROM byd
+      ), ov AS (
+        SELECT greatest(8 - (b.t0 - a.t0), 0) AS x
+        FROM dts a JOIN dts b ON b.t0 > a.t0
+      ), tau AS (
+        SELECT coalesce(AVG(x), 0.0) / 8.0 AS tau FROM ov
+      ), nn AS (
+        SELECT COUNT(*) AS n FROM dts
+      ), eff AS (
+        SELECT nn.n / (1 + 0.3 * tau.tau * (nn.n - 1)) AS effective,
+               nn.n AS n, tau.tau AS tau
+        FROM nn CROSS JOIN tau
+      ), winend AS (
+        SELECT t0, car AS cw FROM byd WHERE rel = 4
+      ), lastc AS (
+        SELECT t0, car AS cl FROM byd WHERE rel = 12
+      ), px AS (
+        SELECT w.t0, w.cw, l.cl - w.cw AS post
+        FROM winend w JOIN lastc l ON w.t0 = l.t0
+      ), stats AS (
+        SELECT AVG(cw) AS wmean, STDDEV_SAMP(cw) AS wstd,
+               AVG(post) AS pmean, STDDEV_SAMP(post) AS pstd
+        FROM px
+      )
+      SELECT ROUND(stats.wmean, 6) AS window,
+             ROUND(stats.wmean / (stats.wstd / sqrt(eff.effective)), 6) AS window_t,
+             ROUND(stats.pmean, 6) AS post,
+             ROUND(stats.pmean / (stats.pstd / sqrt(eff.effective)), 6) AS post_t,
+             ROUND(0.3, 6) AS rho, ROUND(eff.tau, 6) AS tau,
+             ROUND(eff.effective, 6) AS effective,
+             CAST(eff.n AS BIGINT) AS days,
+             (SELECT COUNT(*) FROM ev) AS rows
+      FROM stats CROSS JOIN eff"""))
+  )
+
+  /** Small helper: a 1-column (rel: int 0..n-1) frame. */
+  private def spark_range_df(s: org.apache.spark.sql.SparkSession, n: Int) =
+    s.range(n).select(col("id").cast("int").as("rel"))
+}

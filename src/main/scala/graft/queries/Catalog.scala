@@ -33,7 +33,7 @@ object QHelp {
 object Catalog {
   val all: Seq[Q] =
     Relational.qs ++ Joins.qs ++ Aggs.qs ++ WindowsQ.qs ++ EventsQ.qs ++ TextQ.qs ++
-      Batch2.qs ++ Batch3.qs ++ GraphQ.qs
+      Batch2.qs ++ Batch3.qs ++ GraphQ.qs ++ BacktestQ.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

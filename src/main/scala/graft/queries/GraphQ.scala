@@ -196,6 +196,13 @@ object GraphQ {
         UNION ALL SELECT s, v, 8, c FROM w8
       ),
       sp AS MATERIALIZED (SELECT s, v, min(l) AS d FROM allw GROUP BY 1, 2),
+      -- unroll-depth guard: a shortest path AT the depth-8 bound means the
+      -- graph's diameter may exceed the unroll (distances are contiguous,
+      -- so a missed 9-pair implies an 8-pair exists) — fail loudly instead
+      -- of hash-mismatching (g_ecc unrolls to 25 for the same graph)
+      chk AS (SELECT CASE WHEN (SELECT max(d) FROM sp) >= 8
+                THEN error('g_betweenness oracle: walk CTE unroll depth 8 reached - extend the w-CTEs')
+                ELSE 1 END AS ok),
       sigma AS MATERIALIZED (
         SELECT sp.s, sp.v, sp.d, allw.c AS sig
         FROM sp JOIN allw ON allw.s = sp.s AND allw.v = sp.v AND allw.l = sp.d
@@ -211,7 +218,8 @@ object GraphQ {
       SELECT CAST(nodes.n AS BIGINT) AS node,
              ROUND(COALESCE(bt.b, 0) / ((cnt.cn - 1.0) * (cnt.cn - 2.0)), 6) AS betweenness
       FROM nodes LEFT JOIN bt ON nodes.n = bt.node
-      CROSS JOIN (SELECT count(*) AS cn FROM nodes) cnt""")),
+      CROSS JOIN (SELECT count(*) AS cn FROM nodes) cnt
+      CROSS JOIN chk WHERE chk.ok = 1""")),
 
     // Community quality of the region partition (nx_comm.modularity +
     // partition_quality, graph.py:271-287): one row of

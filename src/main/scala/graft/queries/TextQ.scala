@@ -575,19 +575,15 @@ object TextQ {
              ROUND(cos, 6) AS cos
       FROM d WHERE cos >= 0.4""")),
 
-    // IVF-Flat ANN: k-means inverted lists + nProbe probing (MLlib
-    // quantizer — rows-only check; agreement spec pins >=0.9 recall).
-    Q("s_ivf", (s, dir) => {
-      val v = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(v, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
-        .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
-          col("cos"), bi(col("rank")).as("rank"))
-    }, None),
-
-    // IVF with a FIXED deterministic quantizer (no k-means fit): the
-    // inverted-list mechanics — assignment, probing, candidate join,
-    // exact rescoring, top-k — replayed verbatim in DuckDB. The MLlib
-    // path above keeps the rows-only + recall-spec check.
+    // IVF-Flat ANN catalog vehicle: FIXED deterministic quantizer (no
+    // k-means fit), so the inverted-list mechanics — assignment, probing,
+    // candidate join, exact rescoring, top-k — replay verbatim in DuckDB.
+    // The PRODUCTION path (Similarity.ivfTopK, MLlib k-means quantizer
+    // trained on a bounded sample) shares every stage except the fit and
+    // is spec-checked instead: >=0.9 recall vs brute force plus
+    // fixed-seed run-to-run determinism (TextSpec) — a k-means fit is
+    // not SQL-replayable, so it stays out of the oracle catalog rather
+    // than sitting as a permanent rows-only row.
     Q("s_ivf2", (s, dir) => {
       val v = Tables.embeddings(s, dir)
       Similarity.ivfTopKFixed(v, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)

@@ -73,8 +73,17 @@ object NearDupStream {
         graft.text.TextOps.wordShingles(col(textCol), shingleWidth).as("sh"),
         tsExpr.as("ts"))
       .where(size(col("sh")) > 0)
-    val sig = sh.select(col("id"),
+    val sig0 = sh.select(col("id"),
       graft.text.NearDup.minHashSig(col("sh"), nHashes).as("sig"), col("ts"))
+    // BATCH parity path: persist the signature frame before the 16-way
+    // band explode — without the barrier, CollapseProject inlines the
+    // shingle fold + minhash kernel into every band-slice expression and
+    // the per-doc signature is recomputed per band (the minHashDedup
+    // persist at NearDup.scala:84-87, same reason; measured 2.3x on
+    // e_lshdup). Streaming frames cannot persist — there the per-batch
+    // incremental plan evaluates each row once anyway.
+    val sig = if (docs.isStreaming) sig0
+      else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same banding as NearDup.lshBands, but the full signature rides
     // along (the state needs it for the agreement estimate)
     val bandRows = (0 until bands).map { b =>

@@ -116,9 +116,24 @@ object NearDup {
     * rounds bounded by the largest group's diameter, which for dedup
     * graphs is small (clusters are near-cliques).
     */
-  def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val comps = graft.graph.GraphOps.connectedComponents(
-      pairs.select(col(idA).as("src"), col(idB).as("dst")))
+  def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                maxLocalPairs: Long = 100000L): DataFrame = {
+    // the verified pairs are the OUTPUT of the whole minhash pipeline and
+    // feed every CC round (or the local collect) — persist them so the
+    // shingle/signature/verify chain runs once, not once per consumer
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count() // materializes the persist; doubles as the size probe
+    // dedup pair graphs are usually TINY relative to the corpus (the
+    // near-dup rate is per-mille at web scale): below the guard the
+    // driver-local union-find replaces the min-label iteration's ~2 Spark
+    // actions + localCheckpoint per diameter round (pure scheduler
+    // overhead on a ~100-row pair set). Above it, distributed CC stays
+    // the corpus-scale path.
+    val comps =
+      if (nPairs <= maxLocalPairs)
+        graft.graph.GraphOps.connectedComponentsLocal(p, maxEdges = 2 * maxLocalPairs + 16)
+      else graft.graph.GraphOps.connectedComponents(p)
     val sizes = comps.groupBy("component").agg(count(lit(1)).as("group_size"))
     comps.join(sizes, "component")
       .select(col("node").as("doc_id"), col("component").as("keep_id"),

@@ -148,6 +148,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall was $recall")
   }
 
+  test("ivf top-k is deterministic run-to-run at a fixed seed") {
+    // the MLlib-quantizer path can't be SQL-oracle-checked (a k-means fit
+    // is not replayable in DuckDB) — pin instead that the whole pipeline
+    // is a pure function of (data, seed): two independent fits + probes
+    // must agree bit-for-bit, so the recall spec above checks a
+    // reproducible artifact, not one lucky clustering
+    val vecs = (0 until 120).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(12) { d =>
+        (math.sin(c * 1.93 + d * 0.83) + 0.002 * ((i * 17 + d) % 5)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.ivfTopK(vecs, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 2, seed = 7L)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run() == run())
+  }
+
   test("lsh maxBucket cap drops degenerate buckets but keeps the rest") {
     val vecs = (0 until 40).map { i =>
       val th = (i % 8) * 0.7
