@@ -21,6 +21,10 @@ object TimeQ {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"[timeq] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // match the bench harness: drop per-query persisted intermediates so
+      // every rep measures a full recompute (reps would otherwise reuse a
+      // frame the query persisted internally and understate per-run cost)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -8,9 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * signature), `vec` is the double-cast embedding. Top-level for
   * encoders.
   */
-case class VecBanded(bucket: String, id: Long, vec: Seq[Double], ts: Long)
+case class VecBanded(bucket: String, id: Long, vec: Array[Double], ts: Long)
 
-case class VecEntry(id: Long, vec: Seq[Double], norm: Double, ts: Long)
+case class VecEntry(id: Long, vec: Array[Double], norm: Double, ts: Long)
 
 case class VecBucketState(docs: List[VecEntry], inert: Boolean)
 
@@ -64,7 +64,7 @@ object AnnStream {
         col("id"), col("vec"), col("ts"))
       .as[VecBanded]
 
-    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0
       var i = 0
       val n = math.min(a.length, b.length)

@@ -9,9 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * epoch ms (0 when the caller supplies no time column). Top-level for
   * encoders.
   */
-case class BandKeyed(bucket: String, id: Long, sig: Seq[Long], ts: Long)
+case class BandKeyed(bucket: String, id: Long, sig: Array[Long], ts: Long)
 
-case class DocSig(id: Long, sig: Seq[Long], ts: Long)
+case class DocSig(id: Long, sig: Array[Long], ts: Long)
 
 /** Per-bucket state: docs seen and not yet expired (newest first), or
   * inert once the bucket crossed the size cap (a degenerate stop-shingle
