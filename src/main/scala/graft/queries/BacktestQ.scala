@@ -181,11 +181,14 @@ object BacktestQ {
       val car = ars.withColumn("car", sum("ar").over(wcum))
       val byDate = car.groupBy("t0", "rel").agg(avg("car").as("car"))
       val nEvents = ev.count()
+      // the dates×window matrix is provably small (≤ one row-group per
+      // planted event); guard BEFORE collecting, like the breakpoint and
+      // rebalance-calendar collects
+      require(nEvents <= 100000, s"a10_kpp: $nEvents planted events — matrix too large to collect")
       val mat = byDate.orderBy("t0", "rel").collect()
         .grouped(L).map { rows =>
           (rows.head.getInt(0), rows.map(_.getDouble(2)).toArray)
         }.toArray
-      require(mat.length <= 100000, "a10_kpp: date matrix unexpectedly large")
       val k = EventStudy.fitKpp(mat, window = W, d = D, rhoOverride = Some(rho))
       import s.implicits._
       Seq((k.window, k.windowT, k.post, k.postT, k.rho, k.tau, k.effective,
