@@ -30,17 +30,25 @@ object BacktestQ {
     // before fractiling so breakpoint comparisons are cross-engine exact.
     Q("b1_backtest", (s, dir) => {
       val o = Tables.orders(s, dir)
+      // ~permnos×years×12 rows; feeds THREE consumers (signal compound,
+      // year caps, the drifted holding-period panel) — persist so the
+      // orders aggregation runs once, not once per consumer
       val monthly = o.groupBy((col("o_custkey") % 100).as("permno"),
           year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
         .agg(((dsum(col("o_totalprice")) % 100) / 1000.0 - 0.045).as("ret"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = monthly.groupBy("permno", "y")
         .agg(r6(CompoundReturn.compoundRet(col("ret"))).as("signal"))
       val cap = o.groupBy((col("o_custkey") % 100).as("permno"),
           year(col("o_orderdate")).as("y"))
         .agg(dsum(col("o_totalprice")).as("cap"))
+      // the cross-section is ~permnos×years rows and is scanned four ways
+      // by the sort (screen, NYSE population percentiles, label join) —
+      // persist the tiny frame instead of re-running the agg chain
       val cs = sig.join(cap, Seq("permno", "y")).where(col("y") < 1998)
         .select(col("permno"), (col("y") * 10000 + 1231).as("rebaldate"),
           col("signal"), col("cap"), (col("permno") % 3 === 0).as("nyse"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val holdings = Backtesting.univariateSorts(cs, k = 5)
       val daily = monthly.select(col("permno"),
         (col("y") * 10000 + col("mo") * 100 + 28).as("date"),
