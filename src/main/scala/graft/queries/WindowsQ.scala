@@ -187,6 +187,96 @@ object WindowsQ {
            (SELECT quantile_cont(c_acctbal, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
             FROM customer WHERE c_mktsegment = 'BUILDING') bp""")),
 
+    // W7: tick test — naive sign-of-price-change (align_trades
+    // taq.py:330-359) AND the classic variant where zero-ticks carry the
+    // prior nonzero sign forward; per customer-group price path ordered
+    // by (date, orderkey). signum on identical parquet doubles is
+    // cross-engine exact.
+    Q("w7_tick", (s, dir) => {
+      val w = Window.partitionBy("g").orderBy("ts", "o_orderkey")
+      val o = Tables.orders(s, dir)
+        .select((col("o_custkey") % 50).as("g"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice").as("p"))
+      o.select(bi(col("g")).as("g"), bi(col("o_orderkey")).as("o_orderkey"),
+          WindowOps.tickSign(col("p"), w).as("tick"),
+          WindowOps.classicTickSign(col("p"), w).as("classic_tick"))
+    }, Some("""
+      WITH x AS (
+        SELECT o_custkey % 50 AS g, o_orderdate AS ts, o_orderkey, o_totalprice AS p,
+               sign(o_totalprice - lag(o_totalprice) OVER
+                 (PARTITION BY o_custkey % 50 ORDER BY o_orderdate, o_orderkey)) AS raw
+        FROM orders
+      )
+      SELECT CAST(g AS BIGINT) AS g, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(coalesce(raw, 0.0) AS DOUBLE) AS tick,
+             CAST(last_value(CASE WHEN raw <> 0 THEN raw END IGNORE NULLS) OVER
+               (PARTITION BY g ORDER BY ts, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS classic_tick
+      FROM x""")),
+
+    // W11: overlapping-holdings smoothing (backtest.py:140-149) — each
+    // permno's weight averaged over its last k rebalances on the DENSE
+    // rebalance grid (missing months count 0), zero rows dropped.
+    // Holdings derived from orders; the dates×permnos grid cross is two
+    // provably-small dimensions (allowlisted in PlanAudit).
+    Q("w11_smooth", (s, dir) => {
+      val h = Tables.orders(s, dir)
+        .groupBy((year(col("o_orderdate")) * 100 + 12).as("rebaldate"),
+          (col("o_custkey") % 40).as("permno"))
+        .agg(r6((dsum(col("o_totalprice")) % 10) / 100.0).as("weight"))
+        .where(col("weight") > 0.02)
+      graft.backtest.Backtesting.smooth(h, k = 3)
+        .select(bi(col("rebaldate")).as("rebaldate"), bi(col("permno")).as("permno"),
+          r6(col("smoothed")).as("smoothed"))
+    }, Some("""
+      WITH h AS (
+        SELECT year(o_orderdate) * 100 + 12 AS rebaldate, o_custkey % 40 AS permno,
+               ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 10) / 100.0, 6) AS weight
+        FROM orders GROUP BY 1, 2
+        HAVING ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 10) / 100.0, 6) > 0.02
+      ), grid AS (
+        SELECT d.rebaldate, p.permno
+        FROM (SELECT DISTINCT rebaldate FROM h) d
+        CROSS JOIN (SELECT DISTINCT permno FROM h) p
+      ), filled AS (
+        SELECT g.rebaldate, g.permno, coalesce(h.weight, 0.0) AS w0
+        FROM grid g LEFT JOIN h ON g.rebaldate = h.rebaldate AND g.permno = h.permno
+      ), sm AS (
+        SELECT rebaldate, permno,
+               AVG(w0) OVER (PARTITION BY permno ORDER BY rebaldate
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS smoothed
+        FROM filled
+      )
+      SELECT CAST(rebaldate AS BIGINT) AS rebaldate, CAST(permno AS BIGINT) AS permno,
+             ROUND(smoothed, 6) AS smoothed
+      FROM sm WHERE smoothed <> 0.0""")),
+
+    // P7: winsorize at exact [0.05, 0.95] quantiles + Tukey IQR fences
+    // (filters.py:145-205) — the two scalar quantile pairs fold back as
+    // literals (one aggregate pass each, no per-row second shuffle).
+    Q("p7_winsor", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val win = graft.ops.Outliers.winsorize(o, "o_totalprice", 0.05, 0.95, "w")
+      graft.ops.Outliers.iqrFence(win, "o_totalprice", 1.5, "f")
+        .select(bi(col("o_orderkey")).as("o_orderkey"),
+          r6(col("w")).as("winsorized"), r6(col("f")).as("fenced"))
+    }, Some("""
+      WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+      )
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             ROUND(CASE WHEN o_totalprice < q.lo THEN q.lo
+                        WHEN o_totalprice > q.hi THEN q.hi
+                        ELSE o_totalprice END, 6) AS winsorized,
+             ROUND(CASE WHEN o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                          OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                        THEN NULL ELSE o_totalprice END, 6) AS fenced
+      FROM orders CROSS JOIN q""")),
+
     // F1: int-date algebra — YYYYMMDD extraction, month/quarter-end
     // rounding, FF June fiscal mapping (busday.py:288-468).
     Q("f1_dates", (s, dir) => {
