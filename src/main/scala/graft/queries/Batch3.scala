@@ -116,6 +116,132 @@ object Batch3 {
     }, Some("""
       SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, source
       FROM documents
-      WHERE lang IN ('en', 'es') AND n_chars >= 300 AND source <> 'src0'"""))
+      WHERE lang IN ('en', 'es') AND n_chars >= 300 AND source <> 'src0'""")),
+
+    // S3: dup-key merge write (INSERT-or-replace, sql.py:251-266 /
+    // unstructured.py upsert) — incoming docs replace same-key rows via
+    // anti-join + union; replays as two UNION ALL branches.
+    Q("s3_upsert", (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val incoming = d.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("upserted").as("source"),
+          (col("n_chars") + 1).as("n_chars"))
+      DocStore.upsert(d, incoming, "doc_id")
+        .select(bi(col("doc_id")).as("doc_id"), col("source"),
+          bi(col("n_chars")).as("n_chars"))
+    }, Some("""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT), 'upserted', CAST(n_chars + 1 AS BIGINT)
+      FROM documents WHERE doc_id % 7 = 0""")),
+
+    // P5: trade cleaning (clean_trades taq.py:330-340) on a TAQ-shaped
+    // frame synthesized from events — positive price/volume, corr = 0,
+    // condition code not in the excluded set (nulls pass).
+    Q("p5_clean", (s, dir) => {
+      val e = Tables.events(s, dir)
+      val trades = e.select(
+        concat(lit("S"), (col("user_id") % 5)).as("symbol"),
+        col("event_id"), col("value").as("price"),
+        (col("event_id") % 100 - 5).as("volume"),
+        (col("event_id") % 3).as("corr"),
+        element_at(array(lit("@"), lit("A"), lit("M"), lit("O"), lit(null)),
+          (col("event_id") % 5 + 1).cast("int")).as("cond"))
+      graft.taq.Taq.cleanTrades(trades)
+        .select(col("symbol"), bi(col("event_id")).as("event_id"),
+          col("price"), bi(col("volume")).as("volume"), col("cond"))
+    }, Some("""
+      WITH t AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS symbol, event_id,
+               value AS price, event_id % 100 - 5 AS volume, event_id % 3 AS corr,
+               (['@', 'A', 'M', 'O', NULL])[event_id % 5 + 1] AS cond
+        FROM events
+      )
+      SELECT symbol, CAST(event_id AS BIGINT) AS event_id, price,
+             CAST(volume AS BIGINT) AS volume, cond
+      FROM t
+      WHERE price > 0 AND volume > 0 AND corr = 0
+        AND (cond IS NULL OR NOT regexp_matches(cond, '[MOZBTLGWJK145789]'))""")),
+
+    // P6: NBBO quote cleaning (clean_nbbo taq.py:342-380) — positive
+    // prices/sizes, ask > bid, spread cap, best-sequence per timestamp,
+    // unchanged consecutive quotes dropped; windowed replay in DuckDB.
+    Q("p6_quotes", (s, dir) => {
+      val e = Tables.events(s, dir)
+      val quotes = e.select(
+        concat(lit("S"), (col("user_id") % 5)).as("symbol"),
+        unix_micros(col("ts")).as("ts"), col("event_id").as("seqno"),
+        col("value").as("bid"),
+        (col("value") + (col("event_id") % 14) / 2.0 - 1.0).as("ask"),
+        (col("event_id") % 50 - 2).as("bidsize"),
+        (col("event_id") % 30 + 1).as("asksize"))
+      graft.taq.Taq.cleanQuotes(quotes, maxSpread = 5.0)
+        .select(col("symbol"), bi(col("ts")).as("ts"), bi(col("seqno")).as("seqno"),
+          col("bid"), r6(col("ask")).as("ask"),
+          bi(col("bidsize")).as("bidsize"), bi(col("asksize")).as("asksize"))
+    }, Some("""
+      WITH q0 AS (
+        SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS symbol,
+               epoch_us(ts) AS ts, event_id AS seqno,
+               value AS bid, value + (event_id % 14) / 2.0 - 1.0 AS ask,
+               event_id % 50 - 2 AS bidsize, event_id % 30 + 1 AS asksize
+        FROM events
+      ), base AS (
+        SELECT * FROM q0
+        WHERE bid > 0 AND ask > 0 AND bidsize > 0 AND asksize > 0
+          AND ask > bid AND ask - bid <= 5.0
+      ), best AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY symbol, ts ORDER BY seqno DESC) AS rn
+          FROM base) WHERE rn = 1
+      ), chg AS (
+        SELECT *,
+               (lag(bid) OVER w IS NULL OR lag(bid) OVER w <> bid
+                OR lag(ask) OVER w <> ask OR lag(bidsize) OVER w <> bidsize
+                OR lag(asksize) OVER w <> asksize) AS c
+        FROM best WINDOW w AS (PARTITION BY symbol ORDER BY ts, seqno)
+      )
+      SELECT symbol, CAST(ts AS BIGINT) AS ts, CAST(seqno AS BIGINT) AS seqno,
+             bid, ROUND(ask, 6) AS ask,
+             CAST(bidsize AS BIGINT) AS bidsize, CAST(asksize AS BIGINT) AS asksize
+      FROM chg WHERE c""")),
+
+    // J3: as-of LINK join with the linkdt = 0 "always valid" sentinel
+    // (structured.py:274-328, pstat.py:449-455): every odd custkey has
+    // only the sentinel link; even custkeys gain a dated link that
+    // prevails from 1997-01-01 on.
+    Q("j3_sentinel", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val fact = o.select(col("o_orderkey"), col("o_custkey").as("key"),
+        (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).as("fdate"))
+      val keys = Tables.customer(s, dir).select(col("c_custkey").as("key"))
+      val links = keys.select(col("key"), lit(0).as("linkdt"),
+          (col("key") * 10).as("gvkey"))
+        .unionByName(keys.where(col("key") % 2 === 0)
+          .select(col("key"), lit(19970101).as("linkdt"),
+            (col("key") * 10 + 1).as("gvkey")))
+      graft.ops.AsOf.linkJoin(fact, links, key = "key",
+          factDate = "fdate", linkDate = "linkdt", linkCols = Seq("gvkey"))
+        .select(bi(col("o_orderkey")).as("o_orderkey"), bi(col("key")).as("key"),
+          bi(col("fdate")).as("fdate"), bi(col("gvkey")).as("gvkey"))
+    }, Some("""
+      WITH fact AS (
+        SELECT o_orderkey, o_custkey AS key,
+               year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS fdate
+        FROM orders
+      ), links AS (
+        SELECT c_custkey AS key, 0 AS linkdt, c_custkey * 10 AS gvkey FROM customer
+        UNION ALL
+        SELECT c_custkey, 19970101, c_custkey * 10 + 1 FROM customer WHERE c_custkey % 2 = 0
+      )
+      SELECT CAST(f.o_orderkey AS BIGINT) AS o_orderkey, CAST(f.key AS BIGINT) AS key,
+             CAST(f.fdate AS BIGINT) AS fdate, CAST(l.gvkey AS BIGINT) AS gvkey
+      FROM fact f LEFT JOIN links l
+        ON l.key = f.key
+       AND l.linkdt = (SELECT MAX(x.linkdt) FROM links x
+                       WHERE x.key = f.key AND x.linkdt <= f.fdate)"""))
   )
 }
