@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON lines per query (old new -> sorted ratio table).
+
+Usage: python3 tools/benchdiff.py BENCH_r04.json BENCH_r05.json [threshold]
+
+Queries only in one file are listed separately; per-pass times (present
+from round 5 on under "passes") are shown for flagged rows so a host
+stall (one inflated pass) is distinguishable from a real regression
+(all passes slow).
+"""
+import json, sys
+
+def load(p):
+    with open(p) as f:
+        text = f.read()
+    # driver BENCH_r{N}.json wraps the bench line under "parsed"
+    try:
+        d = json.loads(text)
+        if "queries" in d:
+            return d
+        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+            return d["parsed"]
+        # driver files sometimes have parsed=null with the line inside "tail"
+        if isinstance(d.get("tail"), str):
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    import re
+    m = [x for x in re.findall(r'\{"metric".*?"sf":"[^"]*"\}', text, re.S)]
+    if m:
+        return json.loads(m[-1])
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith('{') and '"queries"' in line:
+            return json.loads(line)
+    raise SystemExit(f"no bench JSON found in {p}")
+
+a, b = load(sys.argv[1]), load(sys.argv[2])
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+qa, qb = a["queries"], b["queries"]
+shared = sorted(set(qa) & set(qb), key=lambda q: -(qb[q] / max(qa[q], 1e-9)))
+print(f"{'query':18s} {'old':>8s} {'new':>8s} {'ratio':>6s}")
+for q in shared:
+    r = qb[q] / max(qa[q], 1e-9)
+    flag = " <-- " if r >= thr else ""
+    passes = ""
+    if flag and "passes" in b and q in b["passes"]:
+        passes = " passes=" + ",".join(f"{t:.1f}" for t in b["passes"][q])
+    print(f"{q:18s} {qa[q]:8.2f} {qb[q]:8.2f} {r:6.2f}{flag}{passes}")
+only_a = sorted(set(qa) - set(qb))
+only_b = sorted(set(qb) - set(qa))
+if only_a:
+    print("removed:", ", ".join(only_a))
+if only_b:
+    print("added:", ", ".join(f"{q} ({qb[q]:.2f}s)" for q in only_b))
+sa = sum(qa[q] for q in shared)
+sb = sum(qb[q] for q in shared)
+print(f"shared-query totals: old {sa:.1f}s new {sb:.1f}s ({sb / sa:.2f}x); "
+      f"full totals: old {a['value']:.1f}s new {b['value']:.1f}s")
