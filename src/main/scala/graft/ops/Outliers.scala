@@ -42,6 +42,28 @@ object Outliers {
       when(col(valueCol) < lo || col(valueCol) > hi, lit(null)).otherwise(col(valueCol)))
   }
 
+  /** [[winsorize]] + [[iqrFence]] fused: all four quantiles come from ONE
+    * aggregate pass over the data instead of two (each `head()` is a full
+    * scan + driver round-trip — at corpus scale the quantile pass IS the
+    * cost, so halving the passes halves the op).
+    */
+  def winsorizeAndFence(df: DataFrame, valueCol: String,
+                        lo: Double = 0.05, hi: Double = 0.95,
+                        factor: Double = 1.5,
+                        winCol: String = "winsorized",
+                        fenceCol: String = "fenced"): DataFrame = {
+    val r = df.agg(
+      expr(s"percentile($valueCol, array($lo, $hi, 0.25, 0.75))").as("q")).head()
+    val q = r.getSeq[Double](0)
+    val (l, h, q1, q3) = (q(0), q(1), q(2), q(3))
+    val iqr = q3 - q1
+    val (fl, fh) = (q1 - factor * iqr, q3 + factor * iqr)
+    df.withColumn(winCol, clip(col(valueCol), l, h))
+      .withColumn(fenceCol,
+        when(col(valueCol) < fl || col(valueCol) > fh, lit(null))
+          .otherwise(col(valueCol)))
+  }
+
   /** Null-aware weighted mean `Σ w·x / Σ w` over rows where both are
     * non-null (`weighted_average` `filters.py:208-228`).
     */

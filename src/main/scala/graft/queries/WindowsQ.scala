@@ -256,8 +256,7 @@ object WindowsQ {
     // literals (one aggregate pass each, no per-row second shuffle).
     Q("p7_winsor", (s, dir) => {
       val o = Tables.orders(s, dir)
-      val win = graft.ops.Outliers.winsorize(o, "o_totalprice", 0.05, 0.95, "w")
-      graft.ops.Outliers.iqrFence(win, "o_totalprice", 1.5, "f")
+      graft.ops.Outliers.winsorizeAndFence(o, "o_totalprice", 0.05, 0.95, 1.5, "w", "f")
         .select(bi(col("o_orderkey")).as("o_orderkey"),
           r6(col("w")).as("winsorized"), r6(col("f")).as("fenced"))
     }, Some("""

@@ -203,6 +203,18 @@ class OutliersSpec extends SparkSpec {
     assert(out.where(col("f").isNull).count() == 1)
   }
 
+  test("fused winsorizeAndFence equals winsorize + iqrFence") {
+    val df = (((1 to 40).map(_ * 1.7) :+ 500.0) :+ -200.0).toDF("v")
+    val fused = Outliers.winsorizeAndFence(df, "v", 0.05, 0.95, 1.5, "w", "f")
+      .select("v", "w", "f").as[(Double, Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val twoPass = Outliers.iqrFence(Outliers.winsorize(df, "v", 0.05, 0.95, "w"),
+        "v", 1.5, "f")
+      .select("v", "w", "f").as[(Double, Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(fused == twoPass)
+  }
+
   test("saltedJoin is row-identical to the plain join on a skewed key") {
     // hot key: 5000 of 6000 left rows share k=0; right has 1-3 rows/key
     val left = ((0 until 5000).map(i => (0, i)) ++
