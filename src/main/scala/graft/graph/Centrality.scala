@@ -341,18 +341,18 @@ object Centrality {
     var auth = nodes.withColumn("a", lit(1L))
     var hub = auth.select(col("node"), col("a").as("h"))
     for (_ <- 1 to iters) {
-      // eagerly materialize each round: un-checkpointed, hub's lineage is
-      // a prefix of auth's, so the final hub⋈auth re-executes the whole
-      // chain twice — 13 SMJs / 25 shuffles at iters=3 (PLANS.md r4) for
-      // frames of |V| rows. Per-round localCheckpoint turns that into
-      // 2·iters one-stage jobs over in-memory relations (the walkCounts
-      // vehicle is single-consumer per round and needs none).
+      // materialize each round's AUTH frame: un-checkpointed, hub's
+      // lineage is a prefix of auth's, so the final hub⋈auth re-executes
+      // the whole chain twice — 13 SMJs / 25 shuffles at iters=3
+      // (PLANS.md r4) for frames of |V| rows. Checkpointing auth alone
+      // truncates the lineage once per round; hub stays lazy (single
+      // consumer per round, it folds into auth's job — and the final
+      // plan's hub is one join off the last materialized auth).
       // SHUFFLE_HASH on the count side: SMJ would re-SORT the |E| side
       // every round; hashing the per-partition slice of the |V|-row count
       // frame streams the pre-partitioned edges unsorted
       hub = eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
         .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
-        .localCheckpoint()
       auth = eByS.join(hub.hint("shuffle_hash"), eByS("s") === hub("node"))
         .groupBy(eByS("d").as("node")).agg(sum("h").as("a"))
         .localCheckpoint()
