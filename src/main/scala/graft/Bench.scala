@@ -29,6 +29,7 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+        .filter(d => new java.io.File(d).isDirectory) // typo'd env → fall through, don't warm cold 87x
         .orElse(Option(sibling.getPath).filter(_ => sibling.isDirectory))
       warmDir match {
         case Some(wd) =>

@@ -348,6 +348,11 @@ object Centrality {
       // truncates the lineage once per round; hub stays lazy (single
       // consumer per round, it folds into auth's job — and the final
       // plan's hub is one join off the last materialized auth).
+      // NOTE: the eager checkpoints move the per-round joins out of the
+      // final plan, so PlanAudit's g_hits row covers only the last
+      // round + output joins — plan regressions inside the loop are
+      // caught by this round's shape (same join/hint code path), not
+      // by the audit.
       // SHUFFLE_HASH on the count side: SMJ would re-SORT the |E| side
       // every round; hashing the per-partition slice of the |V|-row count
       // frame streams the pre-partitioned edges unsorted

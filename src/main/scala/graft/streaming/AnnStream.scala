@@ -52,10 +52,18 @@ object AnnStream {
       case Some(c) => col(c).cast("timestamp").cast("long") * 1000L
       case None => lit(0L)
     }
-    val p = vecs.select(col(idCol).cast("long").as("id"),
+    val p0 = vecs.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"),
       graft.sim.Similarity.lshProjections(col(vecCol), planes, tables).as("__p"),
       tsExpr.as("ts"))
+    // BATCH path: persist before the `tables`-way explode — without the
+    // barrier CollapseProject inlines the full hyperplane projection into
+    // every packSignature slice, recomputing it per table (the same
+    // pathology fixed for the minhash fold in NearDupStream). The caller
+    // owns cache release (cacheManager.clearCache() between queries, as
+    // Bench/Verify do) since the returned Dataset is lazy.
+    val p = if (vecs.isStreaming) p0
+      else p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = p.select(col("id"), col("vec"), col("ts"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),

@@ -81,7 +81,10 @@ object NearDupStream {
     // the per-doc signature is recomputed per band (the minHashDedup
     // persist at NearDup.scala:84-87, same reason; measured 2.3x on
     // e_lshdup). Streaming frames cannot persist — there the per-batch
-    // incremental plan evaluates each row once anyway.
+    // incremental plan evaluates each row once anyway. The returned
+    // Dataset is LAZY, so cache release is the caller's contract (drop
+    // via cacheManager.clearCache() after the action, as Bench/Verify
+    // do between queries) — same contract as minHashDedup.
     val sig = if (docs.isStreaming) sig0
       else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same banding as NearDup.lshBands, but the full signature rides

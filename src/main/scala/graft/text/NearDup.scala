@@ -134,6 +134,11 @@ object NearDup {
       if (nPairs <= maxLocalPairs)
         graft.graph.GraphOps.connectedComponentsLocal(p, maxEdges = 2 * maxLocalPairs + 16)
       else graft.graph.GraphOps.connectedComponents(p)
+    // both CC paths materialize eagerly (collect / per-round
+    // localCheckpoint), so the returned frame no longer depends on the
+    // persisted pairs — release them instead of pinning one cached frame
+    // per call in a long-lived driver
+    p.unpersist(blocking = false)
     val sizes = comps.groupBy("component").agg(count(lit(1)).as("group_size"))
     comps.join(sizes, "component")
       .select(col("node").as("doc_id"), col("component").as("keep_id"),

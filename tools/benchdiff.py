@@ -55,5 +55,6 @@ if only_b:
     print("added:", ", ".join(f"{q} ({qb[q]:.2f}s)" for q in only_b))
 sa = sum(qa[q] for q in shared)
 sb = sum(qb[q] for q in shared)
-print(f"shared-query totals: old {sa:.1f}s new {sb:.1f}s ({sb / sa:.2f}x); "
+ratio = f"{sb / sa:.2f}x" if sa > 0 else "n/a (no shared queries)"
+print(f"shared-query totals: old {sa:.1f}s new {sb:.1f}s ({ratio}); "
       f"full totals: old {a['value']:.1f}s new {b['value']:.1f}s")
