@@ -8,9 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0.
+    * The composed SURVEY §3.1 signal backtest — screen → NYSE fractiles
+    * → cap-weighted legs → drift → spread return, the reference's
+    * headline path (oracle-checked as `b1_backtest`).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("b1_backtest")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
