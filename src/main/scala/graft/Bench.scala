@@ -26,6 +26,7 @@ object Bench {
     // (sibling sf0.001) or SPARK_GRAFT_WARM_DIR; if neither exists the
     // warmup is SKIPPED rather than silently pre-running the catalog on
     // the timed data. Disable with SPARK_GRAFT_NO_WARMUP=1.
+    var warmed = false
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
@@ -40,6 +41,7 @@ object Bench {
               System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
             spark.sharedState.cacheManager.clearCache()
           }
+          warmed = true
         case None =>
           System.err.println(s"[bench] no warmup dir (sibling sf0.001 of $sfDir absent and " +
             "SPARK_GRAFT_WARM_DIR unset) — timing cold, first-query times include JIT")
@@ -82,7 +84,18 @@ object Bench {
       "\"" + n + "\":[" + perPass(n).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
+    // Two-line emission (BENCH_r05 lesson): the driver tail-captures stdout
+    // and parses the LAST line, so the per-pass arrays — which tripled the
+    // line and truncated the head 28 queries in r5 — go on their own
+    // PRECEDING line (and to bench_passes.json for post-hoc diagnosis);
+    // the final line is the compact min-only format the driver parses.
+    val detail = f"""{"detail":"per-pass","passes":$passes,"warmup":$warmed,"times":$raw}"""
+    println(detail)
+    try {
+      val out = new java.io.PrintWriter("bench_passes.json")
+      try out.println(detail) finally out.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] pass file write failed: ${e.getMessage}") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup":$warmed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

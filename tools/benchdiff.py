@@ -10,6 +10,20 @@ stall (one inflated pass) is distinguishable from a real regression
 """
 import json, sys
 
+def attach_passes(d, text):
+    # from round 6 the per-pass detail is a separate preceding line
+    # ({"detail":"per-pass",...,"times":{...}}, also bench_passes.json);
+    # rounds ≤5 inlined it under "passes" in the main line
+    if isinstance(d.get("passes"), dict):
+        return d
+    for line in text.splitlines():
+        if '"detail":"per-pass"' in line and '{' in line:
+            try:
+                d["passes"] = json.loads(line[line.index('{'):]).get("times", {})
+            except json.JSONDecodeError:
+                pass
+    return d
+
 def load(p):
     with open(p) as f:
         text = f.read()
@@ -17,9 +31,9 @@ def load(p):
     try:
         d = json.loads(text)
         if "queries" in d:
-            return d
+            return attach_passes(d, text)
         if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-            return d["parsed"]
+            return attach_passes(d["parsed"], d.get("tail") or "")
         # driver files sometimes have parsed=null with the line inside "tail"
         if isinstance(d.get("tail"), str):
             text = d["tail"]
@@ -28,11 +42,11 @@ def load(p):
     import re
     m = [x for x in re.findall(r'\{"metric".*?"sf":"[^"]*"\}', text, re.S)]
     if m:
-        return json.loads(m[-1])
+        return attach_passes(json.loads(m[-1]), text)
     for line in text.splitlines():
         line = line.strip()
         if line.startswith('{') and '"queries"' in line:
-            return json.loads(line)
+            return attach_passes(json.loads(line), text)
     raise SystemExit(f"no bench JSON found in {p}")
 
 a, b = load(sys.argv[1]), load(sys.argv[2])
