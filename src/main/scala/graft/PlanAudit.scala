@@ -28,7 +28,22 @@ object PlanAudit {
     "j13_bucket" -> "broadcast interval lookup against a 3-row dimension (non-equi by nature)",
     "w11_smooth" -> "dense rebalance grid: dates × permnos dimension cross (both provably-small dims)",
     "g_info" -> "crossJoins of 1-row summary aggregates (edge count, component count)",
-    "g_community" -> "crossJoins of 1-row modularity/coverage aggregates"
+    "g_community" -> "crossJoins of 1-row modularity/coverage aggregates",
+    "a10_kpp__bydate" -> "rel-window expansion: events × 13-row broadcast range cross"
+  )
+
+  /** Audit-only frames for plan shapes the catalog queries hide from the
+    * gate: `g_hits` eagerly checkpoints each loop round (the final plan
+    * shows only the last round + output joins), and `a10_kpp` collects
+    * its distributed matrix during construction (the returned frame is
+    * 1 local row, so its row was all zeros through round 5). These rows
+    * audit one un-checkpointed hits round and the pre-collect a10 matrix.
+    */
+  private val extras: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "g_hits__round_body" -> ((s: SparkSession, dir: String) =>
+      graft.graph.Centrality.hitsRoundForAudit(graft.queries.GraphQ.hitsEdges(s, dir))),
+    "a10_kpp__bydate" -> ((s: SparkSession, dir: String) =>
+      graft.queries.BacktestQ.a10ByDate(s, dir)._1)
   )
 
   def main(args: Array[String]): Unit = {
@@ -49,7 +64,7 @@ object PlanAudit {
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     var violations = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    (SparkEntry.queries.toSeq.sortBy(_._1) ++ extras).foreach { case (name, fn) =>
       // traverse the TREE, not the rendered string: the string embeds
       // every cached relation's build plan recursively (a persist-using
       // query renders 100s of phantom operators), while InMemoryTableScan
@@ -90,6 +105,12 @@ object PlanAudit {
     md ++= "are excluded. A BroadcastNestedLoopJoin / CartesianProduct anywhere but\n"
     md ++= "the allowlist fails the audit (exit 1) — it is a plan-regression gate,\n"
     md ++= "not just a report.\n\n"
+    md ++= "`__`-suffixed rows are AUDIT-ONLY frames, not catalog queries: the\n"
+    md ++= "hits loop body that per-round checkpoints hide from the final plan,\n"
+    md ++= "and the a10_kpp distributed matrix that the query collects during\n"
+    md ++= "construction (its own catalog row is a 1-row local frame with no\n"
+    md ++= "plan to audit — reading a zero-row a10_kpp line as 'no shuffles'\n"
+    md ++= "would be wrong; read a10_kpp__bydate instead).\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"

@@ -12,26 +12,40 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    def shape(label: String, aqe: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      val e = spark.range(0, 100000)
+        .select((col("id") % 1000).as("s"), (col("id") % 777).as("d"))
+      val ck = e.repartition(col("d")).distinct().localCheckpoint()
+      val v = ck.groupBy(col("d").as("node")).agg(sum("s").as("a"))
+      val j = ck.join(v.hint("shuffle_hash"), ck("d") === v("node"))
+      val plan = j.queryExecution.executedPlan.treeString
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      println(s"[probe] aqe=$aqe exchanges-in-join-plan=$nEx")
+      println(plan.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("ExistingRDD"))
+        .mkString("\n"))
     }
+    shape("ck-join", aqe = true)
+    shape("ck-join", aqe = false)
 
-    val v = graft.core.Tables.embeddings(spark, dir)
-    time("sigs-only") {
-      v.select(col("vec_id"),
-        graft.sim.Similarity.lshProjections(
-          col("embedding").cast("array<double>"), 12, 4).as("p")).count()
-    }
-    time("s_lsh-cold")(graft.queries.Catalog.queries("s_lsh")(spark, dir).count())
-    spark.sharedState.cacheManager.clearCache()
-    time("s_lsh-warm")(graft.queries.Catalog.queries("s_lsh")(spark, dir).count())
-    spark.sharedState.cacheManager.clearCache()
-    time("t_simhash-warm")(graft.queries.Catalog.queries("t_simhash")(spark, dir).count())
-
+    // the combination that matters: materialize the checkpoint with AQE
+    // OFF (plan partitioning stays HashPartitioning), consume it with AQE
+    // back ON (the session default)
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val e = spark.range(0, 100000)
+      .select((col("id") % 1000).as("s"), (col("id") % 777).as("d"))
+    val ck = e.repartition(col("d")).distinct().localCheckpoint()
+    spark.conf.set("spark.sql.adaptive.enabled", true)
+    val v = ck.groupBy(col("d").as("node")).agg(sum("s").as("a"))
+    val j = ck.join(v.hint("shuffle_hash"), ck("d") === v("node"))
+    val plan = j.queryExecution.executedPlan.treeString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    println(s"[probe] ckpt-noaqe-join-aqe exchanges=$nEx")
+    println(plan.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join") || l.contains("ExistingRDD"))
+      .mkString("\n"))
     spark.stop()
   }
 }

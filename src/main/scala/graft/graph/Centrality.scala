@@ -322,13 +322,28 @@ object Centrality {
     // auth joins per round) — materialize it once so the final plan joins
     // an in-memory relation instead of compiling/scanning the upstream
     // 2·iters times (the upstream here is a lineitem⋈orders distinct).
-    // Materialized PRE-PARTITIONED on each join key (localCheckpoint
-    // preserves outputPartitioning): the hub round joins on d, the auth
-    // round on s, so per round only the |V|-row count frame shuffles —
-    // the |E|-row side never re-shuffles after the one-time setup.
-    val eByD = edges0.select(col(src).as("s"), col(dst).as("d")).distinct()
-      .repartition(col("d")).localCheckpoint()
-    val eByS = eByD.repartition(col("s")).localCheckpoint()
+    // Two-step materialization, each step under the planner that suits it:
+    //   1. build+distinct under AQE — the upstream edge construction keeps
+    //      its runtime re-plans (e.g. AQE broadcasting the orders side of
+    //      the g_hits edge build; forcing this step non-adaptive measured
+    //      2.5x slower end-to-end);
+    //   2. the two repartitions through Ckpt.partitioned (AQE off for just
+    //      the in-memory shuffle) so the LogicalRDDs KEEP HashPartitioning
+    //      — under a plain localCheckpoint AQE erases it and every round
+    //      re-Exchanged the |E| frame it was pre-partitioned to avoid.
+    // The explicit partition count reuses the one AQE already coalesced
+    // the materialized `raw` to — sized to the DATA, not the static
+    // shuffle.partitions (32 one-row-per-task stages measured ~2x slower
+    // per round than data-sized stages on the oracle graph; at corpus
+    // scale AQE picks correspondingly more partitions and the same code
+    // holds). After setup the hub round joins on d, the auth round on s,
+    // and only the |V|-row count frame shuffles per round
+    // (HitsRoundShapeSpec asserts the exchange-free |E| legs).
+    val raw = edges0.select(col(src).as("s"), col(dst).as("d"))
+      .distinct().localCheckpoint()
+    val nPart = raw.rdd.getNumPartitions.max(1)
+    val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
+    val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
     val nodes = eByD.select(col("s").as("node"))
       .unionAll(eByD.select(col("d").as("node"))).distinct()
     // zero-count nodes are NOT re-joined inside the loop — a zero term
@@ -340,7 +355,7 @@ object Centrality {
     // graph. Oracle vehicle only; the production path is the float hits().
     var auth = nodes.withColumn("a", lit(1L))
     var hub = auth.select(col("node"), col("a").as("h"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // materialize each round's AUTH frame: un-checkpointed, hub's
       // lineage is a prefix of auth's, so the final hub⋈auth re-executes
       // the whole chain twice — 13 SMJs / 25 shuffles at iters=3
@@ -350,14 +365,20 @@ object Centrality {
       // plan's hub is one join off the last materialized auth).
       // NOTE: the eager checkpoints move the per-round joins out of the
       // final plan, so PlanAudit's g_hits row covers only the last
-      // round + output joins — plan regressions inside the loop are
-      // caught by this round's shape (same join/hint code path), not
-      // by the audit.
+      // round + output joins — the loop-body shape itself is asserted by
+      // HitsRoundShapeSpec (roundBodyForAudit below).
       // SHUFFLE_HASH on the count side: SMJ would re-SORT the |E| side
       // every round; hashing the per-partition slice of the |V|-row count
       // frame streams the pre-partitioned edges unsorted
-      hub = eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
-        .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
+      hub =
+        // round 1 degenerates: a_0 ≡ 1 on every node, and every edge
+        // endpoint IS a node, so h_1(u) = Σ_{u→v} 1 = outdeg(u) — a plain
+        // count over eByD. Skips the E⋈V join AND keeps the union-distinct
+        // `nodes` frame out of the loop (single consumer: the final join).
+        if (i == 1) eByD.groupBy(col("s").as("node"))
+          .agg(count(lit(1)).as("h"))
+        else eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
+          .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
       auth = eByS.join(hub.hint("shuffle_hash"), eByS("s") === hub("node"))
         .groupBy(eByS("d").as("node")).agg(sum("h").as("a"))
         .localCheckpoint()
@@ -367,6 +388,26 @@ object Centrality {
       .join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_walks"),
         coalesce(col("a"), lit(0L)).as("auth_walks"))
+  }
+
+  /** One UN-checkpointed hub+auth round over a pre-materialized edge pair,
+    * exactly as [[hitsCounts]] builds it for rounds ≥ 2 — exposed so the
+    * plan gate can audit the loop-body shape that the eager per-round
+    * checkpoints hide from the final [[hitsCounts]] plan (the PlanAudit
+    * blind spot called out in round 5). Not a query path.
+    */
+  def hitsRoundForAudit(edges0: DataFrame,
+                        src: String = "src", dst: String = "dst"): DataFrame = {
+    val raw = edges0.select(col(src).as("s"), col(dst).as("d"))
+      .distinct().localCheckpoint()
+    val nPart = raw.rdd.getNumPartitions.max(1)
+    val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
+    val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
+    val auth = eByS.groupBy(col("d").as("node")).agg(count(lit(1)).as("a"))
+    val hub = eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
+      .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
+    eByS.join(hub.hint("shuffle_hash"), eByS("s") === hub("node"))
+      .groupBy(eByS("d").as("node")).agg(sum("h").as("a"))
   }
 
   /** [[closeness]] (wf_improved), computed driver-locally under the

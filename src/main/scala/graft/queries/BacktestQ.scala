@@ -158,10 +158,14 @@ object BacktestQ {
                      WHERE c.ncusip = i.cusip AND c.date <= i.sdates)""")),
 
     // A10: Kolari-Pape-Pynnönen (2018) eqn-15 overlap-corrected event
-    // study summary (eventstudy.py:236-263 fit, rho supplied): planted
-    // events (every 1000th orderkey), per-event CAR over rel 0..12 with
-    // missing days as 0, portfolio-grouped by announcement date, then
-    // τ = mean truncated pairwise date overlap / D, effective
+    // study summary (eventstudy.py:236-263 fit): planted events (every
+    // 1000th orderkey), per-event CAR over rel 0..12 with missing days
+    // as 0, portfolio-grouped by announcement date, then τ = mean
+    // truncated pairwise date overlap / D, ρ = mean max-lag
+    // cross-correlation of the dates' post-window log-diff series
+    // (fft_align filters.py:67-97, computed here by Filters.align and
+    // replayed in the oracle as brute-force lagged sums over all date
+    // pairs — O(n²·D·lags), trivial at oracle scale), effective
     // N = n/(1+ρτ(n−1)), and window/post t-stats. The dates×window
     // matrix is provably small (one row per distinct announce date) —
     // collected by design, matching the reference's driver-side fit.
@@ -169,25 +173,7 @@ object BacktestQ {
       val W = 5   // event window rel 0..4
       val L = 13  // full path rel 0..12
       val D = L - W
-      val rho = 0.3
-      val o = Tables.orders(s, dir)
-      val t = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
-      val dailyRet = o.groupBy((col("o_custkey") % 100).as("permno"), t.as("t"))
-        .agg(((dsum(col("o_totalprice")) % 10) / 100.0 - 0.045).as("r"))
-      val ev = o.where(col("o_orderkey") % 1000 === 0)
-        .select(col("o_orderkey").as("event_id"),
-          (col("o_custkey") % 100).as("permno"), t.as("t0"))
-      val rel = ev.crossJoin(spark_range_df(s, L))
-      val ars = rel
-        .join(dailyRet.withColumnRenamed("t", "__t"),
-          rel("permno") === dailyRet("permno") &&
-            col("__t") === rel("t0") + col("rel"), "left")
-        .select(rel("event_id"), rel("t0"), col("rel"),
-          coalesce(col("r"), lit(0.0)).as("ar"))
-      val wcum = Window.partitionBy("event_id").orderBy("rel")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val car = ars.withColumn("car", sum("ar").over(wcum))
-      val byDate = car.groupBy("t0", "rel").agg(avg("car").as("car"))
+      val (byDate, ev) = a10ByDate(s, dir, L)
       val nEvents = ev.count()
       // the dates×window matrix is provably small (≤ one row-group per
       // planted event); guard BEFORE collecting, like the breakpoint and
@@ -197,7 +183,7 @@ object BacktestQ {
         .grouped(L).map { rows =>
           (rows.head.getInt(0), rows.map(_.getDouble(2)).toArray)
         }.toArray
-      val k = EventStudy.fitKpp(mat, window = W, d = D, rhoOverride = Some(rho))
+      val k = EventStudy.fitKpp(mat, window = W, d = D)
       import s.implicits._
       Seq((k.window, k.windowT, k.post, k.postT, k.rho, k.tau, k.effective,
           k.days.toLong, nEvents))
@@ -238,10 +224,42 @@ object BacktestQ {
         SELECT coalesce(AVG(x), 0.0) / 8.0 AS tau FROM ov
       ), nn AS (
         SELECT COUNT(*) AS n FROM dts
+      ), lp AS (
+        -- rho (fft_align replay): log CAR path per date...
+        SELECT t0, rel, ln(1 + greatest(car, -0.99)) AS logp FROM byd
+      ), pd AS (
+        -- ...post-window first differences, re-indexed m = 0..7...
+        SELECT a.t0, a.rel - 5 AS m, a.logp - b.logp AS v
+        FROM lp a JOIN lp b ON a.t0 = b.t0 AND b.rel = a.rel - 1
+        WHERE a.rel >= 5
+      ), st AS (
+        SELECT t0, AVG(v) AS mu FROM pd GROUP BY 1
+      ), dm AS (
+        SELECT pd.t0, pd.m, pd.v - st.mu AS d FROM pd JOIN st USING (t0)
+      ), nrm AS (
+        SELECT t0, sqrt(SUM(d * d)) AS nm FROM dm GROUP BY 1
+      ), xs AS (
+        -- ...demeaned and L2-normalized (degenerate all-zero series stay
+        -- unnormalized zeros, contributing corr 0 like the engine)...
+        SELECT dm.t0, dm.m,
+               CASE WHEN nrm.nm > 0 THEN dm.d / nrm.nm ELSE dm.d END AS x
+        FROM dm JOIN nrm USING (t0)
+      ), pc AS (
+        -- ...cross-correlation of every date pair at every lag -4..4...
+        SELECT xa.t0 AS ta, xb.t0 AS tb, lg.l, SUM(xa.x * xb.x) AS c
+        FROM (SELECT unnest(range(-4, 5)) AS l) lg
+        CROSS JOIN xs xa
+        JOIN xs xb ON xb.t0 > xa.t0 AND xb.m = xa.m + lg.l
+        GROUP BY 1, 2, 3
+      ), mx AS (
+        SELECT ta, tb, MAX(c) AS c FROM pc GROUP BY 1, 2
+      ), rho AS (
+        -- ...mean of the per-pair maxima
+        SELECT coalesce(AVG(c), 0.0) AS rho FROM mx
       ), eff AS (
-        SELECT nn.n / (1 + 0.3 * tau.tau * (nn.n - 1)) AS effective,
-               nn.n AS n, tau.tau AS tau
-        FROM nn CROSS JOIN tau
+        SELECT nn.n / (1 + rho.rho * tau.tau * (nn.n - 1)) AS effective,
+               nn.n AS n, tau.tau AS tau, rho.rho AS rho
+        FROM nn CROSS JOIN tau CROSS JOIN rho
       ), winend AS (
         SELECT t0, car AS cw FROM byd WHERE rel = 4
       ), lastc AS (
@@ -258,12 +276,43 @@ object BacktestQ {
              ROUND(stats.wmean / (stats.wstd / sqrt(eff.effective)), 6) AS window_t,
              ROUND(stats.pmean, 6) AS post,
              ROUND(stats.pmean / (stats.pstd / sqrt(eff.effective)), 6) AS post_t,
-             ROUND(0.3, 6) AS rho, ROUND(eff.tau, 6) AS tau,
+             ROUND(eff.rho, 6) AS rho, ROUND(eff.tau, 6) AS tau,
              ROUND(eff.effective, 6) AS effective,
              CAST(eff.n AS BIGINT) AS days,
              (SELECT COUNT(*) FROM ev) AS rows
       FROM stats CROSS JOIN eff"""))
   )
+
+  /** The DISTRIBUTED stage of `a10_kpp` up to the provably-small
+    * dates×window matrix: planted events, per-event CAR paths, portfolio
+    * grouping by announcement date. Shared by the query (which collects
+    * it under the event-count guard and runs the driver-side KPP fit) and
+    * by PlanAudit — the query itself returns a 1-row local frame, so
+    * without this hook its joins/shuffles would be invisible to the
+    * plan-regression gate (the round-5 ADVICE blind spot). Returns
+    * (byDate matrix frame, planted-event frame).
+    */
+  def a10ByDate(s: org.apache.spark.sql.SparkSession, dir: String,
+                L: Int = 13): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val o = Tables.orders(s, dir)
+    val t = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+    val dailyRet = o.groupBy((col("o_custkey") % 100).as("permno"), t.as("t"))
+      .agg(((dsum(col("o_totalprice")) % 10) / 100.0 - 0.045).as("r"))
+    val ev = o.where(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("event_id"),
+        (col("o_custkey") % 100).as("permno"), t.as("t0"))
+    val rel = ev.crossJoin(spark_range_df(s, L))
+    val ars = rel
+      .join(dailyRet.withColumnRenamed("t", "__t"),
+        rel("permno") === dailyRet("permno") &&
+          col("__t") === rel("t0") + col("rel"), "left")
+      .select(rel("event_id"), rel("t0"), col("rel"),
+        coalesce(col("r"), lit(0.0)).as("ar"))
+    val wcum = Window.partitionBy("event_id").orderBy("rel")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val car = ars.withColumn("car", sum("ar").over(wcum))
+    (car.groupBy("t0", "rel").agg(avg("car").as("car")), ev)
+  }
 
   /** Small helper: a 1-column (rel: int 0..n-1) frame. */
   private def spark_range_df(s: org.apache.spark.sql.SparkSession, n: Int) =
