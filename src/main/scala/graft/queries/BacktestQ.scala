@@ -112,6 +112,76 @@ object BacktestQ {
              COUNT(*) AS n_holdings
       FROM drift GROUP BY 1""")),
 
+    // §3.1 bivariate (independent 5×5 double) sort
+    // (backtesting.py:93-205): the b1 synthetic cross-section with a
+    // second cap-derived signal, both fractile dimensions assigned
+    // independently per rebalance from the NYSE population, cap-weighted
+    // within each (f1, f2) cell. The oracle replays the grid summary:
+    // per-cell membership count, max weight, and the weight·permno dot
+    // product (pins WHICH permnos landed in the cell and their weights,
+    // not just the totals — Σweight ≡ 1 per cell would be vacuous).
+    Q("b2_bivariate", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val monthly = o.groupBy((col("o_custkey") % 100).as("permno"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
+        .agg(((dsum(col("o_totalprice")) % 100) / 1000.0 - 0.045).as("ret"))
+      val sig = monthly.groupBy("permno", "y")
+        .agg(r6(CompoundReturn.compoundRet(col("ret"))).as("signal"))
+      val cap = o.groupBy((col("o_custkey") % 100).as("permno"),
+          year(col("o_orderdate")).as("y"))
+        .agg(dsum(col("o_totalprice")).as("cap"))
+      val cs = sig.join(cap, Seq("permno", "y")).where(col("y") < 1998)
+        .select(col("permno"), (col("y") * 10000 + 1231).as("rebaldate"),
+          col("signal"), r6((col("cap") % 97) / 97.0).as("signal2"),
+          col("cap"), (col("permno") % 3 === 0).as("nyse"))
+      Backtesting.bivariateSorts(cs, k1 = 5, k2 = 5)
+        .groupBy("rebaldate", "f1", "f2")
+        .agg(count(lit(1)).as("n"), max(col("weight")).as("wmax"),
+          sum(col("weight") * col("permno")).as("wdot"))
+        .select(bi(col("rebaldate")).as("rebaldate"), bi(col("f1")).as("f1"),
+          bi(col("f2")).as("f2"), bi(col("n")).as("n"),
+          r6(col("wmax")).as("wmax"), r6(col("wdot")).as("wdot"))
+    }, Some("""
+      WITH m AS (
+        SELECT o_custkey % 100 AS permno, year(o_orderdate) AS y, month(o_orderdate) AS mo,
+               (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 100) / 1000.0 - 0.045 AS ret
+        FROM orders GROUP BY 1, 2, 3
+      ), sig AS (
+        SELECT permno, y, ROUND(product(1.0 + ret) - 1.0, 6) AS signal
+        FROM m GROUP BY 1, 2
+      ), cap AS (
+        SELECT o_custkey % 100 AS permno, year(o_orderdate) AS y,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS cap
+        FROM orders GROUP BY 1, 2
+      ), cs AS (
+        SELECT s.permno, s.y * 10000 + 1231 AS rebaldate, s.signal,
+               ROUND((c.cap % 97) / 97.0, 6) AS signal2, c.cap,
+               s.permno % 3 = 0 AS nyse
+        FROM sig s JOIN cap c ON s.permno = c.permno AND s.y = c.y
+        WHERE s.y < 1998
+      ), scr AS (
+        SELECT * FROM cs WHERE signal IS NOT NULL AND signal2 IS NOT NULL
+      ), bp1 AS (
+        SELECT rebaldate, quantile_cont(signal, [0.2, 0.4, 0.6, 0.8]) AS b
+        FROM cs WHERE nyse GROUP BY 1
+      ), bp2 AS (
+        SELECT rebaldate, quantile_cont(signal2, [0.2, 0.4, 0.6, 0.8]) AS b
+        FROM cs WHERE nyse GROUP BY 1
+      ), lab AS (
+        SELECT scr.*, 1 + len(list_filter(bp1.b, x -> x < scr.signal)) AS f1,
+               1 + len(list_filter(bp2.b, x -> x < scr.signal2)) AS f2
+        FROM scr JOIN bp1 USING (rebaldate) JOIN bp2 USING (rebaldate)
+      ), wt AS (
+        SELECT rebaldate, permno, f1, f2,
+               cap / SUM(cap) OVER (PARTITION BY rebaldate, f1, f2) AS weight
+        FROM lab
+      )
+      SELECT CAST(rebaldate AS BIGINT) AS rebaldate, CAST(f1 AS BIGINT) AS f1,
+             CAST(f2 AS BIGINT) AS f2, COUNT(*) AS n,
+             ROUND(MAX(weight), 6) AS wmax,
+             ROUND(SUM(weight * permno), 6) AS wdot
+      FROM wt GROUP BY 1, 2, 3""")),
+
     // J9: the IBES link build end-to-end (ibes.py:142-158 write_links) —
     // ident LEFT as-of-joined to the names history on cusip at the latest
     // names.date <= sdates (the reference's correlated MAX subquery,
