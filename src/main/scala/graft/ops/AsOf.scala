@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scale-safe union-merge form, NOT a range join:
   * tag both sides, union on the key, sort by (time, side), and carry the
-  * latest right-side attributes forward with `last(ignoreNulls)` windows.
-  * One shuffle on the join key, zero candidate-pair explosion — at 100 TB
-  * both sides hash-partition by key and each partition is a linear merge
-  * (Catalyst plans a single sort per partition; AQE handles skew).
+  * latest right-side ROW forward as one `last(struct(values), ignoreNulls)`
+  * window — a single struct, not per-column fills, so every attribute
+  * comes from the same prevailing row even when that row carries nulls
+  * (per-column fills would stitch a null attribute from an older row,
+  * diverging from pandas merge_asof and the reference's correlated-MAX
+  * link join — the round-5 ADVICE finding). One shuffle on the join key,
+  * zero candidate-pair explosion — at 100 TB both sides hash-partition
+  * by key and each partition is a linear merge (Catalyst plans a single
+  * sort per partition; AQE handles skew).
   */
 object AsOf {
 
@@ -50,19 +55,21 @@ object AsOf {
     // exact matches are allowed (so left sees them), after when not.
     val rightSide = if (allowExact) 0 else 2
     val lTagged = left.withColumn("__side", lit(1))
-    val rProj = keys.map(col) ++ Seq(col(timeCol)) ++ valueCols.map(c => col(c).as(s"__v_$c"))
+    // ONE struct per right row: left rows get a null struct (skipped by
+    // ignoreNulls); a right row's struct is non-null even when individual
+    // attributes are null, so the prevailing ROW wins wholesale
+    val rProj = keys.map(col) ++ Seq(col(timeCol)) ++
+      Seq(struct(valueCols.map(col): _*).as("__vs"))
     val rTagged = right.select(rProj: _*).withColumn("__side", lit(rightSide))
 
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val tb = tieBreak.map(c => col(s"__v_$c").asc_nulls_first).toSeq
+    val tb = tieBreak.map(c => col("__vs").getField(c).asc_nulls_first).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((Seq(col(timeCol).asc, col("__side").asc) ++ tb): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__f_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__fs", last(col("__vs"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__f_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("__fs").getField(c).as(c)): _*)
   }
 
   /** Forward as-of join: latest→earliest mirror (right row with
@@ -81,18 +88,17 @@ object AsOf {
     val leftCols = left.columns
     val rightSide = if (allowExact) 2 else 0
     val lTagged = left.withColumn("__side", lit(1))
-    val rProj = keys.map(col) ++ Seq(col(timeCol)) ++ valueCols.map(c => col(c).as(s"__v_$c"))
+    val rProj = keys.map(col) ++ Seq(col(timeCol)) ++
+      Seq(struct(valueCols.map(col): _*).as("__vs"))
     val rTagged = right.select(rProj: _*).withColumn("__side", lit(rightSide))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val tb = tieBreak.map(c => col(s"__v_$c").asc_nulls_last).toSeq
+    val tb = tieBreak.map(c => col("__vs").getField(c).asc_nulls_last).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((Seq(col(timeCol).asc, col("__side").asc) ++ tb): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__fs", first(col("__vs"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__f_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("__fs").getField(c).as(c)): _*)
   }
 
   /** As-of *link* join (J3/J4, `structured.py:274-328`): attach link-table

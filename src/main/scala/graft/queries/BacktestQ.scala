@@ -32,7 +32,11 @@ object BacktestQ {
       val o = Tables.orders(s, dir)
       // ~permnos×years×12 rows; feeds THREE consumers (signal compound,
       // year caps, the drifted holding-period panel) — persist so the
-      // orders aggregation runs once, not once per consumer
+      // orders aggregation runs once, not once per consumer. Catalog
+      // queries return lazy frames, so these persists are released by
+      // the harness (Bench/TimeQ/Verify clearCache between queries); an
+      // embedding driver should unpersist via the plan's cached nodes or
+      // re-compose from the Backtesting API with its own lifecycle.
       val monthly = o.groupBy((col("o_custkey") % 100).as("permno"),
           year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
         .agg(((dsum(col("o_totalprice")) % 100) / 1000.0 - 0.045).as("ret"))

@@ -46,7 +46,20 @@ object AnnStream {
                        tsCol: Option[String] = None,
                        planes: Int = 8, tables: Int = 8,
                        maxBucketSize: Int = 256,
-                       ttlMs: Long = Long.MaxValue): Dataset[AnnCandidate] = {
+                       ttlMs: Long = Long.MaxValue): Dataset[AnnCandidate] =
+    cosineCandidatesReleasable(vecs, idCol, vecCol, tsCol, planes, tables,
+      maxBucketSize, ttlMs)._1
+
+  /** [[cosineCandidates]] plus a release handle that unpersists the op's
+    * internal projection cache (no-op on streams) — targeted release for
+    * long-lived drivers, instead of the global clearCache that would also
+    * evict the caller's cached frames (round-5 ADVICE).
+    */
+  def cosineCandidatesReleasable(vecs: DataFrame, idCol: String, vecCol: String,
+                       tsCol: Option[String] = None,
+                       planes: Int = 8, tables: Int = 8,
+                       maxBucketSize: Int = 256,
+                       ttlMs: Long = Long.MaxValue): (Dataset[AnnCandidate], () => Unit) = {
     import vecs.sparkSession.implicits._
     val tsExpr: Column = tsCol match {
       case Some(c) => col(c).cast("timestamp").cast("long") * 1000L
@@ -59,9 +72,10 @@ object AnnStream {
     // BATCH path: persist before the `tables`-way explode — without the
     // barrier CollapseProject inlines the full hyperplane projection into
     // every packSignature slice, recomputing it per table (the same
-    // pathology fixed for the minhash fold in NearDupStream). The caller
-    // owns cache release (cacheManager.clearCache() between queries, as
-    // Bench/Verify do) since the returned Dataset is lazy.
+    // pathology fixed for the minhash fold in NearDupStream). The
+    // returned Dataset is lazy, so the persist outlives this call — the
+    // paired release handle unpersists exactly this frame after the
+    // caller's action.
     val p = if (vecs.isStreaming) p0
       else p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = p.select(col("id"), col("vec"), col("ts"),
@@ -80,7 +94,7 @@ object AnnStream {
       s
     }
 
-    banded.groupByKey(_.bucket)
+    val result = banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[VecBucketState, AnnCandidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[VecBanded], state: GroupState[VecBucketState]) =>
@@ -105,5 +119,9 @@ object AnnStream {
           state.update(st)
           out.iterator
       }
+    val release: () => Unit =
+      if (vecs.isStreaming) () => ()
+      else () => { p.unpersist(blocking = false); () }
+    (result, release)
   }
 }

@@ -53,6 +53,27 @@ class AsOfSpec extends SparkSpec {
     assert(out(20240301).contains(222)) // dated link supersedes sentinel
     assert(out(20240101).isEmpty)       // key 8 has no links (left join)
   }
+
+  test("as-of attributes come from ONE prevailing row, nulls included") {
+    // the round-5 ADVICE case: the prevailing link row carries a null
+    // attribute; per-column fills would stitch comnam=A from the older
+    // row onto permno=2 from the newer — row-level semantics keep the
+    // prevailing row's null (pandas merge_asof / correlated-MAX parity)
+    val fact = Seq((1, 20240301)).toDF("k", "d")
+    val links = Seq(
+      (1, 20240101, Some(10), Some("A")),
+      (1, 20240201, Some(20), None: Option[String])
+    ).toDF("k", "linkdt", "permno", "comnam")
+    val out = AsOf.linkJoin(fact, links, "k", "d", "linkdt", Seq("permno", "comnam"))
+      .select("permno", "comnam").as[(Option[Int], Option[String])].head()
+    assert(out == (Some(20), None))
+    // forward mirror: earliest following row wins wholesale
+    val right = Seq((1, 20240401, Some(30), None: Option[String]),
+      (1, 20240501, Some(40), Some("B"))).toDF("k", "d", "permno", "comnam")
+    val fwd = AsOf.joinForward(fact, right, Seq("k"), "d", Seq("permno", "comnam"))
+      .select("permno", "comnam").as[(Option[Int], Option[String])].head()
+    assert(fwd == (Some(30), None))
+  }
 }
 
 class CompoundReturnSpec extends SparkSpec {
