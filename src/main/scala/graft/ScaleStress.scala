@@ -23,7 +23,11 @@ import graft.core.Tables
   *     and within-copy cosines are exactly preserved, cross-copy cosines
   *     decorrelate;
   *   - events: key-space shift of user/event ids — 10× as-of key groups
-  *     of the original series lengths.
+  *     of the original series lengths;
+  *   - orders/lineitem: key-space shift of order/customer/supplier ids —
+  *     the bipartite customer→supplier graphs become 10 disjoint copies,
+  *     so the graph family (HITS counts, link prediction) is measured at
+  *     10× vertices and edges with per-copy structure preserved.
   *
   * Usage: runMain graft.ScaleStress [outDir]   (default /tmp/graft_sf1)
   * Generation is skipped when outDir already has documents.parquet.
@@ -31,7 +35,8 @@ import graft.core.Tables
 object ScaleStress {
 
   private val stressQueries =
-    Seq("t_minhash", "t_dupgroups", "t_jaccard", "s_lsh", "e_lshdup", "j2_asof")
+    Seq("t_minhash", "t_dupgroups", "t_jaccard", "t_simhash", "t_pipeline",
+      "s_lsh", "e_lshdup", "j2_asof", "g_hits", "g_linkpred")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,5 +132,19 @@ object ScaleStress {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val ord = Tables.orders(spark, baseDir)
+    (0 until copies).map { c =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + c * 100000000L)
+        .withColumn("o_custkey", col("o_custkey") + c * 1000000L)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val li = Tables.lineitem(spark, baseDir)
+    (0 until copies).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
+        .withColumn("l_suppkey", col("l_suppkey") + c * 1000000L)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 }
