@@ -12,40 +12,30 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
 
-    def shape(label: String, aqe: Boolean): Unit = {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      val e = spark.range(0, 100000)
-        .select((col("id") % 1000).as("s"), (col("id") % 777).as("d"))
-      val ck = e.repartition(col("d")).distinct().localCheckpoint()
-      val v = ck.groupBy(col("d").as("node")).agg(sum("s").as("a"))
-      val j = ck.join(v.hint("shuffle_hash"), ck("d") === v("node"))
-      val plan = j.queryExecution.executedPlan.treeString
-      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-      println(s"[probe] aqe=$aqe exchanges-in-join-plan=$nEx")
-      println(plan.linesIterator.filter(l =>
-        l.contains("Exchange") || l.contains("Join") || l.contains("ExistingRDD"))
-        .mkString("\n"))
+    def run(q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.sharedState.cacheManager.clearCache()
+      (System.nanoTime() - t0) / 1e9
     }
-    shape("ck-join", aqe = true)
-    shape("ck-join", aqe = false)
 
-    // the combination that matters: materialize the checkpoint with AQE
-    // OFF (plan partitioning stays HashPartitioning), consume it with AQE
-    // back ON (the session default)
-    spark.conf.set("spark.sql.adaptive.enabled", false)
-    val e = spark.range(0, 100000)
-      .select((col("id") % 1000).as("s"), (col("id") % 777).as("d"))
-    val ck = e.repartition(col("d")).distinct().localCheckpoint()
-    spark.conf.set("spark.sql.adaptive.enabled", true)
-    val v = ck.groupBy(col("d").as("node")).agg(sum("s").as("a"))
-    val j = ck.join(v.hint("shuffle_hash"), ck("d") === v("node"))
-    val plan = j.queryExecution.executedPlan.treeString
-    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    println(s"[probe] ckpt-noaqe-join-aqe exchanges=$nEx")
-    println(plan.linesIterator.filter(l =>
-      l.contains("Exchange") || l.contains("Join") || l.contains("ExistingRDD"))
-      .mkString("\n"))
+    // does catalog pressure slow g_hits? fresh JVM: 3 reps, then 20 heavy
+    // queries to accumulate checkpoint/persist garbage, then 3 reps again,
+    // then a System.gc() and 3 more
+    for (i <- 1 to 3) println(f"[probe] g_hits fresh rep $i: ${run("g_hits")}%.2f s")
+    val noise = Seq("t_jaccard", "t_dupgroups", "t_minhash", "t_simhash", "e_lshdup",
+      "g_linkpred", "g_info", "g_community", "g_degree", "g_eigen",
+      "s_ivf2", "j15_salted", "t_pipeline", "b1_backtest", "g_triangles",
+      "g_components", "a7_vwap", "w2_dedup", "q5_join", "s_lsh")
+    noise.foreach(run)
+    println("[probe] 20 heavy queries done")
+    for (i <- 1 to 3) println(f"[probe] g_hits pressured rep $i: ${run("g_hits")}%.2f s")
+    System.gc(); Thread.sleep(2000); System.gc()
+    for (i <- 1 to 3) println(f"[probe] g_hits post-gc rep $i: ${run("g_hits")}%.2f s")
+    val sm = spark.sparkContext.getExecutorMemoryStatus
+    println(s"[probe] storage status: $sm")
     spark.stop()
   }
 }

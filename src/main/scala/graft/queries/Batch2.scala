@@ -235,9 +235,16 @@ object Batch2 {
       // (count_distinct degrees + set-valued adjacency), so the raw
       // join output feeds it directly — the distinct was a whole extra
       // shuffle + cache materialization of the edge list
+      // localCheckpoint (NOT persist): the op's two consumers (degrees,
+      // adjacency) each re-ran the lineitem⋈orders build (~0.7 s of the
+      // 2.4 s total); the earlier profiled alternative — a columnar
+      // persist — cost more to build (4.7 s) than the re-scan it saved,
+      // but a checkpoint write of the 550k-row projection is ~0.2 s and
+      // both consumers then read in-memory rows
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+        .localCheckpoint()
       // maxNeighborDegree=500 is the hub guard (observed max customer
       // degree 102 at sf0.1 — a no-op here, the ceiling at scale); the
       // oracle applies the identical cap
