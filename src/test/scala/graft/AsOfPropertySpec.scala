@@ -23,7 +23,11 @@ class AsOfPropertySpec extends SparkSpec {
     k <- Gen.choose(0, 7)
     t <- Gen.choose(0, 55)
     v <- Gen.choose(0, 10000)
-  } yield (s"K$k", t, v / 100.0))
+    // second attribute is NULL ~30% of the time: the whole-row property —
+    // all attributes must come from the SAME prevailing row, a null never
+    // back-filled from an older one (the round-5 ADVICE stitching bug)
+    nul <- Gen.choose(0, 9)
+  } yield (s"K$k", t, v / 100.0, if (nul < 3) None else Some(v / 10.0)))
 
   private def sample[A](g: Gen[A], seed: Long): A =
     g.apply(Gen.Parameters.default, Seed(seed)).get
@@ -32,29 +36,35 @@ class AsOfPropertySpec extends SparkSpec {
     for (seed <- Seq(7L, 42L, 1234L)) {
       val leftRows = sample(leftGen, seed).zipWithIndex
         .map { case ((k, t), i) => (k, t, i.toLong) }
-      // unique (key, time) on the right: keep max v, like real quote dedup
+      // unique (key, time) on the right: keep the max-v ROW (v2 rides
+      // along from that same row), like real quote dedup
       val rightRows = sample(rightGen, seed + 1)
         .groupBy(r => (r._1, r._2)).map { case ((k, t), vs) =>
-          (k, t, vs.map(_._3).max)
+          val w = vs.maxBy(_._3)
+          (k, t, w._3, w._4)
         }.toSeq
 
       val left = leftRows.toDF("k", "t", "rid")
-      val right = rightRows.toDF("k", "t", "v")
+      val right = rightRows.toDF("k", "t", "v", "v2")
 
       for (exact <- Seq(true, false)) {
-        val naive: Map[Long, Option[Double]] = leftRows.map { case (k, t, rid) =>
-          val cands = rightRows.filter(r =>
-            r._1 == k && (if (exact) r._2 <= t else r._2 < t))
-          rid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
-        }.toMap
+        val naive: Map[Long, (Option[Double], Option[Double])] =
+          leftRows.map { case (k, t, rid) =>
+            val cands = rightRows.filter(r =>
+              r._1 == k && (if (exact) r._2 <= t else r._2 < t))
+            rid -> (if (cands.isEmpty) (None, None)
+                    else { val w = cands.maxBy(_._2); (Some(w._3), w._4) })
+          }.toMap
 
-        def collectOut(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
-          df.select("rid", "v").as[(Long, Option[Double])].collect().toMap
+        def collectOut(df: org.apache.spark.sql.DataFrame)
+            : Map[Long, (Option[Double], Option[Double])] =
+          df.select("rid", "v", "v2").as[(Long, Option[Double], Option[Double])]
+            .collect().map(r => r._1 -> (r._2, r._3)).toMap
 
         val merged = collectOut(AsOf.joinBackward(left, right, Seq("k"), "t",
-          Seq("v"), allowExact = exact))
+          Seq("v", "v2"), allowExact = exact))
         val native = collectOut(AsOfJoin.joinBackward(left, right, Seq("k"), "t",
-          Seq("v"), allowExact = exact))
+          Seq("v", "v2"), allowExact = exact))
         assert(merged == naive, s"union-merge vs naive (seed=$seed exact=$exact)")
         assert(native == naive, s"native vs naive (seed=$seed exact=$exact)")
       }
