@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. By default sbt wraps forked output with an `[info] ` prefix
+// and appends a `[success] Total time: ...` trailer, so the otherwise
+// correct final JSON line never reaches the parser verbatim.
+// StdoutOutput passes the forked process's stdout through unprefixed;
+// showSuccess := false drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -315,73 +315,105 @@ object Centrality {
     * (no out-edges / no in-edges) carry 0, matching the dangling
     * handling of the normalized float [[hits]]. Returns
     * (node, hub_walks, auth_walks).
+    *
+    *
+    * Mechanics (round 7): two data-adaptive paths behind one
+    * approx_count_distinct(|V|) probe over the materialized edge list.
+    *
+    *  - BROADCAST path (|V| ≤ maxBroadcastNodes, default 5M ≈ 80 MB of
+    *    (long,long) rows): the whole 2·iters-round recurrence stays a
+    *    single LAZY plan — each round joins the edge frame to the
+    *    previous |V|-row count frame via an explicit broadcast(), so no
+    *    |E| shuffle and NO per-round eager job exist at all; the one
+    *    real job is the final output action. The previous formulation
+    *    ran 2 joins + 1 eager localCheckpoint per round (6 eager jobs
+    *    at iters=3) and its measured bottleneck was per-job scheduler
+    *    floor, not data (VERDICT r6 #2; ProfileHits breakdown).
+    *  - SHUFFLE path (large |V|, where broadcasting the count frames
+    *    would be driver-side poison): the round-6 structure — edge list
+    *    pre-partitioned by join side through Ckpt.partitioned (keeps
+    *    HashPartitioning under AQE), SHUFFLE_HASH per round so the |E|
+    *    legs stream exchange-free and unsorted, one eager checkpoint
+    *    per round to truncate the dual-consumption lineage. This is the
+    *    path ScaleStress exercises and the one a 100 TB graph takes.
     */
   def hitsCounts(edges0: DataFrame, iters: Int,
-                 src: String = "src", dst: String = "dst"): DataFrame = {
-    // the edge list appears 2·iters times in the unrolled plan (hub and
-    // auth joins per round) — materialize it once so the final plan joins
-    // an in-memory relation instead of compiling/scanning the upstream
-    // 2·iters times (the upstream here is a lineitem⋈orders distinct).
-    // Two-step materialization, each step under the planner that suits it:
-    //   1. build+distinct under AQE — the upstream edge construction keeps
-    //      its runtime re-plans (e.g. AQE broadcasting the orders side of
-    //      the g_hits edge build; forcing this step non-adaptive measured
-    //      2.5x slower end-to-end);
-    //   2. the two repartitions through Ckpt.partitioned (AQE off for just
-    //      the in-memory shuffle) so the LogicalRDDs KEEP HashPartitioning
-    //      — under a plain localCheckpoint AQE erases it and every round
-    //      re-Exchanged the |E| frame it was pre-partitioned to avoid.
-    // The explicit partition count reuses the one AQE already coalesced
-    // the materialized `raw` to — sized to the DATA, not the static
-    // shuffle.partitions (32 one-row-per-task stages measured ~2x slower
-    // per round than data-sized stages on the oracle graph; at corpus
-    // scale AQE picks correspondingly more partitions and the same code
-    // holds). After setup the hub round joins on d, the auth round on s,
-    // and only the |V|-row count frame shuffles per round
-    // (HitsRoundShapeSpec asserts the exchange-free |E| legs).
+                 src: String = "src", dst: String = "dst",
+                 maxBroadcastNodes: Long = 5000000L): DataFrame = {
+    require(iters >= 1, s"hitsCounts needs iters >= 1, got $iters")
+    // build+distinct under AQE — the upstream edge construction keeps
+    // its runtime re-plans (e.g. AQE broadcasting the orders side of
+    // the g_hits edge build; forcing this step non-adaptive measured
+    // 2.5x slower end-to-end), then ONE materialization feeds whichever
+    // path the |V| probe picks.
     val raw = edges0.select(col(src).as("s"), col(dst).as("d"))
       .distinct().localCheckpoint()
-    val nPart = raw.rdd.getNumPartitions.max(1)
-    val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
-    val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
-    val nodes = eByD.select(col("s").as("node"))
-      .unionAll(eByD.select(col("d").as("node"))).distinct()
-    // zero-count nodes are NOT re-joined inside the loop — a zero term
-    // contributes nothing to the next sum, so the sparse frames are
-    // exact; the full node set (with 0s) materializes once at the end
-    // int64 guard: counts grow ~maxdeg per round (2·iters sum rounds), so
-    // the vehicle is exact only while 2·iters·log₂(maxdeg) < 63 — fine at
-    // iters=3 on bounded-degree graphs, NOT safe at depth on a high-degree
-    // graph. Oracle vehicle only; the production path is the float hits().
-    var auth = nodes.withColumn("a", lit(1L))
-    var hub = auth.select(col("node"), col("a").as("h"))
-    for (i <- 1 to iters) {
-      // materialize each round's AUTH frame: un-checkpointed, hub's
-      // lineage is a prefix of auth's, so the final hub⋈auth re-executes
-      // the whole chain twice — 13 SMJs / 25 shuffles at iters=3
-      // (PLANS.md r4) for frames of |V| rows. Checkpointing auth alone
-      // truncates the lineage once per round; hub stays lazy (single
-      // consumer per round, it folds into auth's job — and the final
-      // plan's hub is one join off the last materialized auth).
-      // NOTE: the eager checkpoints move the per-round joins out of the
-      // final plan, so PlanAudit's g_hits row covers only the last
-      // round + output joins — the loop-body shape itself is asserted by
-      // HitsRoundShapeSpec (roundBodyForAudit below).
-      // SHUFFLE_HASH on the count side: SMJ would re-SORT the |E| side
-      // every round; hashing the per-partition slice of the |V|-row count
-      // frame streams the pre-partitioned edges unsorted
-      hub =
-        // round 1 degenerates: a_0 ≡ 1 on every node, and every edge
-        // endpoint IS a node, so h_1(u) = Σ_{u→v} 1 = outdeg(u) — a plain
-        // count over eByD. Skips the E⋈V join AND keeps the union-distinct
-        // `nodes` frame out of the loop (single consumer: the final join).
-        if (i == 1) eByD.groupBy(col("s").as("node"))
-          .agg(count(lit(1)).as("h"))
-        else eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
-          .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
-      auth = eByS.join(hub.hint("shuffle_hash"), eByS("s") === hub("node"))
-        .groupBy(eByS("d").as("node")).agg(sum("h").as("a"))
-        .localCheckpoint()
+    val nodes = raw.select(col("s").as("node"))
+      .unionAll(raw.select(col("d").as("node"))).distinct()
+    // |V| probe: one map-side HLL pass over the in-memory partitions —
+    // no shuffle, no exact distinct. ±2% error is irrelevant against a
+    // 5M-row threshold chosen with ~16x headroom (80 MB vs the 8 GB
+    // broadcast hard cap).
+    val probeRow = raw.agg(
+      approx_count_distinct(col("s")).as("ns"),
+      approx_count_distinct(col("d")).as("nd")).head()
+    val approxV = probeRow.getLong(0) + probeRow.getLong(1)
+    // zero-count nodes are NOT re-joined inside either loop — a zero
+    // term contributes nothing to the next sum, so the sparse frames are
+    // exact; the full node set (with 0s) materializes once at the end.
+    // int64 guard: counts grow ~maxdeg per sum round, so the vehicle is
+    // exact only while 2·iters·log₂(maxdeg) < 63 — fine at iters=3 on
+    // bounded-degree graphs, NOT safe at depth on a high-degree graph.
+    // Oracle vehicle only; the production path is the float hits().
+    var hub: DataFrame = null
+    var auth: DataFrame = null
+    if (approxV <= maxBroadcastNodes) {
+      // lazy broadcast chain: fresh `.as` aliases on every round give the
+      // using-column joins fresh exprIds, so the raw-on-both-sides
+      // self-reference never trips ambiguous-self-join analysis. The
+      // h_iters subtree is consumed twice (by a_iters and the output) —
+      // identical broadcast exchanges, deduped by ReuseExchange; even
+      // un-deduped it is one extra in-memory |E| scan, not a shuffle.
+      for (i <- 1 to iters) {
+        hub =
+          // round 1 degenerates: a_0 ≡ 1, so h_1(u) = outdeg(u)
+          if (i == 1) raw.groupBy(col("s").as("node"))
+            .agg(count(lit(1)).as("h"))
+          else raw.select(col("s"), col("d").as("node"))
+            .join(broadcast(auth), Seq("node"))
+            .groupBy(col("s")).agg(sum("a").as("h"))
+            .select(col("s").as("node"), col("h"))
+        auth = raw.select(col("d"), col("s").as("node"))
+          .join(broadcast(hub), Seq("node"))
+          .groupBy(col("d")).agg(sum("h").as("a"))
+          .select(col("d").as("node"), col("a"))
+      }
+    } else {
+      // SHUFFLE path — see scaladoc. Partition count sized to the DATA
+      // (what AQE coalesced `raw` to), not the static shuffle.partitions
+      // (32 one-row-per-task stages measured ~2x slower per round than
+      // data-sized stages; at corpus scale AQE picks correspondingly
+      // more partitions and the same code holds).
+      val nPart = raw.rdd.getNumPartitions.max(1)
+      val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
+      val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
+      for (i <- 1 to iters) {
+        // SHUFFLE_HASH on the |V|-row count side: SMJ would re-SORT the
+        // |E| side every round; hashing the per-partition slice of the
+        // count frame streams the pre-partitioned edges unsorted
+        // (HitsRoundShapeSpec asserts the exchange-free |E| legs).
+        // Checkpointing auth per round truncates the lineage (hub is a
+        // prefix of auth: un-checkpointed, the final hub⋈auth would
+        // re-execute the whole chain twice — 13 SMJs at iters=3).
+        hub =
+          if (i == 1) eByD.groupBy(col("s").as("node"))
+            .agg(count(lit(1)).as("h"))
+          else eByD.join(auth.hint("shuffle_hash"), eByD("d") === auth("node"))
+            .groupBy(eByD("s").as("node")).agg(sum("a").as("h"))
+        auth = eByS.join(hub.hint("shuffle_hash"), eByS("s") === hub("node"))
+          .groupBy(eByS("d").as("node")).agg(sum("h").as("a"))
+          .localCheckpoint()
+      }
     }
     nodes
       .join(hub, Seq("node"), "left")
@@ -390,11 +422,14 @@ object Centrality {
         coalesce(col("a"), lit(0L)).as("auth_walks"))
   }
 
-  /** One UN-checkpointed hub+auth round over a pre-materialized edge pair,
-    * exactly as [[hitsCounts]] builds it for rounds ≥ 2 — exposed so the
-    * plan gate can audit the loop-body shape that the eager per-round
-    * checkpoints hide from the final [[hitsCounts]] plan (the PlanAudit
-    * blind spot called out in round 5). Not a query path.
+  /** One UN-checkpointed hub+auth round of the SHUFFLE path over the
+    * same materialized edge pair [[hitsCounts]] builds for large |V| —
+    * exposed so the plan gate can audit the loop-body shape that the
+    * eager per-round checkpoints hide from the final [[hitsCounts]]
+    * plan (the PlanAudit blind spot called out in round 5). The
+    * broadcast path needs no twin: its rounds stay lazy, so the
+    * catalog `g_hits` plan itself exposes them to PlanAudit. Not a
+    * query path.
     */
   def hitsRoundForAudit(edges0: DataFrame,
                         src: String = "src", dst: String = "dst"): DataFrame = {

@@ -3,23 +3,25 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.graph.Centrality
 
-/** Plan-shape gate for the hitsCounts LOOP BODY (round-5 verdict #3): the
-  * eager per-round checkpoints hide the loop's joins from the final
-  * audited plan, so a plan regression inside the loop would pass the
-  * PlanAudit gate silently. `Centrality.hitsRoundForAudit` rebuilds one
-  * un-checkpointed hub+auth round over the same materialized edge pair
-  * the production loop uses; this spec pins its shape:
+/** Plan-shape gates for hitsCounts (round-5 verdict #3, reworked round
+  * 7 into two data-adaptive paths):
   *
-  *   - both per-round joins are SHUFFLE_HASH (an SMJ would re-sort the
-  *     |E| side every round);
-  *   - the pre-partitioned |E| legs join WITHOUT a fresh Exchange — the
-  *     whole point of the Ckpt.partitioned materialization (under a
-  *     plain AQE localCheckpoint each round re-shuffled the edge frame);
-  *   - only the |V|-row aggregation exchanges remain (≤3 for one round).
+  *  - SHUFFLE path (large |V|): the eager per-round checkpoints hide the
+  *    loop's joins from the final audited plan, so
+  *    `Centrality.hitsRoundForAudit` rebuilds one un-checkpointed
+  *    hub+auth round over the same materialized edge pair; this spec
+  *    pins its shape — both joins SHUFFLE_HASH (an SMJ would re-sort
+  *    the |E| side every round), the pre-partitioned |E| legs join
+  *    WITHOUT a fresh Exchange (the point of Ckpt.partitioned; a plain
+  *    AQE localCheckpoint re-shuffled the edge frame every round), and
+  *    only the |V|-row aggregation exchanges remain.
+  *  - BROADCAST path (small |V|, what the catalog g_hits takes): the
+  *    rounds stay LAZY, so the full hitsCounts plan itself must show
+  *    broadcast joins and NO per-round shuffle of the edge frame.
   */
 class HitsRoundShapeSpec extends SparkSpec {
 
-  test("hits round body: 2 shuffle-hash joins, no SMJ, no |E| re-shuffle") {
+  test("shuffle-path round body: 2 shuffle-hash joins, no SMJ, no |E| re-shuffle") {
     val edges = spark.range(0, 5000)
       .select((col("id") % 123).as("src"), (col("id") % 77).as("dst"))
     val round = Centrality.hitsRoundForAudit(edges)
@@ -42,18 +44,53 @@ class HitsRoundShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
   }
 
-  test("hitsCounts values are unchanged by the round-1 outdegree shortcut") {
+  test("broadcast-path full plan: broadcast joins only, no SMJ/SHJ, no cartesian") {
+    val edges = spark.range(0, 5000)
+      .select((col("id") % 123).as("src"), (col("id") % 77).as("dst"))
+    val p = Centrality.hitsCounts(edges, iters = 3)
+      .queryExecution.executedPlan.toString
+    // 4 BHJ from the lazy rounds (h2,a2,h3,a3 — a1 folds into h1's agg
+    // via the round-1 outdegree shortcut) + 2 output left joins
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("hitsCounts values: broadcast and shuffle paths agree with the hand recurrence") {
     // tiny directed graph with a node that has only out-edges (1), only
     // in-edges (4), and both (2,3) — exercises the sparse-zero semantics
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
       .toDF("src", "dst")
-    val got = Centrality.hitsCounts(edges, iters = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // hand-unrolled: a0=1 everywhere; h1=outdeg: {1:2,2:2,3:1,4:0}
     // a1(v)=Σ_{u→v}h1(u): {2:2,3:4,4:3,1:0}
     // h2(u)=Σ_{u→v}a1(v): {1:6,2:7,3:3,4:0}
     // a2(v)=Σ_{u→v}h2(u): {2:6,3:13,4:10,1:0}
-    assert(got == Set((1L, 6L, 0L), (2L, 7L, 6L), (3L, 3L, 13L), (4L, 0L, 10L)))
+    val want2 = Set((1L, 6L, 0L), (2L, 7L, 6L), (3L, 3L, 13L), (4L, 0L, 10L))
+    for (maxB <- Seq(5000000L, 0L)) { // broadcast path, then forced shuffle path
+      val got = Centrality.hitsCounts(edges, iters = 2, maxBroadcastNodes = maxB)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want2, s"maxBroadcastNodes=$maxB")
+    }
+  }
+
+  test("hitsCounts iters=1 and iters=3 match the direct recurrence on both paths") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    // iters=1: h1=outdeg {1:2,2:2,3:1,4:0}; a1 {2:2,3:4,4:3,1:0}
+    val want1 = Set((1L, 2L, 0L), (2L, 2L, 2L), (3L, 1L, 4L), (4L, 0L, 3L))
+    // iters=3 continues the unrolling above:
+    // h3(u)=Σ_{u→v}a2(v): {1:19,2:23,3:10,4:0}
+    // a3(v)=Σ_{u→v}h3(u): {2:19,3:42,4:33,1:0}
+    val want3 = Set((1L, 19L, 0L), (2L, 23L, 19L), (3L, 10L, 42L), (4L, 0L, 33L))
+    for (maxB <- Seq(5000000L, 0L)) {
+      val g1 = Centrality.hitsCounts(edges, iters = 1, maxBroadcastNodes = maxB)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(g1 == want1, s"iters=1 maxBroadcastNodes=$maxB")
+      val g3 = Centrality.hitsCounts(edges, iters = 3, maxBroadcastNodes = maxB)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(g3 == want3, s"iters=3 maxBroadcastNodes=$maxB")
+    }
   }
 }
