@@ -14,11 +14,12 @@ import graft.core.Tables
   * plant every document/vector as a 10-way cross-copy near-duplicate and
   * the dedup queries would go quadratic BY CONSTRUCTION, measuring the
   * generator rather than the engine. Instead each copy applies
-  *   - documents: a per-copy character bijection (`translate` over the 9
-  *     most frequent letters, rotated by copy) — shingle equality WITHIN
-  *     a copy is exactly preserved (bijections preserve string equality),
-  *     so each copy carries the original's planted near-dup structure,
-  *     while cross-copy shingles almost surely differ;
+  *   - documents: a per-copy character bijection (`translate` over two
+  *     DISJOINT 9-letter alphabets rotated independently — period 81, so
+  *     no copy c > 0 is the identity) — shingle equality WITHIN a copy is
+  *     exactly preserved (bijections preserve string equality), so each
+  *     copy carries the original's planted near-dup structure, while
+  *     cross-copy shingles almost surely differ;
   *   - embeddings: a cyclic shift of the 64 dimensions by 7·copy — norms
   *     and within-copy cosines are exactly preserved, cross-copy cosines
   *     decorrelate;
@@ -36,7 +37,12 @@ object ScaleStress {
 
   private val stressQueries =
     Seq("t_minhash", "t_dupgroups", "t_jaccard", "t_simhash", "t_pipeline",
-      "s_lsh", "e_lshdup", "j2_asof", "g_hits", "g_linkpred")
+      "s_lsh", "e_lshdup", "j2_asof", "g_hits", "g_linkpred",
+      // flagship composed backtests (round-6 verdict #6): their input —
+      // the orders aggregation — grows with copies while the permno
+      // panel stays fixed (permno = custkey % 100 is shift-invariant),
+      // so these stress the aggregation+drift pipeline at 10x raw rows
+      "b1_backtest", "b2_bivariate")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,10 +56,20 @@ object ScaleStress {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$outDir/documents.parquet").isDirectory) {
+    // generator-version marker: a cached outDir from an older generator
+    // (or a different copy count) is silently wrong — e.g. the v1
+    // single-alphabet bijection made copy 9 byte-identical to copy 0
+    val genTag = s"v2-copies$copies"
+    val marker = new java.io.File(s"$outDir/_GEN")
+    val cached = marker.isFile &&
+      scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim).toOption
+        .contains(genTag)
+    if (!cached) {
       System.err.println(s"[stress] generating ${copies}x of $baseDir -> $outDir")
       generate(spark, baseDir, outDir, copies)
-    } else System.err.println(s"[stress] reusing $outDir")
+      val w = new java.io.PrintWriter(marker)
+      try w.println(genTag) finally w.close()
+    } else System.err.println(s"[stress] reusing $outDir ($genTag)")
 
     // JIT/Janino warm pass on the smallest sf so neither timed scale pays
     // first-compile costs (same rationale as Bench's warm pass)
@@ -65,17 +81,32 @@ object ScaleStress {
       spark.sharedState.cacheManager.clearCache()
     }
 
-    def timeQ(q: String, dir: String): Double =
-      (1 to 2).map { _ =>
+    // SPARK_GRAFT_STRESS_SCALEPARTS=1 times the scaled dir with
+    // shuffle.partitions ∝ copies (base × copies) — the configuration a
+    // real cluster scale-up runs, where partition count grows with the
+    // data. The fixed-32 default measures the OTHER regime (same
+    // hardware, more data): per-partition sort/hash work grows n·log n
+    // and steepens the slope (t_jaccard at 30×, round-6 verdict #3);
+    // partitions ∝ data is the claim the README makes, so this mode
+    // turns it into a measurement.
+    val scaleParts = sys.env.get("SPARK_GRAFT_STRESS_SCALEPARTS").contains("1")
+    val baseParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scaledParts = if (scaleParts) baseParts * copies else baseParts
+
+    def timeQ(q: String, dir: String, parts: Int): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
         spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.min
+      finally spark.conf.set("spark.sql.shuffle.partitions", baseParts)
+    }
 
     val rows = stressQueries.map { q =>
-      val b = timeQ(q, baseDir)
-      val s = timeQ(q, outDir)
+      val b = timeQ(q, baseDir, baseParts)
+      val s = timeQ(q, outDir, scaledParts)
       val r = s / math.max(b, 1e-9)
       println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r%5.2f")
       (q, b, s, r)
@@ -83,7 +114,7 @@ object ScaleStress {
     val js = rows.map { case (q, b, s, r) =>
       f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"queries":$js}""")
+    println(s"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,"queries":$js}""")
     spark.stop()
 
     val bad = rows.filter(_._4 > maxRatio)
@@ -96,18 +127,32 @@ object ScaleStress {
 
   private def generate(spark: SparkSession, baseDir: String, outDir: String,
                        copies: Int): Unit = {
-    val rot = "etaoinsrh"
-    def rotated(c: Int): String = {
-      val k = c % rot.length
-      rot.drop(k) + rot.take(k)
-    }
+    // TWO disjoint 9-letter alphabets, rotated independently (set 1 by
+    // c mod 9, set 2 by c/9 mod 9), give the per-copy bijection period
+    // 9·9 = 81: with the single set a copy count above 9 wrapped —
+    // rotated(9) was the identity, so copy 9's text was byte-identical
+    // to copy 0's, planting exactly the corpus-wide cross-copy duplicate
+    // set the decorrelation exists to avoid (round-6 advice). Each
+    // rotation maps its set onto itself and the sets are disjoint, so
+    // the composition is still a character bijection — within-copy
+    // shingle equality is exactly preserved.
+    val rot1 = "etaoinsrh"
+    val rot2 = "dlcumwfgy"
+    require((rot1 ++ rot2).distinct.length == rot1.length + rot2.length,
+      "rotation alphabets must be disjoint")
+    require(copies <= rot1.length * rot2.length,
+      s"per-copy bijection period is ${rot1.length * rot2.length}; got copies=$copies")
+    def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
+    def scrambled(c: Int) =
+      if (c == 0) col("text")
+      else translate(translate(col("text"), rot1, rotated(rot1, c % rot1.length)),
+        rot2, rotated(rot2, (c / rot1.length) % rot2.length))
 
     val docs = Tables.documents(spark, baseDir)
     (0 until copies).map { c =>
       docs.select(
         (col("doc_id") + c * 1000000L).as("doc_id"),
-        (if (c == 0) col("text")
-         else translate(col("text"), rot, rotated(c))).as("text"),
+        scrambled(c).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")

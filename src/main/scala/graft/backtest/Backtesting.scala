@@ -80,7 +80,12 @@ object Backtesting {
       cs.where(col("nyse")), "rebaldate", "signal", k1, "f1")
     val l2 = fractilesPerGroup(l1, cs.where(col("nyse")), "rebaldate", "signal2", k2, "f2")
     val w = Window.partitionBy("rebaldate", "f1", "f2")
-    l2.withColumn("weight", col("cap") / sum("cap").over(w))
+    // a rebalance date with NO population-of-record rows gets null
+    // fractiles from fractilesPerGroup's left join — those rows belong
+    // to no cell, so they take no weight (and the b2_bivariate oracle's
+    // breakpoint inner join drops them identically)
+    l2.where(col("f1").isNotNull && col("f2").isNotNull)
+      .withColumn("weight", col("cap") / sum("cap").over(w))
       .select("rebaldate", "permno", "f1", "f2", "weight")
   }
 

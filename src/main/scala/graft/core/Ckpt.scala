@@ -19,6 +19,15 @@ import org.apache.spark.sql.DataFrame
   * frame joined repeatedly on the partition key). For small per-round
   * state frames the plain `localCheckpoint()` is fine — their exchange
   * is the cheap side of the join.
+  *
+  * NOT thread-safe across queries: the helper toggles the
+  * session-global `spark.sql.adaptive.enabled` around the eager
+  * checkpoint, so any query planned CONCURRENTLY on the same session
+  * races on the flag (it may silently plan non-adaptively, or the
+  * restore may clobber a concurrent toggle). All current callers —
+  * Bench / Verify / the driver — plan queries one at a time on the
+  * session; a concurrent caller must synchronize externally or use a
+  * separate session.
   */
 object Ckpt {
   def partitioned(df: DataFrame): DataFrame = {
