@@ -74,10 +74,23 @@ object GraphOps {
         edges.groupBy(col(neighbor).as("nb"))
           .agg(sort_array(collect_set(col(node))).as("ns"))
           .where(size(col("ns")) <= maxNeighborDegree)
+    // AQE sizes reducer coalescing on PRE-explode bytes: the adjacency
+    // is ~|N| compact array rows (a few MB at sf0.1), so the
+    // pair-generation stage — explode to Σ d²/2 rows + partial pair
+    // aggregation — was coalesced to 2 tasks and ran 1.6 s of the
+    // query's 2.6 s on two cores (ProfileQ stage trace, round 7). An
+    // explicit round-robin repartition to the session's shuffle
+    // parallelism pins the explode's input width: the extra exchange
+    // moves only the compact array rows, and the d²/2-row explosion
+    // runs at full width. At cluster scale the adjacency is large
+    // enough that AQE keeps the width anyway; the repartition then
+    // only rebalances the array rows across that same width.
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val byNbr = adj.where(size(col("ns")) > 1)
       .select(col("ns"),
         (lit(1.0) / log(size(col("ns")).cast("double"))).as("w_aa"),
         (lit(1.0) / size(col("ns")).cast("double")).as("w_ra"))
+      .repartition(parts)
     // int node ids take the PACKED pair path: each pair is one primitive
     // long (a<<32)|b — the explode emits primitive longs (no per-pair row
     // allocation) and the d²/2-row aggregation runs on a single primitive
