@@ -45,4 +45,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (measured: the same query 4-30x slower late in a session). 1 GB keeps
   // every hot loop compiled for the whole catalog.
   "-XX:ReservedCodeCacheSize=1g",
+  // Spark's Janino source->class cache holds only 100 entries by default
+  // (static conf): the 88-query catalog emits several codegen units per
+  // plan, so a full bench pass evicts everything and EVERY pass
+  // re-compiles every query (~1.3 s per pass for the widest plans).
+  // Measured with 5000 entries: full-catalog bench 48.0 s -> 34.6 s,
+  // every query faster, none slower. Heap cost is bounded (weak-ref'd
+  // generated classes) and the 1 GB JIT cache above keeps them compiled.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
 ) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
