@@ -61,6 +61,19 @@ object HashKernels {
   private val P2 = 998244353L
   private val M31 = 2147483647L
 
+  /** `y % M31` for 0 ≤ y < 2⁶² via Mersenne folding (2³¹ ≡ 1 mod M31,
+    * so the top bits fold into the bottom 31 additively). Bit-identical
+    * to the `%` the DuckDB oracle replays — FunctionsSpec pins the
+    * signature kernel against the literal `%` formula — but avoids the
+    * two multiply-high sequences C2 emits per constant mod in the
+    * hottest loop of the corpus (numHashes ops per shingle).
+    */
+  @inline private def mod31(y0: Long): Long = {
+    var y = (y0 & M31) + (y0 >>> 31)
+    y = (y & M31) + (y >>> 31)
+    if (y >= M31) y - M31 else y
+  }
+
   /** 61-bit polynomial hash of an (ASCII) UTF8String:
     * h1·2³¹ + h2 with h1 = fold (a·31 + byte) mod 1e9+7,
     * h2 = fold (a·131 + byte) mod 998244353.
@@ -138,13 +151,20 @@ object HashKernels {
     val n = shingles.numElements()
     if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
     val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    // hoist the per-seed affine constant; the loop body then costs one
+    // add + two mults + two Mersenne folds per (shingle, seed).
+    // Ranges stay inside mod31's 2⁶² domain: seedC < 2³⁸, x < 2³¹, so
+    // (seedC + x)·48271 < 2⁵⁵ and mod31(·)·16807 < 2⁴⁶.
+    val seedC = new Array[Long](numHashes)
+    var s0 = 0
+    while (s0 < numHashes) { seedC(s0) = s0 * 2654435761L + 1L; s0 += 1 }
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val x = polyHash61(shingles.getUTF8String(i)) % M31
+        val x = mod31(polyHash61(shingles.getUTF8String(i)))
         var s = 0
         while (s < numHashes) {
-          val v = ((s * 2654435761L + x + 1) * 48271L % M31 * 16807L) % M31
+          val v = mod31(mod31((seedC(s) + x) * 48271L) * 16807L)
           if (v < mins(s)) mins(s) = v
           s += 1
         }

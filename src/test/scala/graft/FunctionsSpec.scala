@@ -100,6 +100,33 @@ class FunctionsSpec extends SparkSpec {
     assert(gotMins == expectedMins)
   }
 
+  test("minhashPolySig Mersenne folds equal the literal % arithmetic on random input") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // JVM-direct kernel check at full signature width over enough random
+    // strings to hit the fold boundary cases (intermediates ≥ M31 after
+    // one fold, values ≡ 0 mod M31 land on the conditional subtract)
+    val rnd = new scala.util.Random(7)
+    def poly61(s: String): Long = {
+      var h1 = 0L; var h2 = 0L
+      s.getBytes("UTF-8").foreach { b =>
+        h1 = (h1 * 31 + (b & 0xffL)) % 1000000007L
+        h2 = (h2 * 131 + (b & 0xffL)) % 998244353L
+      }
+      h1 * 2147483648L + h2
+    }
+    val strs = (0 until 3000).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+    val arr = new GenericArrayData(strs.map(s => UTF8String.fromString(s): Any).toArray)
+    val got = graft.functions.HashKernels.minhashPolySig(arr, 64)
+    val expected = (0 until 64).map { s =>
+      strs.map { t =>
+        val x = poly61(t) % 2147483647L
+        ((s * 2654435761L + x + 1) * 48271L % 2147483647L * 16807L) % 2147483647L
+      }.min
+    }
+    (0 until 64).foreach(s => assert(got.getLong(s) == expected(s), s"seed $s"))
+  }
+
   test("shingle kernel matches the HOF fold formulation exactly") {
     import graft.text.TextOps
     val docs = (sampleDocs :+ (9L, "Ab cd EF ghi jkl mno ab cd ef ghi"))
