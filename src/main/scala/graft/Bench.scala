@@ -62,7 +62,19 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
+    val calibSt = scala.collection.mutable.ListBuffer.empty[Double]
+    val calibMt = scala.collection.mutable.ListBuffer.empty[Double]
     for (p <- 1 to passes) {
+      // Fixed-work CPU calibration before each pass: the same binary has
+      // measured 1.5-2x apart on different days (host VM placement /
+      // steal), which reads as a spurious whole-catalog regression when
+      // rounds are compared. calib_st is one thread of branch-free
+      // xorshift (single-core speed); calib_mt runs the identical loop on
+      // 32 threads and reports wall time (steal under full load — the
+      // regime the queries run in). Comparing rounds: divide query times
+      // by the calib ratio before calling anything a regression.
+      calibSt += Calib.singleThread()
+      calibMt += Calib.multiThread(32)
       val order = new scala.util.Random(p).shuffle(names)
       for (name <- order) {
         val fn = SparkEntry.queries(name)
@@ -89,13 +101,54 @@ object Bench {
     // line and truncated the head 28 queries in r5 — go on their own
     // PRECEDING line (and to bench_passes.json for post-hoc diagnosis);
     // the final line is the compact min-only format the driver parses.
-    val detail = f"""{"detail":"per-pass","passes":$passes,"warmup":$warmed,"times":$raw}"""
+    val calibJson = "{\"st\":[" + calibSt.map(v => f"$v%.3f").mkString(",") +
+      "],\"mt\":[" + calibMt.map(v => f"$v%.3f").mkString(",") + "]}"
+    val detail = f"""{"detail":"per-pass","passes":$passes,"warmup":$warmed,"calib":$calibJson,"times":$raw}"""
     println(detail)
     try {
       val out = new java.io.PrintWriter("bench_passes.json")
       try out.println(detail) finally out.close()
     } catch { case e: Throwable => System.err.println(s"[bench] pass file write failed: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup":$warmed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup":$warmed,"calib":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Fixed-work CPU probes for cross-round normalization (see the calib
+  * comment in [[Bench.main]]). Branch-free xorshift64 so the work is
+  * constant regardless of data or JIT profile; the min over passes of
+  * `st` is the machine's single-core speed that day.
+  */
+object Calib {
+  private def loop(iters: Long): Long = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  @volatile private var sink = 0L
+
+  def singleThread(iters: Long = 300000000L): Double = {
+    val t0 = System.nanoTime()
+    sink ^= loop(iters)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Wall time for `n` threads each doing the single-thread work — under
+    * zero steal and free cores this ≈ the single-thread time; contention
+    * shows up as the ratio mt/st.
+    */
+  def multiThread(n: Int, iters: Long = 300000000L): Double = {
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => { sink ^= loop(iters) })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 }
