@@ -348,8 +348,6 @@ object Centrality {
     // path the |V| probe picks.
     val raw = edges0.select(col(src).as("s"), col(dst).as("d"))
       .distinct().localCheckpoint()
-    val nodes = raw.select(col("s").as("node"))
-      .unionAll(raw.select(col("d").as("node"))).distinct()
     // |V| probe: one map-side HLL pass over the in-memory partitions —
     // no shuffle, no exact distinct. ±2% error is irrelevant against a
     // 5M-row threshold chosen with ~16x headroom (80 MB vs the 8 GB
@@ -360,7 +358,8 @@ object Centrality {
     val approxV = probeRow.getLong(0) + probeRow.getLong(1)
     // zero-count nodes are NOT re-joined inside either loop — a zero
     // term contributes nothing to the next sum, so the sparse frames are
-    // exact; the full node set (with 0s) materializes once at the end.
+    // exact; the full node set (with 0s) falls out of the final
+    // full-outer assembly below, with no extra pass over the edges.
     // int64 guard: counts grow ~maxdeg per sum round, so the vehicle is
     // exact only while 2·iters·log₂(maxdeg) < 63 — fine at iters=3 on
     // bounded-degree graphs, NOT safe at depth on a high-degree graph.
@@ -415,9 +414,16 @@ object Centrality {
           .localCheckpoint()
       }
     }
-    nodes
-      .join(hub, Seq("node"), "left")
-      .join(auth, Seq("node"), "left")
+    // Final assembly WITHOUT re-aggregating the edge list: after round 1
+    // every count is strictly positive (h_1 = outdeg ≥ 1 on every edge
+    // source, so each subsequent join keeps every edge and each sum is a
+    // sum of positives), hence the sparse hub frame covers EXACTLY the
+    // nodes with out-edges and auth exactly those with in-edges — their
+    // union is the whole vertex set. A full-outer join of the two |V|-row
+    // frames therefore replaces the former nodes = src∪dst DISTINCT (a
+    // second full |E| shuffle) plus two left joins; nodes missing a side
+    // carry 0, same as the dangling handling of the float hits().
+    hub.join(auth, Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_walks"),
         coalesce(col("a"), lit(0L)).as("auth_walks"))
   }

@@ -44,16 +44,21 @@ class HitsRoundShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
   }
 
-  test("broadcast-path full plan: broadcast joins only, no SMJ/SHJ, no cartesian") {
+  test("broadcast-path full plan: broadcast rounds + one |V|-row full-outer assembly") {
     val edges = spark.range(0, 5000)
       .select((col("id") % 123).as("src"), (col("id") % 77).as("dst"))
     val p = Centrality.hitsCounts(edges, iters = 3)
       .queryExecution.executedPlan.toString
     // 4 BHJ from the lazy rounds (h2,a2,h3,a3 — a1 folds into h1's agg
-    // via the round-1 outdegree shortcut) + 2 output left joins
+    // via the round-1 outdegree shortcut). The only non-broadcast join
+    // allowed is the final hub⟗auth assembly — it joins two |V|-row
+    // aggregates (full outer can't broadcast-hash), and it REPLACES the
+    // former nodes = src∪dst distinct, so the edge list is never
+    // re-aggregated for the output.
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), p)
   }
 
   test("hitsCounts values: broadcast and shuffle paths agree with the hand recurrence") {
