@@ -93,28 +93,52 @@ object ScaleStress {
     val baseParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val scaledParts = if (scaleParts) baseParts * copies else baseParts
 
-    def timeQ(q: String, dir: String, parts: Int): Double = {
+    def timeOnce(q: String, dir: String, parts: Int): Double = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
-      try (1 to 2).map { _ =>
+      try {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
         spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
-      }.min
-      finally spark.conf.set("spark.sql.shuffle.partitions", baseParts)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", baseParts)
     }
 
+    // same fixed-work CPU yardstick as Bench: committed stress numbers
+    // from different days are only comparable after dividing by the
+    // machines' calib ratio (same binary has measured 1.5-2x apart on
+    // host placement alone)
+    val calibMt = Calib.multiThread(32)
+
+    // Per query: REPS interleaved rep-wise (base,scaled,base,scaled) with
+    // a single-thread calib sample heading each rep. The host stalls
+    // episodically for minutes at a time: timing all base reps then all
+    // scaled reps let one stall poison exactly one SIDE of the ratio
+    // (observed: a clean 2.1 s base against a stalled 20.7 s scaled read
+    // as ratio 9.8 on a provably near-linear query). Interleaving makes
+    // the two sides sample the same contention windows, min-per-side
+    // rejects stalls independently, and the per-rep calib samples mark
+    // which windows were dirty.
     val rows = stressQueries.map { q =>
-      val b = timeQ(q, baseDir, baseParts)
-      val s = timeQ(q, outDir, scaledParts)
+      val reps = (1 to 2).map { _ =>
+        val st = Calib.singleThread()
+        val b = timeOnce(q, baseDir, baseParts)
+        val s = timeOnce(q, outDir, scaledParts)
+        (st, b, s)
+      }
+      val b = reps.map(_._2).min
+      val s = reps.map(_._3).min
       val r = s / math.max(b, 1e-9)
-      println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r%5.2f")
-      (q, b, s, r)
+      println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r%5.2f" +
+        s"  st=${reps.map(t => f"${t._1}%.2f").mkString(",")}")
+      (q, b, s, r, reps)
     }
-    val js = rows.map { case (q, b, s, r) =>
-      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+    val js = rows.map { case (q, b, s, r, reps) =>
+      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"reps":{""" +
+        "\"st\":[" + reps.map(t => f"${t._1}%.3f").mkString(",") +
+        "],\"base\":[" + reps.map(t => f"${t._2}%.3f").mkString(",") +
+        "],\"scaled\":[" + reps.map(t => f"${t._3}%.3f").mkString(",") + "]}}"
     }.mkString("{", ",", "}")
-    println(s"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,"queries":$js}""")
+    println(f"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,"calib":{"mt":$calibMt%.3f},"queries":$js}""")
     spark.stop()
 
     val bad = rows.filter(_._4 > maxRatio)

@@ -52,6 +52,18 @@ def load(p):
 a, b = load(sys.argv[1]), load(sys.argv[2])
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 qa, qb = a["queries"], b["queries"]
+
+# CPU calibration (present from round 7 under "calib"): normalize the
+# comparison by the machines' single-thread speed ratio so host drift
+# (same binary measuring 1.5-2x apart on different days) doesn't read
+# as a whole-catalog regression. min-of-passes rejects per-pass steal.
+ca, cb = a.get("calib"), b.get("calib")
+if ca and cb and ca.get("st") and cb.get("st"):
+    speed = min(cb["st"]) / min(ca["st"])
+    print(f"calib: old st={min(ca['st']):.3f}s mt/st={min(ca['mt'])/min(ca['st']):.2f} | "
+          f"new st={min(cb['st']):.3f}s mt/st={min(cb['mt'])/min(cb['st']):.2f} | "
+          f"new machine {speed:.2f}x old's per-core time — ratios below are calib-normalized")
+    qb = {q: t / speed for q, t in qb.items()}
 shared = sorted(set(qa) & set(qb), key=lambda q: -(qb[q] / max(qa[q], 1e-9)))
 print(f"{'query':18s} {'old':>8s} {'new':>8s} {'ratio':>6s}")
 for q in shared:
