@@ -103,42 +103,42 @@ object ScaleStress {
       } finally spark.conf.set("spark.sql.shuffle.partitions", baseParts)
     }
 
-    // same fixed-work CPU yardstick as Bench: committed stress numbers
-    // from different days are only comparable after dividing by the
-    // machines' calib ratio (same binary has measured 1.5-2x apart on
-    // host placement alone)
-    val calibMt = Calib.multiThread(32)
-
-    // Per query: REPS interleaved rep-wise (base,scaled,base,scaled) with
-    // a single-thread calib sample heading each rep. The host stalls
+    // Per query: REPS interleaved rep-wise (base,scaled,base,scaled),
+    // each headed by the two fixed-work calib samples. The host stalls
     // episodically for minutes at a time: timing all base reps then all
     // scaled reps let one stall poison exactly one SIDE of the ratio
     // (observed: a clean 2.1 s base against a stalled 20.7 s scaled read
     // as ratio 9.8 on a provably near-linear query). Interleaving makes
-    // the two sides sample the same contention windows, min-per-side
-    // rejects stalls independently, and the per-rep calib samples mark
-    // which windows were dirty.
+    // the two sides sample the same contention windows and min-per-side
+    // rejects stalls independently (measured surviving a 19x swing
+    // between adjacent reps). The calib pair attributes a dirty window:
+    // st high = the core itself is slow (host clock/steal); st clean
+    // with mt/st high = oversubscription — 32 vCPUs granted, fewer real
+    // cores backing them — which only parallel stages feel.
     val rows = stressQueries.map { q =>
       val reps = (1 to 2).map { _ =>
         val st = Calib.singleThread()
+        val mt = Calib.multiThread(32)
         val b = timeOnce(q, baseDir, baseParts)
         val s = timeOnce(q, outDir, scaledParts)
-        (st, b, s)
+        (st, mt, b, s)
       }
-      val b = reps.map(_._2).min
-      val s = reps.map(_._3).min
+      val b = reps.map(_._3).min
+      val s = reps.map(_._4).min
       val r = s / math.max(b, 1e-9)
       println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r%5.2f" +
-        s"  st=${reps.map(t => f"${t._1}%.2f").mkString(",")}")
+        s"  st=${reps.map(t => f"${t._1}%.2f").mkString(",")}" +
+        s"  mt=${reps.map(t => f"${t._2}%.2f").mkString(",")}")
       (q, b, s, r, reps)
     }
     val js = rows.map { case (q, b, s, r, reps) =>
       f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"reps":{""" +
         "\"st\":[" + reps.map(t => f"${t._1}%.3f").mkString(",") +
-        "],\"base\":[" + reps.map(t => f"${t._2}%.3f").mkString(",") +
-        "],\"scaled\":[" + reps.map(t => f"${t._3}%.3f").mkString(",") + "]}}"
+        "],\"mt\":[" + reps.map(t => f"${t._2}%.3f").mkString(",") +
+        "],\"base\":[" + reps.map(t => f"${t._3}%.3f").mkString(",") +
+        "],\"scaled\":[" + reps.map(t => f"${t._4}%.3f").mkString(",") + "]}}"
     }.mkString("{", ",", "}")
-    println(f"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,"calib":{"mt":$calibMt%.3f},"queries":$js}""")
+    println(f"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,"queries":$js}""")
     spark.stop()
 
     val bad = rows.filter(_._4 > maxRatio)
