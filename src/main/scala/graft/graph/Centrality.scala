@@ -423,7 +423,10 @@ object Centrality {
     // frames therefore replaces the former nodes = src∪dst DISTINCT (a
     // second full |E| shuffle) plus two left joins; nodes missing a side
     // carry 0, same as the dangling handling of the float hits().
-    hub.join(auth, Seq("node"), "full_outer")
+    // shuffle_hash: SMJ would sort both |V|-row frames just to pair
+    // unique keys once (full-outer SHJ builds one side's hash map and
+    // streams the other — Spark 3.1+)
+    hub.join(auth.hint("shuffle_hash"), Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_walks"),
         coalesce(col("a"), lit(0L)).as("auth_walks"))
   }
