@@ -115,14 +115,17 @@ object ScaleStress {
     // st high = the core itself is slow (host clock/steal); st clean
     // with mt/st high = oversubscription — 32 vCPUs granted, fewer real
     // cores backing them — which only parallel stages feel.
-    val rows = stressQueries.map { q =>
-      val reps = (1 to 2).map { _ =>
+    def measure(q: String, n: Int): Seq[(Double, Double, Double, Double)] =
+      (1 to n).map { _ =>
         val st = Calib.singleThread()
         val mt = Calib.multiThread(32)
         val b = timeOnce(q, baseDir, baseParts)
         val s = timeOnce(q, outDir, scaledParts)
         (st, mt, b, s)
       }
+
+    var rows = stressQueries.map { q =>
+      val reps = measure(q, 2)
       val b = reps.map(_._3).min
       val s = reps.map(_._4).min
       val r = s / math.max(b, 1e-9)
@@ -130,6 +133,27 @@ object ScaleStress {
         s"  st=${reps.map(t => f"${t._1}%.2f").mkString(",")}" +
         s"  mt=${reps.map(t => f"${t._2}%.2f").mkString(",")}")
       (q, b, s, r, reps)
+    }
+
+    // A gate breach gets 2 extra interleaved reps before it counts: an
+    // asymmetric stall can inflate one side past the gate even under
+    // interleaving (observed: t_jaccard scaled 3.5x stall-inflated vs
+    // base 1.9x -> ratio 12.1 on a measured-near-linear query, dirty
+    // calib samples on record). A genuinely super-linear query gains
+    // nothing from more sampling — min-merge only tightens toward the
+    // true time — so the retry debounces noise without masking real
+    // regressions.
+    rows = rows.map {
+      case (q, _, _, r, reps) if r > maxRatio =>
+        System.err.println(f"[stress] $q ratio $r%.2f > $maxRatio — re-measuring with 2 extra reps")
+        val all = reps ++ measure(q, 2)
+        val b = all.map(_._3).min
+        val s = all.map(_._4).min
+        val r2 = s / math.max(b, 1e-9)
+        println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r2%5.2f (retried)" +
+          s"  st=${all.map(t => f"${t._1}%.2f").mkString(",")}")
+        (q, b, s, r2, all)
+      case row => row
     }
     val js = rows.map { case (q, b, s, r, reps) =>
       f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"reps":{""" +
