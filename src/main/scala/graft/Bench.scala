@@ -58,8 +58,12 @@ object Bench {
     // decorrelates query↔stall; ≥3 passes give each query three draws.
     // All per-pass times are emitted in the JSON so a contended run is
     // self-diagnosing (a query whose passes read 2.1/63.0/2.2 was stalled,
-    // not slow). SPARK_GRAFT_PASSES overrides.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // not slow). Default 4 passes: a round-7 session caught TWO of three
+    // passes dirty (pass totals 149/261/75 s for identical work), so
+    // three draws can leave a query with no clean sample; the fourth
+    // costs ~1 min steady-state against the 3-4 min warmup.
+    // SPARK_GRAFT_PASSES overrides.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
     val calibSt = scala.collection.mutable.ListBuffer.empty[Double]
