@@ -144,15 +144,21 @@ object Calib {
 
   /** Wall time for `n` threads each doing the single-thread work — under
     * zero steal and free cores this ≈ the single-thread time; contention
-    * shows up as the ratio mt/st.
+    * shows up as the ratio mt/st. Each thread writes its own slot and
+    * the xor-fold happens after the joins, so the DCE guard is
+    * deterministic (a racy read-modify-write on the shared sink left the
+    * accumulated value nondeterministic, which a JVM could in principle
+    * optimize differently across runs).
     */
   def multiThread(n: Int, iters: Long = 300000000L): Double = {
+    val slots = new Array[Long](n)
     val t0 = System.nanoTime()
-    val threads = (1 to n).map { _ =>
-      val t = new Thread(() => { sink ^= loop(iters) })
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => { slots(i) = loop(iters) })
       t.start(); t
     }
     threads.foreach(_.join())
+    sink ^= slots.reduce(_ ^ _)
     (System.nanoTime() - t0) / 1e9
   }
 }

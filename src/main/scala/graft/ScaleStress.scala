@@ -42,7 +42,31 @@ object ScaleStress {
       // the orders aggregation — grows with copies while the permno
       // panel stays fixed (permno = custkey % 100 is shift-invariant),
       // so these stress the aggregation+drift pipeline at 10x raw rows
-      "b1_backtest", "b2_bivariate")
+      "b1_backtest", "b2_bivariate",
+      // round-7 verdict #6: the 3rd- and 2nd-slowest catalog queries —
+      // the salted join's two-phase shuffle and the IVF probe's
+      // broadcast crosses (s_ivf2 runs the scaled side with
+      // nLists ∝ copies, see stressFn)
+      "j15_salted", "s_ivf2")
+
+  /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
+    * the catalog query; s_ivf2 overrides because a FIXED nLists makes
+    * IVF candidate work ~N²/nLists — quadratic in data by construction.
+    * The documented scale path (Similarity.ivfTopK's scaladoc, standard
+    * IVF practice) grows nLists with the corpus so the inverted-list
+    * size stays constant; the stress measures THAT configuration
+    * (nLists = 16·copies, nProbe fixed), which keeps candidate work
+    * linear: N²/nLists = (c·N₀)²/(c·16) = c · N₀²/16.
+    */
+  private def stressFn(q: String): (SparkSession, String, Int) => org.apache.spark.sql.DataFrame =
+    q match {
+      case "s_ivf2" => (s, dir, copies) => {
+        val v = Tables.embeddings(s, dir)
+        graft.sim.Similarity.ivfTopKFixed(v, "vec_id", "embedding",
+          k = 5, nLists = 16 * copies, nProbe = 4)
+      }
+      case other => (s, dir, _) => SparkEntry.queries(other)(s, dir)
+    }
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,11 +117,11 @@ object ScaleStress {
     val baseParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val scaledParts = if (scaleParts) baseParts * copies else baseParts
 
-    def timeOnce(q: String, dir: String, parts: Int): Double = {
+    def timeOnce(q: String, dir: String, parts: Int, nCopies: Int): Double = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try {
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        stressFn(q)(spark, dir, nCopies).write.format("noop").mode("overwrite").save()
         spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
       } finally spark.conf.set("spark.sql.shuffle.partitions", baseParts)
@@ -119,20 +143,37 @@ object ScaleStress {
       (1 to n).map { _ =>
         val st = Calib.singleThread()
         val mt = Calib.multiThread(32)
-        val b = timeOnce(q, baseDir, baseParts)
-        val s = timeOnce(q, outDir, scaledParts)
+        val b = timeOnce(q, baseDir, baseParts, 1)
+        val s = timeOnce(q, outDir, scaledParts, copies)
         (st, mt, b, s)
       }
 
+    // Calib-normalized min-merge (round-7 verdict #5): a rep taken while
+    // the host core itself runs slow (st high) inflates BOTH its query
+    // times by ~st/stFloor; dividing each rep's times by that factor
+    // before min-merging lets a dirty-window rep still contribute an
+    // honest sample instead of only being out-voted. The floor is the
+    // run's own cleanest st sample (documented clean range 0.60-0.68 s
+    // on this host), so normalization never *inflates* a clean rep. mt
+    // is deliberately NOT in the correction: st-high means the core is
+    // slow (scales all work); st-clean/mt-high means oversubscription,
+    // which hits parallel stages by an unknown per-query factor — those
+    // reps stay raw and the min-merge rejects them.
+    case class QRow(q: String, base: Double, scaled: Double, ratio: Double,
+                    reps: Seq[(Double, Double, Double, Double)], stFloor: Double)
+    def merge(q: String, reps: Seq[(Double, Double, Double, Double)]): QRow = {
+      val stFloor = reps.map(_._1).min
+      val b = reps.map(t => t._3 * stFloor / t._1).min
+      val s = reps.map(t => t._4 * stFloor / t._1).min
+      QRow(q, b, s, s / math.max(b, 1e-9), reps, stFloor)
+    }
+
     var rows = stressQueries.map { q =>
-      val reps = measure(q, 2)
-      val b = reps.map(_._3).min
-      val s = reps.map(_._4).min
-      val r = s / math.max(b, 1e-9)
-      println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r%5.2f" +
-        s"  st=${reps.map(t => f"${t._1}%.2f").mkString(",")}" +
-        s"  mt=${reps.map(t => f"${t._2}%.2f").mkString(",")}")
-      (q, b, s, r, reps)
+      val row = merge(q, measure(q, 2))
+      println(f"[stress] $q%-12s base=${row.base}%7.2f s  x$copies=${row.scaled}%7.2f s  ratio=${row.ratio}%5.2f" +
+        s"  st=${row.reps.map(t => f"${t._1}%.2f").mkString(",")}" +
+        s"  mt=${row.reps.map(t => f"${t._2}%.2f").mkString(",")}")
+      row
     }
 
     // A gate breach gets 2 extra interleaved reps before it counts: an
@@ -144,31 +185,56 @@ object ScaleStress {
     // true time — so the retry debounces noise without masking real
     // regressions.
     rows = rows.map {
-      case (q, _, _, r, reps) if r > maxRatio =>
-        System.err.println(f"[stress] $q ratio $r%.2f > $maxRatio — re-measuring with 2 extra reps")
-        val all = reps ++ measure(q, 2)
-        val b = all.map(_._3).min
-        val s = all.map(_._4).min
-        val r2 = s / math.max(b, 1e-9)
-        println(f"[stress] $q%-12s base=$b%7.2f s  x$copies=$s%7.2f s  ratio=$r2%5.2f (retried)" +
-          s"  st=${all.map(t => f"${t._1}%.2f").mkString(",")}")
-        (q, b, s, r2, all)
+      case row if row.ratio > maxRatio =>
+        System.err.println(f"[stress] ${row.q} ratio ${row.ratio}%.2f > $maxRatio — re-measuring with 2 extra reps")
+        val m = merge(row.q, row.reps ++ measure(row.q, 2))
+        println(f"[stress] ${m.q}%-12s base=${m.base}%7.2f s  x$copies=${m.scaled}%7.2f s  ratio=${m.ratio}%5.2f (retried)" +
+          s"  st=${m.reps.map(t => f"${t._1}%.2f").mkString(",")}" +
+          s"  mt=${m.reps.map(t => f"${t._2}%.2f").mkString(",")}")
+        m
       case row => row
     }
-    val js = rows.map { case (q, b, s, r, reps) =>
-      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"reps":{""" +
+
+    // Wall-time-independent super-linearity check for the link-pred pair
+    // explosion (round-7 verdict #4): its ×10 wall ratio has sat within
+    // 10% of the gate, where one noisy rep decides pass/fail. The
+    // candidate-pair COUNT is deterministic: the scaled graph is `copies`
+    // disjoint isomorphic copies of the base graph, so the count must be
+    // EXACTLY copies × base — any excess means cross-copy pairs exist
+    // (generator decorrelation broke) or the explosion itself grew
+    // super-linearly. Gated at copies × 1.01 (exact equality expected).
+    def linkpredPairs(dir: String): Long = {
+      val edges = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+        .localCheckpoint()
+      graft.graph.GraphOps.linkPrediction(edges, "supp", "cust", maxNeighborDegree = 500).count()
+    }
+    val pairsBase = linkpredPairs(baseDir)
+    val pairsScaled = linkpredPairs(outDir)
+    val pairRatio = pairsScaled.toDouble / math.max(pairsBase, 1L)
+    println(f"[stress] g_linkpred candidate pairs: base=$pairsBase x$copies=$pairsScaled ratio=$pairRatio%.3f (gate ${copies * 1.01})")
+
+    val js = rows.map { case QRow(q, b, s, r, reps, stFloor) =>
+      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"stFloor":$stFloor%.3f,"reps":{""" +
         "\"st\":[" + reps.map(t => f"${t._1}%.3f").mkString(",") +
         "],\"mt\":[" + reps.map(t => f"${t._2}%.3f").mkString(",") +
         "],\"base\":[" + reps.map(t => f"${t._3}%.3f").mkString(",") +
         "],\"scaled\":[" + reps.map(t => f"${t._4}%.3f").mkString(",") + "]}}"
     }.mkString("{", ",", "}")
-    println(f"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,"queries":$js}""")
+    println(f"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,""" +
+      f""""linkpredPairs":{"base":$pairsBase,"scaled":$pairsScaled,"ratio":$pairRatio%.3f},""" +
+      f""""queries":$js}""")
     spark.stop()
 
-    val bad = rows.filter(_._4 > maxRatio)
+    val bad = rows.filter(_.ratio > maxRatio)
     if (bad.nonEmpty) {
       System.err.println("super-linear queries: " +
-        bad.map(t => f"${t._1} (${t._4}%.1fx)").mkString(", "))
+        bad.map(t => f"${t.q} (${t.ratio}%.1fx)").mkString(", "))
+      sys.exit(1)
+    }
+    if (pairRatio > copies * 1.01) {
+      System.err.println(f"g_linkpred pair count super-linear: $pairRatio%.3f > ${copies * 1.01}")
       sys.exit(1)
     }
   }

@@ -317,9 +317,19 @@ object Centrality {
     * (node, hub_walks, auth_walks).
     *
     *
-    * Mechanics (round 7): two data-adaptive paths behind one
-    * approx_count_distinct(|V|) probe over the materialized edge list.
+    * Mechanics (round 8): three data-adaptive tiers behind one probe
+    * (|E| count + approx_count_distinct |V|) over the materialized
+    * edge list.
     *
+    *  - LOCAL tier (|E| ≤ maxLocalEdges, default 2M ≈ 32 MB of
+    *    (long,long) pairs): collect the deduped in-memory edge list and
+    *    run the recurrence driver-side — O(iters·|E|) integer work,
+    *    ~0.2 s at 600k edges. The distributed tiers' wall time is
+    *    stage-count × scheduler floor (2·iters sequential rounds, each
+    *    a job), which a graph this small never amortizes: the same
+    *    size-guarded local-twin reasoning as
+    *    [[GraphOps.connectedComponentsLocal]], spec'd equal to both
+    *    distributed tiers (HitsRoundShapeSpec).
     *  - BROADCAST path (|V| ≤ maxBroadcastNodes, default 5M ≈ 80 MB of
     *    (long,long) rows): the whole 2·iters-round recurrence stays a
     *    single LAZY plan — each round joins the edge frame to the
@@ -335,27 +345,40 @@ object Centrality {
     *    HashPartitioning under AQE), SHUFFLE_HASH per round so the |E|
     *    legs stream exchange-free and unsorted, one eager checkpoint
     *    per round to truncate the dual-consumption lineage. This is the
-    *    path ScaleStress exercises and the one a 100 TB graph takes.
+    *    path ScaleStress exercises (its ×10/×30 graphs exceed the
+    *    local guard) and the one a 100 TB graph takes.
     */
   def hitsCounts(edges0: DataFrame, iters: Int,
                  src: String = "src", dst: String = "dst",
-                 maxBroadcastNodes: Long = 5000000L): DataFrame = {
+                 maxBroadcastNodes: Long = 5000000L,
+                 maxLocalEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"hitsCounts needs iters >= 1, got $iters")
     // build+distinct under AQE — the upstream edge construction keeps
     // its runtime re-plans (e.g. AQE broadcasting the orders side of
     // the g_hits edge build; forcing this step non-adaptive measured
     // 2.5x slower end-to-end), then ONE materialization feeds whichever
-    // path the |V| probe picks.
+    // path the probe picks.
     val raw = edges0.select(col(src).as("s"), col(dst).as("d"))
       .distinct().localCheckpoint()
-    // |V| probe: one map-side HLL pass over the in-memory partitions —
-    // no shuffle, no exact distinct. ±2% error is irrelevant against a
+    // one probe job: exact |E| (free — count(1) rides the same agg) +
+    // HLL |V| — one map-side pass over the in-memory partitions, no
+    // shuffle, no exact distinct. ±2% HLL error is irrelevant against a
     // 5M-row threshold chosen with ~16x headroom (80 MB vs the 8 GB
     // broadcast hard cap).
     val probeRow = raw.agg(
       approx_count_distinct(col("s")).as("ns"),
-      approx_count_distinct(col("d")).as("nd")).head()
+      approx_count_distinct(col("d")).as("nd"),
+      count(lit(1)).as("m")).head()
     val approxV = probeRow.getLong(0) + probeRow.getLong(1)
+    val edgeCount = probeRow.getLong(2)
+    // local tier packs ids into primitive longs — non-integral id types
+    // (strings, decimals) stay on the distributed tiers
+    val intIds = Seq(raw.schema("s").dataType, raw.schema("d").dataType).forall {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (intIds && edgeCount <= maxLocalEdges) return hitsCountsLocal(raw, iters)
     // zero-count nodes are NOT re-joined inside either loop — a zero
     // term contributes nothing to the next sum, so the sparse frames are
     // exact; the full node set (with 0s) falls out of the final
@@ -364,11 +387,28 @@ object Centrality {
     // exact only while 2·iters·log₂(maxdeg) < 63 — fine at iters=3 on
     // bounded-degree graphs, NOT safe at depth on a high-degree graph.
     // Oracle vehicle only; the production path is the float hits().
+    // BOTH paths run off the same pair of partitioning-preserved edge
+    // copies, in OPPOSITE roles. The shuffle path needs JOIN-side
+    // partitioning (hub rounds stream eByD because the shuffle-hash
+    // join keys on d) and pays the agg exchange; the broadcast path has
+    // no join distribution requirement (the count frame is broadcast),
+    // so it streams the AGG-side copy (hub rounds group by s over eByS)
+    // and every round's aggregation — and the final full-outer
+    // assembly, whose two sides come out co-partitioned on node with
+    // the same nPart — runs with ZERO exchanges. Measured at sf0.1:
+    // the former un-partitioned broadcast chain ran 6 tiny agg
+    // exchanges + 2 assembly exchanges whose stage-boundary latency,
+    // not data, dominated g_hits wall time (ProfileQ: 66 tasks,
+    // ~30 stages, 3.8 s CPU vs ~2 s wall); the two extra checkpoint
+    // jobs cost less than the 8 exchange stages they remove.
+    val nPart = raw.rdd.getNumPartitions.max(1)
+    val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
+    val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
     var hub: DataFrame = null
     var auth: DataFrame = null
     if (approxV <= maxBroadcastNodes) {
       // lazy broadcast chain: fresh `.as` aliases on every round give the
-      // using-column joins fresh exprIds, so the raw-on-both-sides
+      // using-column joins fresh exprIds, so the edges-on-both-sides
       // self-reference never trips ambiguous-self-join analysis. The
       // h_iters subtree is consumed twice (by a_iters and the output) —
       // identical broadcast exchanges, deduped by ReuseExchange; even
@@ -376,26 +416,23 @@ object Centrality {
       for (i <- 1 to iters) {
         hub =
           // round 1 degenerates: a_0 ≡ 1, so h_1(u) = outdeg(u)
-          if (i == 1) raw.groupBy(col("s").as("node"))
+          if (i == 1) eByS.groupBy(col("s").as("node"))
             .agg(count(lit(1)).as("h"))
-          else raw.select(col("s"), col("d").as("node"))
+          else eByS.select(col("s"), col("d").as("node"))
             .join(broadcast(auth), Seq("node"))
             .groupBy(col("s")).agg(sum("a").as("h"))
             .select(col("s").as("node"), col("h"))
-        auth = raw.select(col("d"), col("s").as("node"))
+        auth = eByD.select(col("d"), col("s").as("node"))
           .join(broadcast(hub), Seq("node"))
           .groupBy(col("d")).agg(sum("h").as("a"))
           .select(col("d").as("node"), col("a"))
       }
     } else {
-      // SHUFFLE path — see scaladoc. Partition count sized to the DATA
-      // (what AQE coalesced `raw` to), not the static shuffle.partitions
-      // (32 one-row-per-task stages measured ~2x slower per round than
-      // data-sized stages; at corpus scale AQE picks correspondingly
-      // more partitions and the same code holds).
-      val nPart = raw.rdd.getNumPartitions.max(1)
-      val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
-      val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
+      // SHUFFLE path — see scaladoc. nPart (hoisted above the branch) is
+      // sized to the DATA (what AQE coalesced `raw` to), not the static
+      // shuffle.partitions (32 one-row-per-task stages measured ~2x
+      // slower per round than data-sized stages; at corpus scale AQE
+      // picks correspondingly more partitions and the same code holds).
       for (i <- 1 to iters) {
         // SHUFFLE_HASH on the |V|-row count side: SMJ would re-SORT the
         // |E| side every round; hashing the per-partition slice of the
@@ -429,6 +466,53 @@ object Centrality {
     hub.join(auth.hint("shuffle_hash"), Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_walks"),
         coalesce(col("a"), lit(0L)).as("auth_walks"))
+  }
+
+  /** Driver-local tier of [[hitsCounts]]: the identical integer
+    * recurrence over the collected (deduped, in-memory) edge list.
+    * Only called under the caller's |E| guard — the collect reads the
+    * checkpointed partitions, not the upstream plan. Key coverage needs
+    * no node-set pass: after round 1 every count is positive, so hub
+    * keys = exactly the sources (h₁ = outdeg ≥ 1, and later rounds add
+    * a ≥ 0 terms per source, creating the entry either way) and auth
+    * keys = exactly the destinations; their union is the vertex set —
+    * the same argument the distributed full-outer assembly rests on.
+    */
+  private def hitsCountsLocal(raw: DataFrame, iters: Int): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val es = raw.selectExpr("cast(s as long) AS s", "cast(d as long) AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = es.length
+    var hub = scala.collection.mutable.LongMap.empty[Long]
+    var auth = scala.collection.mutable.LongMap.empty[Long]
+    for (i <- 1 to iters) {
+      val h = scala.collection.mutable.LongMap.empty[Long]
+      var j = 0
+      while (j < n) {
+        val (s, d) = es(j)
+        h(s) = h.getOrElse(s, 0L) + (if (i == 1) 1L else auth.getOrElse(d, 0L))
+        j += 1
+      }
+      hub = h
+      val a = scala.collection.mutable.LongMap.empty[Long]
+      j = 0
+      while (j < n) {
+        val (s, d) = es(j)
+        a(d) = a.getOrElse(d, 0L) + hub.getOrElse(s, 0L)
+        j += 1
+      }
+      auth = a
+    }
+    val keys = (hub.keySet ++ auth.keySet).toSeq
+    // node dtype parity with the distributed tiers: their full-outer
+    // using-join coalesces the s- and d-typed node columns, so cast to
+    // that same coalesce type (schema-only probe, no job)
+    val nodeType = raw.select(coalesce(col("s"), col("d"))).schema.head.dataType
+    keys.map(k => (k, hub.getOrElse(k, 0L), auth.getOrElse(k, 0L)))
+      .toDF("node", "hub_walks", "auth_walks")
+      .select(col("node").cast(nodeType).as("node"),
+        col("hub_walks"), col("auth_walks"))
   }
 
   /** One UN-checkpointed hub+auth round of the SHUFFLE path over the

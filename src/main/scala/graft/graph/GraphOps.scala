@@ -118,6 +118,16 @@ object GraphOps {
       .agg(count(lit(1)).as("common"),
         sum(col("w_aa")).as("adamic_adar"),
         sum(col("w_ra")).as("resource_alloc"))
+    // The deg joins are left UNHINTED on purpose: AQE converts both to
+    // BroadcastHashJoin at runtime (verified on the executed adaptive
+    // plan — the static audit's 2 SMJs never actually run), so the
+    // Σd²/2-row `shared` frame is not shuffled for the degree lookups.
+    // A static broadcast() needs a size guard, and the deg.count() that
+    // sizes it serializes the deg build ahead of the main job (measured
+    // ~1 s slower end-to-end at sf0.1); AQE makes the same call from
+    // accurate runtime sizes for free, and on a graph whose |N|-row deg
+    // frame outgrows the broadcast threshold it falls back to a shuffled
+    // join — the correct shape — again without a hand-rolled probe.
     shared
       .join(deg.select(col("n").as("n_a"), col("deg").as("deg_a")), "n_a")
       .join(deg.select(col("n").as("n_b"), col("deg").as("deg_b")), "n_b")

@@ -58,11 +58,23 @@ qa, qb = a["queries"], b["queries"]
 # (same binary measuring 1.5-2x apart on different days) doesn't read
 # as a whole-catalog regression. min-of-passes rejects per-pass steal.
 ca, cb = a.get("calib"), b.get("calib")
+speed = 1.0
 if ca and cb and ca.get("st") and cb.get("st"):
     speed = min(cb["st"]) / min(ca["st"])
-    print(f"calib: old st={min(ca['st']):.3f}s mt/st={min(ca['mt'])/min(ca['st']):.2f} | "
-          f"new st={min(cb['st']):.3f}s mt/st={min(cb['mt'])/min(cb['st']):.2f} | "
+    con_a = min(ca["mt"]) / min(ca["st"])
+    con_b = min(cb["mt"]) / min(cb["st"])
+    print(f"calib: old st={min(ca['st']):.3f}s mt/st={con_a:.2f} | "
+          f"new st={min(cb['st']):.3f}s mt/st={con_b:.2f} | "
           f"new machine {speed:.2f}x old's per-core time — ratios below are calib-normalized")
+    # st captures per-core speed but the queries run at local[32]; if the
+    # CONTENTION regime (mt/st) differs between rounds the st-only
+    # correction is wrong in the regime the queries actually ran in —
+    # warn rather than guess a blend, since the query-side mt sensitivity
+    # is unknown per query.
+    if max(con_a, con_b) / min(con_a, con_b) > 1.25:
+        print(f"WARNING: contention regimes differ (old mt/st {con_a:.2f} vs new "
+              f"{con_b:.2f}); the st-only normalization under- or over-corrects "
+              f"parallel stages — treat flagged rows as suggestive, not proof")
     qb = {q: t / speed for q, t in qb.items()}
 shared = sorted(set(qa) & set(qb), key=lambda q: -(qb[q] / max(qa[q], 1e-9)))
 print(f"{'query':18s} {'old':>8s} {'new':>8s} {'ratio':>6s}")
@@ -71,7 +83,12 @@ for q in shared:
     flag = " <-- " if r >= thr else ""
     passes = ""
     if flag and "passes" in b and q in b["passes"]:
-        passes = " passes=" + ",".join(f"{t:.1f}" for t in b["passes"][q])
+        # per-pass times are normalized by the same calib speed as the
+        # min column so a flagged row's passes reconcile with its
+        # displayed new/ratio values
+        passes = " passes=" + ",".join(f"{t / speed:.1f}" for t in b["passes"][q])
+        if speed != 1.0:
+            passes += " (calib-normalized)"
     print(f"{q:18s} {qa[q]:8.2f} {qb[q]:8.2f} {r:6.2f}{flag}{passes}")
 only_a = sorted(set(qa) - set(qb))
 only_b = sorted(set(qb) - set(qa))
