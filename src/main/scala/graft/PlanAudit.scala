@@ -24,7 +24,7 @@ object PlanAudit {
   private val allowlist = Map(
     "s_knn" -> "exactness baseline: brute-force cosine is a cartesian by definition",
     "t_embdup" -> "declared exact twin on a bounded slice (scale path is the LSH-bucketed cosineDups)",
-    "s_ivf2" -> "crossJoin(broadcast(centroids)) ×2: fixed quantizer assignment + probe",
+    "s_ivf2" -> "crossJoin of the 1-row broadcast centroid-array frame: per-row quantizer assignment+probe (no N×nLists materialization)",
     "j13_bucket" -> "broadcast interval lookup against a 3-row dimension (non-equi by nature)",
     "w11_smooth" -> "dense rebalance grid: dates × permnos dimension cross (both provably-small dims)",
     "g_info" -> "crossJoins of 1-row summary aggregates (edge count, component count)",
@@ -110,7 +110,11 @@ object PlanAudit {
     md ++= "and the a10_kpp distributed matrix that the query collects during\n"
     md ++= "construction (its own catalog row is a 1-row local frame with no\n"
     md ++= "plan to audit — reading a zero-row a10_kpp line as 'no shuffles'\n"
-    md ++= "would be wrong; read a10_kpp__bydate instead).\n\n"
+    md ++= "would be wrong; read a10_kpp__bydate instead). g_hits is the same\n"
+    md ++= "story since its driver-local tier landed: the sf0.1 graph sits under\n"
+    md ++= "the 2M-edge local guard, so the catalog row is a local result with no\n"
+    md ++= "distributed plan — the corpus-scale shuffle tier is what\n"
+    md ++= "g_hits__round_body audits.\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"

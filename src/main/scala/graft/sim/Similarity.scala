@@ -170,6 +170,45 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Per-row nearest-centroid ranking: every vector row gets the FULL
+    * centroid table as one broadcast array column and computes its
+    * `nProbe` nearest list ids (L2, ties → smallest list id) inside a
+    * single projection — array<(list,centroid,cc)> → transform(dist) →
+    * array_sort → slice. ZERO shuffle and zero N×nLists row
+    * materialization; the former shape (crossJoin(broadcast(centroids))
+    * + row_number over partitionBy(id)) shuffled N×nLists ~1KB
+    * vector-carrying rows through the window — twice, once per consumer
+    * (assignment and probing) — which made s_ivf2 the 2nd-slowest
+    * catalog query and is exactly the shuffle that breaks first at
+    * corpus scale (the per-row form's cost is the N·nLists·dim distance
+    * arithmetic itself, which is inherent to IVF-Flat assignment).
+    *
+    * FP semantics match the window form bit-for-bit: the distance is
+    * the same `v·v + c·c − 2·v·c` double arithmetic (`cc` precomputed
+    * per centroid is the same double; `v·v` hoisted per row is the same
+    * double), and struct ordering on (d, list) reproduces
+    * `ORDER BY cd ASC, list ASC` — so the DuckDB oracle's window
+    * formulation still matches value-for-value.
+    *
+    * Returns one row per input vector: (idCol, lists: array<int> of the
+    * nProbe nearest list ids, nearest first).
+    */
+  private def nearestLists(v: DataFrame, idCol: String,
+                           centroids: DataFrame, nProbe: Int): DataFrame = {
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("list"), col("centroid"),
+        VectorF.dotp(col("centroid"), col("centroid")).as("cc")))).as("__cents"))
+    v.select(col(idCol), col("__v"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__vv", VectorF.dotp(col("__v"), col("__v")))
+      .select(col(idCol),
+        slice(array_sort(transform(col("__cents"), c =>
+          struct((col("__vv") + c.getField("cc")
+            - lit(2.0) * VectorF.dotp(col("__v"), c.getField("centroid"))).as("d"),
+            c.getField("list").as("list")))), 1, nProbe).as("__near"))
+      .select(col(idCol), transform(col("__near"), x => x.getField("list")).as("lists"))
+  }
+
   /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (the inverted
     * lists); each query probes its `nProbe` nearest centroids and scores
@@ -208,20 +247,18 @@ object Similarity {
     val centroids = v.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("list", "centroid")
-    // probe the nProbe nearest centroids per query (corpus × nLists rows)
-    val wProbe = Window.partitionBy(idCol).orderBy(col("__cdist").asc, col("list").asc)
-    val probes = v.select(col(idCol), col("__v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cdist",
-        VectorF.dotp(col("__v"), col("__v")) + VectorF.dotp(col("centroid"), col("centroid"))
-          - lit(2.0) * VectorF.dotp(col("__v"), col("centroid")))
-      .withColumn("__pr", row_number().over(wProbe))
-      .where(col("__pr") <= nProbe)
-      .select(col(idCol).as("query_id"), col("list"))
-    // candidates: members of the probed lists
+    // probe the nProbe nearest centroids per query: per-row ranking over
+    // the broadcast centroid array (see nearestLists) — the N·nLists
+    // distance arithmetic runs inside one projection instead of
+    // materializing and window-shuffling N×nLists rows
+    val probes = nearestLists(v, idCol, centroids, nProbe)
+      .select(col(idCol).as("query_id"), explode(col("lists")).as("list"))
+    // candidates: members of the probed lists. MLlib assigns each
+    // neighbor to exactly one list and probed lists are distinct, so
+    // the pairs are unique by construction — no dedup shuffle.
     val cands = probes.join(assigned.select(col(idCol).as("neighbor_id"), col("list")), "list")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+      .select("query_id", "neighbor_id")
     val pairs = cands
       .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
         "query_id")
@@ -247,22 +284,22 @@ object Similarity {
       .select(row_number().over(Window.partitionBy(lit(1)).orderBy(idCol)).as("__rn"),
         col("__v").as("centroid"))
       .select((col("__rn") - 1).as("list"), col("centroid"))
-    val dist = VectorF.dotp(col("__v"), col("__v")) +
-      VectorF.dotp(col("centroid"), col("centroid")) -
-      lit(2.0) * VectorF.dotp(col("__v"), col("centroid"))
-    // membership: nearest centroid per vector
-    val wAssign = Window.partitionBy(idCol).orderBy(col("__cdist").asc, col("list").asc)
-    val scoredLists = v.select(col(idCol), col("__v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cdist", dist)
-      .withColumn("__pr", row_number().over(wAssign))
-    val assigned = scoredLists.where(col("__pr") === 1)
-      .select(col(idCol).as("neighbor_id"), col("list"))
-    val probes = scoredLists.where(col("__pr") <= nProbe)
-      .select(col(idCol).as("query_id"), col("list"))
+    // per-row nearest-nProbe (see nearestLists — no N×nLists shuffle);
+    // persisted because two consumers (assignment, probing) derive from
+    // it and the frame is tiny (id + nProbe ints per row)
+    val near = nearestLists(v, idCol, centroids, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = near.select(col(idCol).as("neighbor_id"),
+      element_at(col("lists"), 1).as("list"))
+    val probes = near.select(col(idCol).as("query_id"),
+      explode(col("lists")).as("list"))
+    // every neighbor lives in EXACTLY one list and a query's probed lists
+    // are distinct, so (query, neighbor) candidates are unique by
+    // construction — the former .distinct() shuffled the full candidate
+    // set (the largest frame in the query) to dedup a set with no dups
     val cands = probes.join(assigned, "list")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+      .select("query_id", "neighbor_id")
     val pairs = cands
       .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
         "query_id")
