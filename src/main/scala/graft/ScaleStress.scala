@@ -139,13 +139,23 @@ object ScaleStress {
     // st high = the core itself is slow (host clock/steal); st clean
     // with mt/st high = oversubscription — 32 vCPUs granted, fewer real
     // cores backing them — which only parallel stages feel.
+    // st is sampled BEFORE AND AFTER the rep's two query runs and the MIN
+    // is the rep's normalization factor: an episodic stall that covers
+    // only the leading calib (queries ran clean) would otherwise DEFLATE
+    // the rep's times when merge() divides by st/stFloor — observed as a
+    // b1_backtest rep with st=1.89 whose queries timed clean, normalizing
+    // a 1.9 s scaled run down to 0.66 s. With the bracket, that rep's
+    // min(st) reads clean and its times stay raw; only a slowdown seen on
+    // BOTH sides of the queries (the whole-window-slow case the
+    // normalization exists for) scales them.
     def measure(q: String, n: Int): Seq[(Double, Double, Double, Double)] =
       (1 to n).map { _ =>
-        val st = Calib.singleThread()
+        val st0 = Calib.singleThread()
         val mt = Calib.multiThread(32)
         val b = timeOnce(q, baseDir, baseParts, 1)
         val s = timeOnce(q, outDir, scaledParts, copies)
-        (st, mt, b, s)
+        val st1 = Calib.singleThread()
+        (math.min(st0, st1), mt, b, s)
       }
 
     // Calib-normalized min-merge (round-7 verdict #5): a rep taken while

@@ -147,6 +147,95 @@ case class LshProjectionsExpr(child: Expression, nProj: Int)
     copy(child = newChild)
 }
 
+/** IVF quantizer ranking kernel: the `nProbe` nearest centroids of one
+  * vector against the full centroid table, in one compiled pass.
+  *
+  * The HOF formulation (`transform(cents, dist-struct)` → `array_sort` →
+  * `slice`) is INTERPRETED — higher-order functions sit outside
+  * whole-stage codegen — and its cost is O(N·nLists·dim) per pass over
+  * the corpus: with the stress harness growing BOTH N and nLists with
+  * the copy count (standard IVF sizing — lists ∝ corpus), the
+  * interpreted form measured super-linear wall time at ×30 (ratio 76 vs
+  * a gate of 36) purely from lambda/allocation overhead on 30× × 30×
+  * the arithmetic. This kernel runs the identical arithmetic as a tight
+  * primitive loop with an insertion top-k buffer (no per-centroid
+  * struct/array allocation, no sort of the full distance array).
+  *
+  * FP semantics are bit-identical to the HOF/window forms (the s_ivf2
+  * DuckDB oracle's formulation): `d = v·v + cc − 2·(v·c)` with each dot
+  * accumulated left-to-right in double, ranked by (d, list) ascending —
+  * the buffer inserts strictly-closer entries only, and the centroid
+  * array is scanned in ascending-list order, so equal distances keep
+  * the smaller list id (pinned by NearestListsSpec's planted exact-tie
+  * vectors). A centroid whose dimension differs from the vector's is
+  * skipped (the callers build both sides from one prepped column, so
+  * the case cannot occur).
+  */
+object NearestKernel {
+  /** cents: array<struct<list:int, centroid:array<double>, cc:double>>
+    * sorted by list ascending; returns array<int> of the min(nProbe, n)
+    * nearest list ids, nearest first.
+    */
+  def nearest(vec: ArrayData, cents: ArrayData, nProbe: Int): ArrayData = {
+    val dim = vec.numElements()
+    val nL = cents.numElements()
+    val k = math.min(nProbe, nL)
+    var vv = 0.0
+    var j = 0
+    while (j < dim) { val x = vec.getDouble(j); vv += x * x; j += 1 }
+    val bd = new Array[Double](k)
+    val bl = new Array[Int](k)
+    var filled = 0
+    var li = 0
+    while (li < nL) {
+      val c = cents.getStruct(li, 3)
+      val cen = c.getArray(1)
+      if (cen.numElements() == dim) {
+        var dot = 0.0
+        var m = 0
+        while (m < dim) { dot += vec.getDouble(m) * cen.getDouble(m); m += 1 }
+        val dist = vv + c.getDouble(2) - 2.0 * dot
+        if (filled < k) {
+          var pos = filled
+          while (pos > 0 && dist < bd(pos - 1)) pos -= 1
+          var s = filled
+          while (s > pos) { bd(s) = bd(s - 1); bl(s) = bl(s - 1); s -= 1 }
+          bd(pos) = dist; bl(pos) = c.getInt(0); filled += 1
+        } else if (k > 0 && dist < bd(k - 1)) {
+          var pos = k - 1
+          while (pos > 0 && dist < bd(pos - 1)) pos -= 1
+          var s = k - 1
+          while (s > pos) { bd(s) = bd(s - 1); bl(s) = bl(s - 1); s -= 1 }
+          bd(pos) = dist; bl(pos) = c.getInt(0)
+        }
+      }
+      li += 1
+    }
+    val out = if (filled == k) bl else java.util.Arrays.copyOf(bl, filled)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** [[NearestKernel.nearest]] as a codegen'd expression:
+  * (vec array<double>, cents array<struct<list,centroid,cc>>) →
+  * array<int> of the nProbe nearest list ids.
+  */
+case class NearestListsExpr(left: Expression, right: Expression, nProbe: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_lists"
+
+  override def nullSafeEval(vec: Any, cents: Any): Any =
+    NearestKernel.nearest(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NearestKernel.nearest($a, $b, $nProbe)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestListsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for graft's native expressions.
   *
   * Built on the public `ExpressionUtils.column/expression` bridge so the
@@ -166,4 +255,10 @@ object VectorF {
   /** Codegen'd LSH projections (all planes x tables sums in one pass). */
   def lshProj(vec: Column, nProj: Int): Column =
     toCol(LshProjectionsExpr(toExpr(vec), nProj))
+
+  /** Codegen'd IVF quantizer ranking: nProbe nearest centroid list ids
+    * (see [[NearestKernel]]).
+    */
+  def nearestLists(vec: Column, cents: Column, nProbe: Int): Column =
+    toCol(NearestListsExpr(toExpr(vec), toExpr(cents), nProbe))
 }

@@ -40,6 +40,18 @@ object Skew {
     val l = left.withColumn(salt, floor(rand(42) * buckets).cast("int"))
     val r = right.withColumn(salt,
       explode(array((0 until buckets).map(lit(_)): _*)))
-    l.join(r, keys :+ salt, joinType).drop(salt)
+    // The join is PINNED to shuffle-hash, build side = the replicated
+    // right. Salting presupposes the right side is too big to broadcast
+    // (a broadcastable right needs no salt — the join wouldn't shuffle at
+    // all), yet Catalyst sizes the post-explode frame from PRE-explode
+    // stats and will happily plan a broadcast of the ×buckets-replicated
+    // rows — observed as a driver broadcast OOM at 30× data (4.5M-row
+    // orders × 8 salts = 36M rows pushed into one 8 GB broadcast). The
+    // hint keeps the demonstrated shape at every scale: shuffle on
+    // (keys, salt) — a hot key now spreads over `buckets` reducers — and
+    // a per-partition hash build of right×buckets/partitions rows, which
+    // the salt keeps bounded; no sort of the big left side (SMJ would
+    // sort both sides).
+    l.join(r.hint("shuffle_hash"), keys :+ salt, joinType).drop(salt)
   }
 }

@@ -173,8 +173,8 @@ object Similarity {
   /** Per-row nearest-centroid ranking: every vector row gets the FULL
     * centroid table as one broadcast array column and computes its
     * `nProbe` nearest list ids (L2, ties → smallest list id) inside a
-    * single projection — array<(list,centroid,cc)> → transform(dist) →
-    * array_sort → slice. ZERO shuffle and zero N×nLists row
+    * single projection — the codegen'd [[graft.functions.NearestKernel]]
+    * top-k loop. ZERO shuffle and zero N×nLists row
     * materialization; the former shape (crossJoin(broadcast(centroids))
     * + row_number over partitionBy(id)) shuffled N×nLists ~1KB
     * vector-carrying rows through the window — twice, once per consumer
@@ -193,20 +193,35 @@ object Similarity {
     * Returns one row per input vector: (idCol, lists: array<int> of the
     * nProbe nearest list ids, nearest first).
     */
-  private def nearestLists(v: DataFrame, idCol: String,
-                           centroids: DataFrame, nProbe: Int): DataFrame = {
+  private[graft] def nearestLists(v: DataFrame, idCol: String,
+                                  centroids: DataFrame, nProbe: Int): DataFrame =
+    nearestListsImpl(v, idCol, centroids, nProbe, useKernel = true)
+
+  /** `useKernel = false` runs the interpreted HOF formulation (transform →
+    * array_sort → slice) — spec-only twin pinning the native kernel
+    * bit-identical ([[graft.functions.NearestKernel]] scaladoc has the
+    * measured reason the production path is compiled: the HOF's
+    * interpreted O(N·nLists·dim) went super-linear in the ×30 stress).
+    */
+  private[graft] def nearestListsImpl(v: DataFrame, idCol: String,
+                                      centroids: DataFrame, nProbe: Int,
+                                      useKernel: Boolean): DataFrame = {
     val centArr = centroids.agg(
       array_sort(collect_list(struct(col("list"), col("centroid"),
         VectorF.dotp(col("centroid"), col("centroid")).as("cc")))).as("__cents"))
-    v.select(col(idCol), col("__v"))
-      .crossJoin(broadcast(centArr))
-      .withColumn("__vv", VectorF.dotp(col("__v"), col("__v")))
-      .select(col(idCol),
-        slice(array_sort(transform(col("__cents"), c =>
-          struct((col("__vv") + c.getField("cc")
-            - lit(2.0) * VectorF.dotp(col("__v"), c.getField("centroid"))).as("d"),
-            c.getField("list").as("list")))), 1, nProbe).as("__near"))
-      .select(col(idCol), transform(col("__near"), x => x.getField("list")).as("lists"))
+    val joined = v.select(col(idCol), col("__v")).crossJoin(broadcast(centArr))
+    if (useKernel)
+      joined.select(col(idCol),
+        VectorF.nearestLists(col("__v"), col("__cents"), nProbe).as("lists"))
+    else
+      joined
+        .withColumn("__vv", VectorF.dotp(col("__v"), col("__v")))
+        .select(col(idCol),
+          slice(array_sort(transform(col("__cents"), c =>
+            struct((col("__vv") + c.getField("cc")
+              - lit(2.0) * VectorF.dotp(col("__v"), c.getField("centroid"))).as("d"),
+              c.getField("list").as("list")))), 1, nProbe).as("__near"))
+        .select(col(idCol), transform(col("__near"), x => x.getField("list")).as("lists"))
   }
 
   /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
