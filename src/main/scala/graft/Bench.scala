@@ -35,7 +35,10 @@ object Bench {
       warmDir match {
         case Some(wd) =>
           System.err.println(s"[bench] warmup dir: $wd")
-          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          val onlyWarm = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+          SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
+            .foreach { case (name, fn) =>
             try fn(spark, wd).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
@@ -64,7 +67,12 @@ object Bench {
     // costs ~1 min steady-state against the 3-4 min warmup.
     // SPARK_GRAFT_PASSES overrides.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (same warmup/pass/calib machinery). Unset = the full catalog; the
+    // driver never sets it, so round benches are always complete.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => only.forall(_.contains(n)))
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
     val calibSt = scala.collection.mutable.ListBuffer.empty[Double]
     val calibMt = scala.collection.mutable.ListBuffer.empty[Double]

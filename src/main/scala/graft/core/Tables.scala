@@ -45,6 +45,27 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Pin a CPU-dense frame to the session's shuffle parallelism when the
+    * byte-sized scan under-partitions it.
+    *
+    * Spark splits file scans by BYTES (`maxPartitionBytes`), which is the
+    * wrong unit for per-row compute-heavy kernels over small-but-dense
+    * inputs: the sf0.1 documents table is one parquet split, so every
+    * signature/quality/fingerprint kernel downstream of it ran as ONE
+    * task on one core (stage-traced: t_pipeline's whole 1.5 s plan was a
+    * single task at 32 available cores). The guard makes this a no-op
+    * exactly where the pathology can't exist — a corpus-scale table scans
+    * as thousands of splits, so `toRdd.getNumPartitions >= parts` and no
+    * shuffle is added; only an under-split scan pays one narrow
+    * round-robin exchange of the input rows to buy full-width compute.
+    * (`queryExecution.toRdd` plans the physical RDD without running a
+    * job.) AQE never coalesces a user-specified `repartition(n)`.
+    */
+  def pinWidth(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.queryExecution.toRdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -241,6 +241,12 @@ object Batch2 {
       // persist — cost more to build (4.7 s) than the re-scan it saved,
       // but a checkpoint write of the 550k-row projection is ~0.2 s and
       // both consumers then read in-memory rows
+      // The checkpoint keeps the scan's 3 partitions DELIBERATELY: a
+      // repartition(32) ahead of it (to widen the two consumers' partial
+      // aggs, which stage-trace at 3 tasks) measured 1.74 s -> 2.60 s —
+      // the extra eager exchange job serializes ahead of everything while
+      // the 3-wide partial aggs it would widen already overlap the main
+      // job's other stages in the warmed JVM.
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))

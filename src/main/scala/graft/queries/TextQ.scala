@@ -187,7 +187,10 @@ object TextQ {
     // predicted language. The only shuffles are the dedup window and the
     // final small agg. The DuckDB oracle replays every stage.
     Q("t_pipeline", (s, dir) => {
-      val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      // pinWidth: the fused scoring Project is the plan's dominant cost
+      // and ran as ONE task off the byte-sized single-split scan (whole
+      // query = one 1.5 s task at 32 idle cores); no-op on a wide scan
+      val scored = Tables.pinWidth(Tables.documents(s, dir)).select(col("doc_id"), col("source"),
         TextOps.langId(col("text")).as("pred_lang"),
         round(TextOps.qualityScore(col("text")), 6).as("q"),
         TextOps.bpeishTokenCount(col("text")).as("ntok"),
@@ -281,6 +284,10 @@ object TextQ {
     // the oracle applies the identical prune.
     Q("t_jaccard", (s, dir) => {
       val maxDf = 1000
+      // NOT width-pinned: measured 1.71 s -> 1.85 s with pinWidth — the
+      // shingle+hash head overlaps the df-window/self-join shuffles that
+      // dominate this plan, so the extra text exchange only adds cost
+      // (same verdict as ProfileWiden's t_minhash experiment)
       val docs = Tables.documents(s, dir)
       val sh = docs
         .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))

@@ -187,8 +187,12 @@ object NearDup {
     val nb = maxHamming + 1
     val w = 64 / nb
     // both sides of the band self-join read the signatures — persist so
-    // the tokenize+simhash kernel runs once per doc, not twice
-    val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
+    // the tokenize+simhash kernel runs once per doc, not twice.
+    // pinWidth: the tokenize+simhash kernel is the plan's serial head and
+    // ran at scan width (one task for the whole sf0.1 table — the scan is
+    // byte-split, the kernel is CPU-dense); no-op on a wide corpus scan.
+    val sigs = graft.core.Tables.pinWidth(docs)
+      .select(col(idCol), simHash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("sig"),
       explode(array((0 until nb).map { bnd =>
