@@ -95,10 +95,17 @@ object ScaleStress {
       try w.println(genTag) finally w.close()
     } else System.err.println(s"[stress] reusing $outDir ($genTag)")
 
+    // Dev-loop filter: SPARK_GRAFT_STRESS_ONLY=q1,q2 stresses just those
+    // queries (committed tables always come from unfiltered runs; the
+    // pair-count gate below runs regardless).
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val stressSet = stressQueries.filter(q => only.forall(_.contains(q)))
+
     // JIT/Janino warm pass on the smallest sf so neither timed scale pays
     // first-compile costs (same rationale as Bench's warm pass)
     val warmDir = new java.io.File(new java.io.File(baseDir).getParentFile, "sf0.001")
-    if (warmDir.isDirectory) stressQueries.foreach { q =>
+    if (warmDir.isDirectory) stressSet.foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir.getPath)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[stress] warm $q: ${e.getMessage}") }
@@ -178,7 +185,7 @@ object ScaleStress {
       QRow(q, b, s, s / math.max(b, 1e-9), reps, stFloor)
     }
 
-    var rows = stressQueries.map { q =>
+    var rows = stressSet.map { q =>
       val row = merge(q, measure(q, 2))
       println(f"[stress] $q%-12s base=${row.base}%7.2f s  x$copies=${row.scaled}%7.2f s  ratio=${row.ratio}%5.2f" +
         s"  st=${row.reps.map(t => f"${t._1}%.2f").mkString(",")}" +

@@ -338,15 +338,17 @@ object Centrality {
     *    real job is the final output action. The previous formulation
     *    ran 2 joins + 1 eager localCheckpoint per round (6 eager jobs
     *    at iters=3) and its measured bottleneck was per-job scheduler
-    *    floor, not data (VERDICT r6 #2; ProfileHits breakdown).
+    *    floor, not data (VERDICT r6 #2; ProfileHits breakdown). This is
+    *    the path ScaleStress exercises (×10/×30 exceed the local |E|
+    *    guard but keep |V| ≈ 0.5M) — many-edges-few-nodes is the common
+    *    corpus shape, so this tier carries most real scale.
     *  - SHUFFLE path (large |V|, where broadcasting the count frames
     *    would be driver-side poison): the round-6 structure — edge list
     *    pre-partitioned by join side through Ckpt.partitioned (keeps
     *    HashPartitioning under AQE), SHUFFLE_HASH per round so the |E|
     *    legs stream exchange-free and unsorted, one eager checkpoint
-    *    per round to truncate the dual-consumption lineage. This is the
-    *    path ScaleStress exercises (its ×10/×30 graphs exceed the
-    *    local guard) and the one a 100 TB graph takes.
+    *    per round to truncate the dual-consumption lineage — the shape
+    *    a 100 TB graph with a web-scale vertex set takes.
     */
   def hitsCounts(edges0: DataFrame, iters: Int,
                  src: String = "src", dst: String = "dst",
@@ -387,23 +389,20 @@ object Centrality {
     // exact only while 2·iters·log₂(maxdeg) < 63 — fine at iters=3 on
     // bounded-degree graphs, NOT safe at depth on a high-degree graph.
     // Oracle vehicle only; the production path is the float hits().
-    // BOTH paths run off the same pair of partitioning-preserved edge
-    // copies, in OPPOSITE roles. The shuffle path needs JOIN-side
-    // partitioning (hub rounds stream eByD because the shuffle-hash
-    // join keys on d) and pays the agg exchange; the broadcast path has
-    // no join distribution requirement (the count frame is broadcast),
-    // so it streams the AGG-side copy (hub rounds group by s over eByS)
-    // and every round's aggregation — and the final full-outer
-    // assembly, whose two sides come out co-partitioned on node with
-    // the same nPart — runs with ZERO exchanges. Measured at sf0.1:
-    // the former un-partitioned broadcast chain ran 6 tiny agg
-    // exchanges + 2 assembly exchanges whose stage-boundary latency,
-    // not data, dominated g_hits wall time (ProfileQ: 66 tasks,
-    // ~30 stages, 3.8 s CPU vs ~2 s wall); the two extra checkpoint
-    // jobs cost less than the 8 exchange stages they remove.
-    val nPart = raw.rdd.getNumPartitions.max(1)
-    val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
-    val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
+    // The two partitioning-preserved edge copies (eByD/eByS) belong to
+    // the SHUFFLE path only. Round 8 briefly fed them to the broadcast
+    // path too, chasing zero-exchange rounds — a win in the regime it
+    // was measured in (sf0.1, 600k edges, where stage-boundary latency
+    // dominates) but that regime is owned by the driver-local tier now:
+    // every graph the broadcast path actually serves is ≥ maxLocalEdges,
+    // where the two eager |E| repartition+checkpoint jobs cost far more
+    // than the tiny |V|-row agg exchanges they remove. Measured at the
+    // scale the path exists for (ScaleStress ×30, 16.5M edges): 9.4 s
+    // off `raw` vs 24.4 s off the checkpointed pair. The broadcast
+    // chain therefore consumes `raw` directly — its joins broadcast the
+    // count frames, so it has NO distribution requirement on the edge
+    // legs and the only shuffles in the whole lazy plan are the
+    // ≤|V|-row aggregation exchanges.
     var hub: DataFrame = null
     var auth: DataFrame = null
     if (approxV <= maxBroadcastNodes) {
@@ -416,18 +415,25 @@ object Centrality {
       for (i <- 1 to iters) {
         hub =
           // round 1 degenerates: a_0 ≡ 1, so h_1(u) = outdeg(u)
-          if (i == 1) eByS.groupBy(col("s").as("node"))
+          if (i == 1) raw.as("e1h").groupBy(col("s").as("node"))
             .agg(count(lit(1)).as("h"))
-          else eByS.select(col("s"), col("d").as("node"))
+          else raw.as(s"e${i}h").select(col("s"), col("d").as("node"))
             .join(broadcast(auth), Seq("node"))
             .groupBy(col("s")).agg(sum("a").as("h"))
             .select(col("s").as("node"), col("h"))
-        auth = eByD.select(col("d"), col("s").as("node"))
+        auth = raw.as(s"e${i}a").select(col("d"), col("s").as("node"))
           .join(broadcast(hub), Seq("node"))
           .groupBy(col("d")).agg(sum("h").as("a"))
           .select(col("d").as("node"), col("a"))
       }
     } else {
+      // nPart is sized to the DATA (what AQE coalesced `raw` to), not
+      // the static shuffle.partitions — 32 one-row-per-task stages
+      // measured ~2x slower per round than data-sized stages; at corpus
+      // scale AQE picks correspondingly more partitions, same code.
+      val nPart = raw.rdd.getNumPartitions.max(1)
+      val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
+      val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
       // SHUFFLE path — see scaladoc. nPart (hoisted above the branch) is
       // sized to the DATA (what AQE coalesced `raw` to), not the static
       // shuffle.partitions (32 one-row-per-task stages measured ~2x
