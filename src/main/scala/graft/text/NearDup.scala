@@ -81,6 +81,13 @@ object NearDup {
     // consumers (signatures, sizes, the exploded verify join) — persist it
     // once instead of recomputing the fold per branch (the round-1 plan
     // re-evaluated it 4x per doc, incl. the pushed-down size() filter)
+    // NOT width-pinned (re-tested round 9 after the Mersenne-fold kernel
+    // speedup and the t_pipeline/t_simhash pin wins): pinning the fold
+    // measured t_minhash 0.93 -> 1.08 s, t_dupgroups 1.49 -> 2.01 s —
+    // the repartition exchange feeds a PERSIST, so its cost lands on the
+    // serial materialization path while the fold it widens already
+    // overlaps the candidate/verify shuffles (ProfileWiden's original
+    // verdict, still true).
     val sh = docs
       .select(col(idCol), TextOps.wordShingles(col(textCol), shingleWidth).as("sh"))
       .where(size(col("sh")) > 0)
