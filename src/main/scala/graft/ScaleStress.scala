@@ -50,13 +50,25 @@ object ScaleStress {
       "j15_salted", "s_ivf2")
 
   /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
-    * the catalog query; s_ivf2 overrides because a FIXED nLists makes
-    * IVF candidate work ~N²/nLists — quadratic in data by construction.
-    * The documented scale path (Similarity.ivfTopK's scaladoc, standard
-    * IVF practice) grows nLists with the corpus so the inverted-list
-    * size stays constant; the stress measures THAT configuration
-    * (nLists = 16·copies, nProbe fixed), which keeps candidate work
-    * linear: N²/nLists = (c·N₀)²/(c·16) = c · N₀²/16.
+    * the catalog query; three ops override because their catalog
+    * configurations hold a capacity parameter FIXED that corpus-scale
+    * practice grows with the data — at fixed capacity their candidate
+    * work is ~N²/capacity, quadratic by construction (each was measured
+    * super-linear at the stress scale that outgrew its floor):
+    *  - s_ivf2: nLists = 16·copies (fixed lists ⇒ (c·N₀)²/16; growing
+    *    them keeps lists constant-size ⇒ c·N₀²/16 — standard IVF rule).
+    *  - s_lsh: planes = 12 + ⌈log₂ copies⌉ per table (bucket count 2^planes
+    *    ∝ N keeps occupancy — and b² pair work per bucket — constant;
+    *    per-table recall drops with each added plane, which deployments
+    *    offset with more tables; the throughput stress grows planes only).
+    *  - t_simhash: the 124-bit signature ([[graft.text.NearDup.simHashPairs128]])
+    *    on BOTH sides — signature width is simhash's capacity parameter
+    *    (the 64-bit op's 2⁷ per-band floor measured ratio 158 at ×81,
+    *    vs linear 81); base and scaled run the same op so the ratio is
+    *    apples-to-apples. The 64-bit catalog op stays oracle-checked at
+    *    catalog scale.
+    * All three overrides degenerate to the catalog configuration at
+    * copies = 1 except t_simhash's width (disclosed above).
     */
   private def stressFn(q: String): (SparkSession, String, Int) => org.apache.spark.sql.DataFrame =
     q match {
@@ -65,6 +77,14 @@ object ScaleStress {
         graft.sim.Similarity.ivfTopKFixed(v, "vec_id", "embedding",
           k = 5, nLists = 16 * copies, nProbe = 4)
       }
+      case "s_lsh" => (s, dir, copies) => {
+        val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
+        graft.sim.Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, planes = 12 + extra, tables = 4)
+      }
+      case "t_simhash" => (s, dir, _) =>
+        graft.text.NearDup.simHashPairs128(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 8)
       case other => (s, dir, _) => SparkEntry.queries(other)(s, dir)
     }
 
