@@ -47,7 +47,12 @@ object ScaleStress {
       // the salted join's two-phase shuffle and the IVF probe's
       // broadcast crosses (s_ivf2 runs the scaled side with
       // nLists ∝ copies, see stressFn)
-      "j15_salted", "s_ivf2")
+      "j15_salted", "s_ivf2",
+      // round 9: the embedding near-dup family's scale path — the
+      // catalog t_embdup is the declared exact twin on a bounded slice;
+      // what a corpus actually runs is the LSH-bucketed cosineDups,
+      // stressed here with the same log₂-grown plane rule as s_lsh
+      "t_embdup")
 
   /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
     * the catalog query; three ops override because their catalog
@@ -85,6 +90,11 @@ object ScaleStress {
       case "t_simhash" => (s, dir, _) =>
         graft.text.NearDup.simHashPairs128(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = 8)
+      case "t_embdup" => (s, dir, copies) => {
+        val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
+        graft.sim.Similarity.cosineDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.9, planes = 8 + extra, tables = 8, maxBucket = 10000)
+      }
       case other => (s, dir, _) => SparkEntry.queries(other)(s, dir)
     }
 
