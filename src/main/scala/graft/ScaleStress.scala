@@ -51,8 +51,10 @@ object ScaleStress {
       // round 9: the embedding near-dup family's scale path — the
       // catalog t_embdup is the declared exact twin on a bounded slice;
       // what a corpus actually runs is the LSH-bucketed cosineDups,
-      // stressed here with the same log₂-grown plane rule as s_lsh
-      "t_embdup")
+      // stressed here with the same log₂-grown plane rule as s_lsh —
+      // and the streaming ANN candidate generator (same plane rule;
+      // its bucket state is additionally size-capped + TTL'd)
+      "t_embdup", "e_annstream")
 
   /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
     * the catalog query; three ops override because their catalog
@@ -94,6 +96,13 @@ object ScaleStress {
         val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
         graft.sim.Similarity.cosineDups(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.9, planes = 8 + extra, tables = 8, maxBucket = 10000)
+      }
+      case "e_annstream" => (s, dir, copies) => {
+        val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
+        graft.streaming.AnnStream.cosineCandidates(Tables.embeddings(s, dir),
+            "vec_id", "embedding", planes = 12 + extra, tables = 4,
+            maxBucketSize = 100000)
+          .toDF().distinct()
       }
       case other => (s, dir, _) => SparkEntry.queries(other)(s, dir)
     }
