@@ -227,6 +227,33 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** [[minhashPolySig]] over PRE-HASHED shingles (`array<long>` of
+    * 61-bit poly values from [[ShingleHashKernel]]): x = mod31(h) is the
+    * identical per-shingle base, so signatures are bit-equal to the
+    * string-input kernel on the same shingle set — the fused head just
+    * skips materializing the strings (FunctionsSpec pins the equality).
+    */
+  def minhashPolySigHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    val seedC = new Array[Long](numHashes)
+    var s0 = 0
+    while (s0 < numHashes) { seedC(s0) = s0 * 2654435761L + 1L; s0 += 1 }
+    var i = 0
+    while (i < n) {
+      val x = mod31(hashes.getLong(i))
+      var s = 0
+      while (s < numHashes) {
+        val v = mod31(mod31((seedC(s) + x) * 48271L) * 16807L)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** MinHash signature: element s is min over shingles of
     * xxhash64(shingle, s) — Spark's two-child xxhash64 stream: base =
     * hash(shingle, 42), then hashInt(s, base). Signed min, matching
@@ -302,6 +329,20 @@ case class SimHashPoly128(child: Expression) extends UnaryExpression {
 }
 
 /** MinHash signature via the cross-engine polynomial hash (codegen'd). */
+case class MinHashPolySigHashes(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_poly_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashPolySigHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashPolySigHashes($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashPolySigHashes =
+    copy(child = newChild)
+}
+
 case class MinHashPolySignature(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash_poly"
@@ -371,6 +412,142 @@ object ShingleKernel {
     while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** Fused tokenizer → shingler → 61-bit poly-hash kernel: ONE pass over
+  * the raw text bytes, no lowercase copy, no regex, no shingle-string
+  * materialization. `t_jaccard`'s head (shingle + hash ≈ 16 s of its
+  * 22 s at ×30) was dominated by exactly those allocations.
+  *
+  * Semantics contract (vs the composed `wordShingles → explode →
+  * polyHash61` path, which FunctionsSpec pins it against):
+  *  - tokens are maximal runs of `[a-zA-Z_]` bytes, length ≥ 3,
+  *    lowercased ASCII-wise (A–Z +0x20). Non-ASCII bytes are never
+  *    `[a-zA-Z_]`, so they separate tokens exactly as the regex split
+  *    of the lowercased string does. The one divergence: exotic code
+  *    points whose Java `toLowerCase` maps INTO ASCII (U+212A KELVIN
+  *    SIGN → 'k', U+0130 → 'i'+combining) tokenize as separators here.
+  *    The reference tokenizer (`vocab.py:29`) is ASCII-only too.
+  *  - shingle hash = the polyHash61 fold over the joined
+  *    "tok1 tok2 … tokn" bytes — bit-identical to hashing the built
+  *    string, so the DuckDB oracle replays it unchanged.
+  *  - per-doc dedup is on the 61-bit hash value (the composed path
+  *    dedups the shingle STRING then hashes): a divergence needs two
+  *    distinct shingles of one doc colliding in 61 bits (~2⁻⁶¹ per
+  *    pair — ~1e-13 per million-shingle doc), accepted and noted here.
+  */
+object ShingleHashKernel {
+  private val P1 = 1000000007L
+  private val P2 = 998244353L
+
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val nb = text.numBytes
+    // ring buffer of the last n kept tokens' [start, end) byte offsets
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var nTok = 0 // total kept tokens so far
+    // open-addressed dedup set (values are 61-bit, 0 handled via flag)
+    var cap = 64
+    var mask = cap - 1
+    var table = new Array[Long](cap)
+    var tsize = 0
+    var hasZero = false
+    var out = new Array[Long](16)
+    var nOut = 0
+
+    def emit(h: Long): Unit = {
+      if (h == 0L) {
+        if (hasZero) return
+        hasZero = true
+      } else {
+        var idx = (java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L)) & mask
+        while (table(idx) != 0L) {
+          if (table(idx) == h) return
+          idx = (idx + 1) & mask
+        }
+        table(idx) = h
+        tsize += 1
+        if (tsize * 4 >= cap * 3) { // grow at 75%
+          val old = table
+          cap <<= 1; mask = cap - 1
+          table = new Array[Long](cap)
+          var i = 0
+          while (i < old.length) {
+            val v = old(i)
+            if (v != 0L) {
+              var j = (java.lang.Long.hashCode(v * 0x9e3779b97f4a7c15L)) & mask
+              while (table(j) != 0L) j = (j + 1) & mask
+              table(j) = v
+            }
+            i += 1
+          }
+        }
+      }
+      if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut * 2)
+      out(nOut) = h
+      nOut += 1
+    }
+
+    def shingleAt(newest: Int): Unit = {
+      // fold over the n tokens ending at ring slot `newest`, joined by ' '
+      var h1 = 0L
+      var h2 = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) { h1 = (h1 * 31 + 32) % P1; h2 = (h2 * 131 + 32) % P2 }
+        val slot = (newest + 1 + t) % n
+        var i = starts(slot)
+        val e = ends(slot)
+        while (i < e) {
+          var c = text.getByte(i) & 0xffL
+          if (c >= 'A' && c <= 'Z') c += 32
+          h1 = (h1 * 31 + c) % P1
+          h2 = (h2 * 131 + c) % P2
+          i += 1
+        }
+        t += 1
+      }
+      emit(h1 * 2147483648L + h2)
+    }
+
+    var i = 0
+    var tokStart = -1
+    while (i <= nb) {
+      val isWord = i < nb && {
+        val b = text.getByte(i)
+        (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || b == '_'
+      }
+      if (isWord) {
+        if (tokStart < 0) tokStart = i
+      } else if (tokStart >= 0) {
+        if (i - tokStart >= 3) {
+          val slot = nTok % n
+          starts(slot) = tokStart
+          ends(slot) = i
+          nTok += 1
+          if (nTok >= n) shingleAt(slot)
+        }
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (nOut == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
+case class ShingleHash61(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash61"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashKernel.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash61 =
+    copy(child = newChild)
 }
 
 /** [[HashKernels.polyHash61]] as a scalar codegen'd expression: string →
@@ -601,6 +778,10 @@ object HashF {
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
   def minhashPolySig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashPolySignature(Bridge.expression(shingles), numHashes))
+  def minhashPolySigHashes(hashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashPolySigHashes(Bridge.expression(hashes), numHashes))
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+  def shingleHash61(text: Column, n: Int): Column =
+    Bridge.column(ShingleHash61(Bridge.expression(text), n))
 }

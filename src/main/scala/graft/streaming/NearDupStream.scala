@@ -83,12 +83,16 @@ object NearDupStream {
       case Some(c) => col(c).cast("timestamp").cast("long") * 1000L
       case None => lit(0L)
     }
+    // fused shingle→hash head + hash-input signature kernel (r10): same
+    // signatures as the wordShingles→minHashSig path bit-for-bit
+    // (FunctionsSpec), one byte-pass over the text, no shingle strings —
+    // keeps the stream twin identical to the batch minHashDedup head.
     val sh = docs.select(col(idCol).cast("long").as("id"),
-        graft.text.TextOps.wordShingles(col(textCol), shingleWidth).as("sh"),
+        graft.text.TextOps.shingleHashes(col(textCol), shingleWidth).as("hs"),
         tsExpr.as("ts"))
-      .where(size(col("sh")) > 0)
+      .where(size(col("hs")) > 0)
     val sig0 = sh.select(col("id"),
-      graft.text.NearDup.minHashSig(col("sh"), nHashes).as("sig"), col("ts"))
+      graft.functions.HashF.minhashPolySigHashes(col("hs"), nHashes).as("sig"), col("ts"))
     // BATCH parity path: persist the signature frame before the 16-way
     // band explode — without the barrier, CollapseProject inlines the
     // shingle fold + minhash kernel into every band-slice expression and

@@ -80,7 +80,14 @@ object NearDup {
     // the shingle fold is the expensive per-row kernel and feeds THREE
     // consumers (signatures, sizes, the exploded verify join) — persist it
     // once instead of recomputing the fold per branch (the round-1 plan
-    // re-evaluated it 4x per doc, incl. the pushed-down size() filter)
+    // re-evaluated it 4x per doc, incl. the pushed-down size() filter).
+    // r10: the fold is the FUSED ShingleHash61 head — one byte-pass over
+    // the text emitting the cross-engine 61-bit poly hashes directly (no
+    // lowercase copy, no regex, no shingle strings); the signature kernel
+    // consumes the hashes (x = mod31(h), bit-equal to the string path —
+    // FunctionsSpec), and the verify join explodes the same array, so
+    // every downstream byte is a primitive long. Collisions, if any,
+    // replay bit-for-bit in the DuckDB oracle's identical fold.
     // NOT width-pinned (re-tested round 9 after the Mersenne-fold kernel
     // speedup and the t_pipeline/t_simhash pin wins): pinning the fold
     // measured t_minhash 0.93 -> 1.08 s, t_dupgroups 1.49 -> 2.01 s —
@@ -89,18 +96,14 @@ object NearDup {
     // overlaps the candidate/verify shuffles (ProfileWiden's original
     // verdict, still true).
     val sh = docs
-      .select(col(idCol), TextOps.wordShingles(col(textCol), shingleWidth).as("sh"))
-      .where(size(col("sh")) > 0)
+      .select(col(idCol), TextOps.shingleHashes(col(textCol), shingleWidth).as("hs"))
+      .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.withColumn("sig", minHashSig(col("sh"), bands * rowsPerBand))
+    val sig = sh.withColumn("sig",
+      graft.functions.HashF.minhashPolySigHashes(col("hs"), bands * rowsPerBand))
     val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol)
-    val sizes = sh.select(col(idCol), size(col("sh")).as("nsh"))
-    // shingles hashed to the cross-engine 61-bit poly value map-side:
-    // the verify joins shuffle one primitive long per (doc, shingle)
-    // instead of the shingle string (collisions, if any, replay
-    // bit-for-bit in the DuckDB oracle's identical fold)
-    val ex = sh.select(col(idCol), explode(col("sh")).as("s"))
-      .select(col(idCol), graft.functions.HashF.polyHash61(col("s")).as("h"))
+    val sizes = sh.select(col(idCol), size(col("hs")).as("nsh"))
+    val ex = sh.select(col(idCol), explode(col("hs")).as("h"))
     val inter = cands
       .join(ex.select(col(idCol).as("id_a"), col("h")), "id_a")
       .join(ex.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))

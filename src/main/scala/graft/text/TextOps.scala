@@ -144,4 +144,14 @@ object TextOps {
     */
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.HashF.wordShingles(text, n)
+
+  /** 61-bit poly hashes of the word shingles, fused into ONE byte-pass
+    * over the raw text (no lowercase copy, no regex, no shingle-string
+    * materialization — [[graft.functions.ShingleHashKernel]]). Equal to
+    * `explode(wordShingles) → polyHash61` as a multiset, modulo per-doc
+    * dedup landing on the 61-bit value instead of the string (~2⁻⁶¹ per
+    * intra-doc shingle pair). The near-dup pipeline heads run on this.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.HashF.shingleHash61(text, n)
 }

@@ -138,6 +138,58 @@ class FunctionsSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("fused ShingleHash61 equals wordShingles -> polyHash61 (order incl.)") {
+    import graft.text.TextOps
+    val docs = (sampleDocs ++ Seq(
+      (20L, ""),                                    // empty text
+      (21L, "!!! 12 94 --"),                        // no tokens at all
+      (22L, "ab cd"),                               // all tokens too short
+      (23L, "alpha beta gamma"),                    // exactly n tokens
+      (24L, "Alpha BETA gamma ALPHA beta GAMMA alpha beta gamma"), // dup shingles
+      (25L, "__underscore__ tokens___ ___keep the_mix here yes"),
+      (26L, "汉字 between the english words 中文 and more words here"),
+      (27L, "éclair café naïve über die straße weiter gehen wir"), // accents split tokens
+      (28L, "a" * 5000 + " word another token stream " + "b" * 400),
+      (29L, "tab\tand\nnewline\r\nseps word1a2b3 x_y_z mixed")))
+      .toDF("id", "text")
+    val out = docs.select(
+        TextOps.shingleHashes(col("text"), 3).as("a"),
+        transform(TextOps.wordShingles(col("text"), 3),
+          s => graft.functions.HashF.polyHash61(s)).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("fused ShingleHash61 equals composed path on random text (property)") {
+    import graft.text.TextOps
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcdefgHIJKLM_ .,!0189\t\né中"
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(400)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val out = docs.select(
+        TextOps.shingleHashes(col("text"), 3).as("a"),
+        transform(TextOps.wordShingles(col("text"), 3),
+          s => graft.functions.HashF.polyHash61(s)).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("hash-input minhash signature equals string-input signature") {
+    import graft.text.{NearDup, TextOps}
+    val docs = sampleDocs.toDF("id", "text")
+    val both = docs
+      .select(TextOps.wordShingles(col("text"), 3).as("sh"),
+        TextOps.shingleHashes(col("text"), 3).as("hs"))
+      .where(size(col("sh")) > 0)
+      .select(NearDup.minHashSig(col("sh"), 64).as("a"),
+        graft.functions.HashF.minhashPolySigHashes(col("hs"), 64).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (a, b) => assert(a == b) }
+  }
+
   test("langId kernel matches the HOF formulation exactly") {
     import graft.text.TextOps
     val docs = (sampleDocs ++ Seq(
