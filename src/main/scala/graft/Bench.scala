@@ -26,6 +26,15 @@ object Bench {
     // (sibling sf0.001) or SPARK_GRAFT_WARM_DIR; if neither exists the
     // warmup is SKIPPED rather than silently pre-running the catalog on
     // the timed data. Disable with SPARK_GRAFT_NO_WARMUP=1.
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (same warmup/pass/calib machinery) — parsed ONCE for warmup and
+    // pass loop. Unset, EMPTY, or blank = the full catalog (an empty
+    // string used to yield Set("") and silently filter out everything —
+    // round-9 ADVICE); the driver never sets it, so round benches are
+    // always complete.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     var warmed = false
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
@@ -35,9 +44,8 @@ object Bench {
       warmDir match {
         case Some(wd) =>
           System.err.println(s"[bench] warmup dir: $wd")
-          val onlyWarm = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
           SparkEntry.queries.toSeq.sortBy(_._1)
-            .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
+            .filter { case (n, _) => only.forall(_.contains(n)) }
             .foreach { case (name, fn) =>
             try fn(spark, wd).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
@@ -67,10 +75,7 @@ object Bench {
     // costs ~1 min steady-state against the 3-4 min warmup.
     // SPARK_GRAFT_PASSES overrides.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
-    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
-    // (same warmup/pass/calib machinery). Unset = the full catalog; the
-    // driver never sets it, so round benches are always complete.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
       .filter(n => only.forall(_.contains(n)))
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -57,7 +57,8 @@ object ScaleStress {
       "t_embdup", "e_annstream")
 
   /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
-    * the catalog query; three ops override because their catalog
+    * the catalog query; five ops override (s_ivf2, s_lsh, t_simhash,
+    * t_embdup, e_annstream) because their catalog
     * configurations hold a capacity parameter FIXED that corpus-scale
     * practice grows with the data — at fixed capacity their candidate
     * work is ~N²/capacity, quadratic by construction (each was measured
@@ -79,31 +80,36 @@ object ScaleStress {
     */
   private def stressFn(q: String): (SparkSession, String, Int) => org.apache.spark.sql.DataFrame =
     q match {
+      // Overrides derive their parameters from graft.sim.Capacity (the
+      // deployment-facing chooser), with rows = copies x the reference
+      // corpus — so what the chooser hands a deployment at any size is
+      // exactly the configuration this harness measured at that decade.
       case "s_ivf2" => (s, dir, copies) => {
         val v = Tables.embeddings(s, dir)
         graft.sim.Similarity.ivfTopKFixed(v, "vec_id", "embedding",
-          k = 5, nLists = 16 * copies, nProbe = 4)
+          k = 5, nLists = graft.sim.Capacity.ivfNLists(copies * graft.sim.Capacity.RefEmbeddingRows),
+          nProbe = 4)
       }
-      case "s_lsh" => (s, dir, copies) => {
-        val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
+      case "s_lsh" => (s, dir, copies) =>
         graft.sim.Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, planes = 12 + extra, tables = 4)
-      }
+          k = 5, planes = graft.sim.Capacity.lshPlanes(copies * graft.sim.Capacity.RefEmbeddingRows),
+          tables = 4)
       case "t_simhash" => (s, dir, _) =>
+        // run the WIDE op at every scale (incl. base) so the ratio is
+        // apples-to-apples; Capacity.simHashWide picks the crossover
         graft.text.NearDup.simHashPairs128(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = 8)
-      case "t_embdup" => (s, dir, copies) => {
-        val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
+      case "t_embdup" => (s, dir, copies) =>
         graft.sim.Similarity.cosineDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.9, planes = 8 + extra, tables = 8, maxBucket = 10000)
-      }
-      case "e_annstream" => (s, dir, copies) => {
-        val extra = math.ceil(math.log(copies.toDouble) / math.log(2.0)).toInt
+          threshold = 0.9,
+          planes = graft.sim.Capacity.lshPlanes(copies * graft.sim.Capacity.RefEmbeddingRows, basePlanes = 8),
+          tables = 8, maxBucket = 10000)
+      case "e_annstream" => (s, dir, copies) =>
         graft.streaming.AnnStream.cosineCandidates(Tables.embeddings(s, dir),
-            "vec_id", "embedding", planes = 12 + extra, tables = 4,
-            maxBucketSize = 100000)
+            "vec_id", "embedding",
+            planes = graft.sim.Capacity.lshPlanes(copies * graft.sim.Capacity.RefEmbeddingRows),
+            tables = 4, maxBucketSize = 100000)
           .toDF().distinct()
-      }
       case other => (s, dir, _) => SparkEntry.queries(other)(s, dir)
     }
 
@@ -138,14 +144,21 @@ object ScaleStress {
     // queries (committed tables always come from unfiltered runs; the
     // pair-count gate below runs regardless).
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank = unset (Set("") filtered out everything)
     val stressSet = stressQueries.filter(q => only.forall(_.contains(q)))
 
     // JIT/Janino warm pass on the smallest sf so neither timed scale pays
-    // first-compile costs (same rationale as Bench's warm pass)
+    // first-compile costs (same rationale as Bench's warm pass). The warm
+    // runs the STRESS plan (stressFn at copies=1), not the catalog query:
+    // five stressed ops override with scale-path kernels whose codegen
+    // (e.g. SimHashPoly128) the catalog plan never compiles, so a catalog
+    // warm left the override's first-compile cost inside the timed base
+    // rep (round-9 ADVICE). For un-overridden queries stressFn IS the
+    // catalog query, so nothing changes there.
     val warmDir = new java.io.File(new java.io.File(baseDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory) stressSet.foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir.getPath)
+      try stressFn(q)(spark, warmDir.getPath, 1)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[stress] warm $q: ${e.getMessage}") }
       spark.sharedState.cacheManager.clearCache()

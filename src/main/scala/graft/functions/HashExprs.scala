@@ -144,8 +144,13 @@ object HashKernels {
 
   /** 124-effective-bit SimHash over tokens: TWO independent 62-bit
     * sign-sum signatures from one pass (array<long> of 2). Halves use
-    * disjoint polynomial bases (31/131 and 37/137) and distinct Lehmer
-    * offsets, so their bit streams are independent. This is the
+    * disjoint polynomial bases (31/131 and 37/137) AND disjoint Lehmer
+    * multiplier sets (48271·16807 vs 69621·48271 — all three are
+    * full-period minstd multipliers mod M31). The multiplier sets must
+    * genuinely differ: an earlier revision merely swapped the 16807/48271
+    * multiplication ORDER, which commutes mod M31, leaving half 2 an
+    * affine image of half 1 for single-char tokens (where every poly
+    * base folds to h = c) — round-9 ADVICE. This is the
     * corpus-scale width: banded candidate generation over a FIXED w-bit
     * signature collides ~N²/2^(w/(h+1)) — measured super-linear at the
     * ×81 stress for the 64-bit op (ratio 158 vs linear 81) exactly as
@@ -172,8 +177,8 @@ object HashKernels {
         }
         val m1 = ((h1 + 1) * 48271L % M31 * 16807L) % M31
         val m2 = ((h2 + 40503L) * 48271L % M31 * 16807L) % M31
-        val m3 = ((h3 + 7) * 16807L % M31 * 48271L) % M31
-        val m4 = ((h4 + 1009L) * 16807L % M31 * 48271L) % M31
+        val m3 = ((h3 + 7) * 69621L % M31 * 48271L) % M31
+        val m4 = ((h4 + 1009L) * 69621L % M31 * 16807L) % M31
         val w1 = m1 * 2147483648L + m2
         val w2 = m3 * 2147483648L + m4
         var b = 0

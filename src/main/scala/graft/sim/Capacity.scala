@@ -1,0 +1,84 @@
+package graft.sim
+
+/** Capacity-∝-corpus parameter chooser for the approximate near-dup /
+  * ANN family — the single place a deployment gets the configurations
+  * the ×10/×30/×81 scale stress proved near-linear, instead of the
+  * fixed catalog constants that were MEASURED quadratic once the corpus
+  * outgrew their collision floor (round-9 stress: 64-bit simhash ratio
+  * 158 at ×81 vs linear 81; 2¹²-bucket LSH ratio 95):
+  *
+  *  - banded/bucketed candidate generation does ~N²/capacity pair work
+  *    at fixed capacity (buckets, per-band value space, IVF lists);
+  *  - growing capacity ∝ N keeps per-bucket occupancy — and with it the
+  *    b² pair work per bucket — constant, restoring ~linear scaling.
+  *
+  * Every rule is anchored to the sf0.1 reference corpus the recall
+  * specs pin (2 000 embeddings, 5 000 documents) and degenerates to the
+  * catalog configuration there, so "choose from your row count" and
+  * "what the oracle checked" agree at the base scale. [[graft.ScaleStress]]
+  * derives its per-scale overrides from THESE rules, so the chooser's
+  * outputs are exactly what the stress harness measures at every decade.
+  */
+object Capacity {
+
+  /** sf0.1 embeddings row count — the reference scale of the spec-pinned
+    * recall numbers (s_lsh / s_ivf2 / t_embdup ≥ 0.9).
+    */
+  val RefEmbeddingRows = 2000L
+
+  /** sf0.1 documents row count — the reference scale of the simhash
+    * banding measurements.
+    */
+  val RefDocumentRows = 5000L
+
+  /** ⌈log₂(rows / baseRows)⌉ clamped at ≥ 0 — the number of capacity
+    * doublings a corpus of `rows` needs over the reference scale.
+    */
+  def doublings(rows: Long, baseRows: Long): Int = {
+    require(rows > 0 && baseRows > 0, s"rows=$rows baseRows=$baseRows")
+    if (rows <= baseRows) 0
+    else math.ceil(math.log(rows.toDouble / baseRows) / math.log(2.0)).toInt
+  }
+
+  /** Hyperplane count per LSH table: `basePlanes` at the reference
+    * corpus, +1 per corpus doubling (2^planes buckets ∝ rows keeps
+    * expected occupancy constant). Per-table recall drops with each
+    * added plane — deployments offset with more `tables`; the chooser
+    * follows the stress harness in growing planes only, which makes its
+    * measured ratios a conservative (lower-recall, same-cost) bound.
+    * Defaults match [[Similarity.lshTopK]] / `e_annstream` (12 planes at
+    * 2 000 rows); pass basePlanes = 8 for [[Similarity.cosineDups]].
+    */
+  def lshPlanes(corpusRows: Long, basePlanes: Int = 12,
+                baseRows: Long = RefEmbeddingRows): Int =
+    basePlanes + doublings(corpusRows, baseRows)
+
+  /** IVF coarse-quantizer list count: lists ∝ corpus at a fixed target
+    * list SIZE (the classic IVF rule — fixed lists mean (c·N₀)²/nLists
+    * probe-verify work). 125 rows/list is the catalog reference
+    * (16 lists at 2 000 rows); `minLists` keeps tiny corpora at the
+    * spec-pinned configuration. `maxLists` (2²⁰ ≈ 1M, the practical
+    * ceiling of published single-level IVF deployments) bounds the
+    * quantizer: past it, list size grows linearly instead — a corpus
+    * that large wants a sharded / two-level quantizer, which is a
+    * deployment topology above this chooser. The cap also keeps the
+    * count in Int range (the un-capped rule at 10¹² rows overflowed —
+    * caught by CapacitySpec).
+    */
+  def ivfNLists(corpusRows: Long, rowsPerList: Long = 125L,
+                minLists: Int = 16, maxLists: Int = 1 << 20): Int = {
+    require(corpusRows > 0 && rowsPerList > 0)
+    val lists = (corpusRows + rowsPerList - 1) / rowsPerList
+    math.min(maxLists.toLong, math.max(minLists.toLong, lists)).toInt
+  }
+
+  /** Whether to run simhash near-dup at the 124-bit width
+    * ([[graft.text.NearDup.simHashPairs128]]) instead of the 64-bit
+    * oracle-checked op: the 64-bit/9-band per-band space is 2⁷, whose
+    * ~N²/2⁷ random-collision floor measured super-linear past ~×30 of
+    * the reference corpus (≈150 k docs) at the round-9 stress; the
+    * 124-bit carving (≥2¹² per band) stayed near-linear through ×81.
+    */
+  def simHashWide(corpusRows: Long, baseRows: Long = RefDocumentRows): Boolean =
+    corpusRows > 30L * baseRows
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.Capacity
+
+/** The capacity-∝-corpus chooser must hand a deployment exactly the
+  * configurations the scale stress measured near-linear at ×10/×30/×81
+  * (and the catalog/spec-pinned configuration at the reference scale).
+  */
+class CapacitySpec extends AnyFunSuite {
+  private val ref = Capacity.RefEmbeddingRows // 2000 (sf0.1 embeddings)
+
+  test("reference corpus degenerates to the catalog configuration") {
+    assert(Capacity.lshPlanes(ref) == 12)                  // s_lsh catalog
+    assert(Capacity.lshPlanes(ref, basePlanes = 8) == 8)   // t_embdup catalog
+    assert(Capacity.ivfNLists(ref) == 16)                  // s_ivf2 catalog
+    assert(!Capacity.simHashWide(Capacity.RefDocumentRows))
+    // below the reference: never shrink under the spec-pinned config
+    assert(Capacity.lshPlanes(1L) == 12)
+    assert(Capacity.ivfNLists(1L) == 16)
+  }
+
+  test("three stress decades reproduce the measured-near-linear configs") {
+    // x10 / x30 / x81 of the sf0.1 base — the exact overrides
+    // ScaleStress ran and the README tables report
+    for ((copies, extra) <- Seq(10 -> 4, 30 -> 5, 81 -> 7)) {
+      val rows = copies * ref
+      assert(Capacity.lshPlanes(rows) == 12 + extra, s"x$copies")
+      assert(Capacity.lshPlanes(rows, basePlanes = 8) == 8 + extra, s"x$copies")
+      assert(Capacity.ivfNLists(rows) == 16 * copies, s"x$copies")
+    }
+    assert(!Capacity.simHashWide(10L * Capacity.RefDocumentRows))  // 64-bit fine at x10
+    assert(Capacity.simHashWide(31L * Capacity.RefDocumentRows))   // past the measured x30 crossover
+    assert(Capacity.simHashWide(81L * Capacity.RefDocumentRows))
+  }
+
+  test("capacity grows monotonically and keeps occupancy bounded") {
+    var lastPlanes = 0
+    var lastLists = 0
+    for (rows <- Seq(1000L, 2000L, 5000L, 20000L, 100000L, 1000000L,
+        100000000L, 10000000000L)) {
+      val p = Capacity.lshPlanes(rows)
+      val l = Capacity.ivfNLists(rows)
+      assert(p >= lastPlanes && l >= lastLists, s"rows=$rows")
+      lastPlanes = p; lastLists = l
+      // occupancy bounds: buckets/lists sized to the corpus at every scale
+      assert(rows.toDouble / (1L << p) <= ref.toDouble / (1L << 12) + 1e-9,
+        s"rows=$rows planes=$p — expected occupancy above reference")
+      if (l < (1 << 20)) // below the quantizer ceiling, occupancy holds
+        assert(rows.toDouble / l <= 125.0 + 1e-9, s"rows=$rows lists=$l")
+    }
+    // 100 TB-ish corpus: parameters stay in sane integer ranges
+    assert(Capacity.lshPlanes(1000000000000L) <= 42)
+    assert(Capacity.ivfNLists(1000000000000L) == (1 << 20)) // capped, no overflow
+  }
+
+  test("degenerate inputs are rejected") {
+    intercept[IllegalArgumentException](Capacity.lshPlanes(0L))
+    intercept[IllegalArgumentException](Capacity.ivfNLists(-5L))
+    intercept[IllegalArgumentException](Capacity.doublings(10L, 0L))
+  }
+}

@@ -49,6 +49,24 @@ class SimHash128Spec extends SparkSpec {
       s"no planted near-dup recovered: $want")
   }
 
+  test("halves differ even for single-char tokens (r9 ADVICE: commuting mix)") {
+    // for 1-char tokens every poly base folds to h = c, so the halves'
+    // independence rests ENTIRELY on the Lehmer mixes differing — the
+    // pre-fix kernel (order-swapped 16807/48271, which commutes mod M31)
+    // made half 2 an affine image of half 1 here
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(5)
+    val sigs = (0 until 40).map { _ =>
+      val toks = (0 until 30).map(_ => ('a' + rnd.nextInt(26)).toChar.toString)
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val s = graft.functions.HashKernels.simhashPoly128(arr)
+      (s.getLong(0), s.getLong(1))
+    }
+    val diffBits = sigs.map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+    assert(diffBits.sum.toDouble / diffBits.length > 15.0, diffBits)
+  }
+
   test("signature halves are independent streams and bits 62-63 are zero") {
     val docs = corpus()
     val sigs = docs.select(NearDup.simHash128(col("text")).as("s"))
