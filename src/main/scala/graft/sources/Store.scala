@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.io.{File, FileInputStream, FileOutputStream, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyed object store (SURVEY.md §2.1 S7; reference: `Store`
+  * `utils/store.py:19-128` — dump/load of named objects as
+  * pickle/json/gzip files under a folder, with `in`, `[]`, and
+  * name iteration).
+  *
+  * Spark-first re-expression rather than a byte-for-byte port:
+  *  - DataFrames — the engine's native "object" — store as PARQUET
+  *    under the keyed prefix, so a stored result re-reads with column
+  *    pruning and predicate pushdown (and at cluster scale the root is
+  *    a shared object-store prefix; the reference's single-process
+  *    pickle blob has no distributed analog worth copying).
+  *  - Small named values (the reference's dicts of event-study stats,
+  *    calibration params, …) store as JSON — the store.py `'json'` /
+  *    `'gz'` formats; its `'pkl'` default is Python-object
+  *    serialization with no JVM meaning, so JSON is this engine's
+  *    interchange default and `gz = true` is the gzip twin.
+  *
+  * Values round-trip through a minimal JSON model: `Map[String, _]`,
+  * `Seq[_]`, `String`, `Long`/`Int`, `Double`, `Boolean`, `null`.
+  * (Ints come back as Long, the usual JSON-number convention.)
+  */
+class Store(folder: String, gz: Boolean = false) {
+  private val root = new File(folder)
+  require(root.isDirectory || root.mkdirs(), s"cannot create store folder $folder")
+
+  private val objExt = if (gz) ".json.gz" else ".json"
+
+  /** Full path of a named small-value object. */
+  def pathname(name: String): String = new File(root, name + objExt).getPath
+
+  /** Full path of a named DataFrame materialization. */
+  def framePath(name: String): String = new File(root, name + ".parquet").getPath
+
+  /** store.py `__contains__`: does `name` exist (either kind)? */
+  def contains(name: String): Boolean =
+    new File(pathname(name)).exists() || new File(framePath(name)).exists()
+
+  /** store.py `__iter__`: names present in the store, sorted. */
+  def names: Seq[String] = {
+    val fs = Option(root.listFiles()).getOrElse(Array.empty)
+    fs.iterator.map(_.getName).collect {
+      case n if n.endsWith(objExt) => n.dropRight(objExt.length)
+      case n if n.endsWith(".parquet") => n.dropRight(".parquet".length)
+    }.toSeq.distinct.sorted
+  }
+
+  /** store.py `dump(obj, name)` for the engine's native object kind. */
+  def dumpFrame(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").parquet(framePath(name))
+
+  /** store.py `load(name)` for DataFrames — a parquet scan, not lineage. */
+  def loadFrame(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(framePath(name))
+
+  /** store.py `dump(obj, name)` for small named values (JSON / gzip). */
+  def dump(obj: Any, name: String): Unit = {
+    val raw = new FileOutputStream(pathname(name))
+    val out = new OutputStreamWriter(
+      if (gz) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8)
+    try out.write(StoreJson.render(obj)) finally out.close()
+  }
+
+  /** store.py `load(name)` for small named values. */
+  def load(name: String): Any = {
+    val raw = new FileInputStream(pathname(name))
+    val in = new InputStreamReader(
+      if (gz) new GZIPInputStream(raw) else raw, StandardCharsets.UTF_8)
+    try StoreJson.parse(new String(Iterator.continually(in.read())
+      .takeWhile(_ >= 0).map(_.toChar).toArray))
+    finally in.close()
+  }
+
+  /** Remove a named entry (both kinds; parquet dirs recursively). */
+  def remove(name: String): Unit = {
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new File(pathname(name)))
+    rm(new File(framePath(name)))
+  }
+}
+
+/** JSON codec for [[Store]] values via the json4s bundled with Spark —
+  * no extra dependency; the wire format matches store.py's `json.dump`
+  * so a store written by either side reads from the other.
+  */
+private[sources] object StoreJson {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def toJ(v: Any): JValue = v match {
+    case null => JNull
+    case m: scala.collection.Map[_, _] =>
+      JObject(m.toList.map { case (k, x) => JField(String.valueOf(k), toJ(x)) })
+    case s: scala.collection.Seq[_] => JArray(s.toList.map(toJ))
+    case s: String => JString(s)
+    case b: Boolean => JBool(b)
+    case i: Int => JLong(i.toLong)
+    case l: Long => JLong(l)
+    case d: Double => JDouble(d)
+    case f: Float => JDouble(f.toDouble)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Store values are JSON-representable (Map/Seq/String/Long/Double/Boolean/null); got ${other.getClass}")
+  }
+
+  private def fromJ(j: JValue): Any = j match {
+    case JNull | JNothing => null
+    case JObject(fs) => fs.map { case JField(k, v) => k -> fromJ(v) }.toMap
+    case JArray(xs) => xs.map(fromJ)
+    case JString(s) => s
+    case JBool(b) => b
+    case JLong(l) => l
+    case JInt(i) => i.toLong
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JSet(xs) => xs.map(fromJ)
+  }
+
+  def render(v: Any): String = JsonMethods.compact(JsonMethods.render(toJ(v)))
+  def parse(s: String): Any = fromJ(JsonMethods.parse(s))
+}
