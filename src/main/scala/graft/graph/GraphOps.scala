@@ -179,6 +179,11 @@ object GraphOps {
   def connectedComponentsLocal(edges: DataFrame, maxEdges: Long = 200000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // guard stays count-then-collect (2 jobs): the tempting one-job
+    // limit(maxEdges+1).collect() plans CollectLimitExec, whose
+    // incremental partition fetch (1, then 4x, ...) runs FOUR sequential
+    // rounds when a tiny graph never fills the limit — measured
+    // g_components 0.60 -> 0.94 s before reverting (round 10)
     val und = Centrality.symmetrize(edges)
     val cnt = und.count()
     require(cnt <= maxEdges,
@@ -212,9 +217,9 @@ object GraphOps {
     * local union-find — and joins in as a small aggregate.
     */
   def graphInfo(edges: DataFrame, smallGraph: Boolean = false): DataFrame = {
+    if (smallGraph) return graphInfoLocal(edges)
     val cc = Centrality.clusteringCoefficient(edges)
-    val compFrame =
-      if (smallGraph) connectedComponentsLocal(edges) else connectedComponents(edges)
+    val compFrame = connectedComponents(edges)
     val comp = compFrame
       .groupBy("component").agg(count(lit(1)).as("csz"))
       .agg(count(lit(1)).as("components"), max("csz").as("largest_component"))
@@ -232,6 +237,87 @@ object GraphOps {
         .otherwise(0.0).as("transitivity"),
       col("avg_clustering"),
       col("components"), col("largest_component"))
+  }
+
+  /** Size-guarded driver-local twin of [[graphInfo]] — the same pattern
+    * as [[connectedComponentsLocal]]: count the symmetrized edges first,
+    * `require`-refuse above `maxEdges`, and otherwise compute the whole
+    * 1-row summary in one pass over the collected edge list. The
+    * distributed form runs ~4 independent job chains (triangle joins,
+    * edge count, component agg, final crossJoins) whose scheduler
+    * overhead dwarfs a tiny graph (g_info measured 1.16 s on the 5-node
+    * sf0.1 nation graph; this path ~0.15 s). GraphInfoSpec pins equality
+    * with the distributed twin on random graphs; above the guard the
+    * distributed form is the corpus path, unchanged.
+    *
+    * Arithmetic mirrors the distributed/oracle form operation-for-
+    * operation: triangles = Σ per-node / 3 in integers, wedges =
+    * Σ d(d−1)/2 (exact integer values in double), transitivity =
+    * triangles·3/wedges, avg clustering summed in ascending node order
+    * (ulp-level order sensitivity is absorbed by the catalog's round-6
+    * projection, same as the distributed sum's partition order).
+    */
+  def graphInfoLocal(edges: DataFrame, maxEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // count-then-collect guard, NOT limit+collect — see the measured
+    // CollectLimitExec note in connectedComponentsLocal
+    val und = Centrality.symmetrize(edges)
+    val cnt = und.count()
+    require(cnt <= maxEdges,
+      s"local graphInfo guard: $cnt symmetrized edges > $maxEdges — use graphInfo(smallGraph=false)")
+    val es = und.selectExpr("cast(src as long)", "cast(dst as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.HashSet[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty[Long]) += b
+    }
+    val nodes = adj.keys.toArray.sorted
+    val n = nodes.length.toLong
+    val m = es.length.toLong / 2 // symmetrize emits both directions, distinct
+    // per-node triangles: closed neighbor pairs (v < w, order-free)
+    var triTotal = 0L
+    var wedges = 0.0
+    var clusterSum = 0.0
+    nodes.foreach { u =>
+      val nb = adj(u).toArray.sorted
+      val d = nb.length.toLong
+      var t = 0L
+      var i = 0
+      while (i < nb.length) {
+        var j = i + 1
+        while (j < nb.length) {
+          if (adj(nb(i)).contains(nb(j))) t += 1
+          j += 1
+        }
+        i += 1
+      }
+      triTotal += t
+      wedges += (d * (d - 1) / 2).toDouble
+      clusterSum += (if (d >= 2) t * 2.0 / (d * (d - 1)) else 0.0)
+    }
+    val triangles = triTotal / 3
+    // components: union-find, min id wins (same as connectedComponentsLocal)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val compSizes = nodes.groupBy(find).map(_._2.length)
+    Seq((n, m,
+        m * 2.0 / (n * (n - 1)),
+        if (wedges > 0) triangles * 3.0 / wedges else 0.0,
+        clusterSum / n,
+        compSizes.size.toLong, compSizes.max.toLong))
+      .toDF("nodes", "edges", "density", "transitivity", "avg_clustering",
+        "components", "largest_component")
   }
 
   /** PageRank by iterated joins (damping d, fixed iteration count —
