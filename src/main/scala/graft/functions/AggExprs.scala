@@ -130,4 +130,134 @@ object AggF {
     */
   def cappedSortedSet(c: Column, cap: Int): Column =
     Bridge.column(CappedSortedSet(Bridge.expression(c), cap).toAggregateExpression())
+
+  /** Bounded top-k per group, ordered (score desc, id asc) — see
+    * [[TopKNeighbors]]. Returns array<struct<neighbor_id:long,
+    * cos:double>> in rank order.
+    */
+  def topKNeighbors(id: Column, score: Column, k: Int): Column =
+    Bridge.column(TopKNeighbors(Bridge.expression(id), Bridge.expression(score), k)
+      .toAggregateExpression())
+}
+
+/** Mutable buffer for [[TopKNeighbors]]: parallel arrays of the current
+  * best ≤ k (score, id) entries kept sorted (score desc, id asc). Both
+  * map-side partial aggregation and the shuffled merge carry at most k
+  * entries per group.
+  */
+final class TopKBuf(val k: Int) {
+  var n: Int = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+
+  /** true when (s, id) ranks strictly better than slot i. */
+  @inline private def beats(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n == k && !beats(s, id, n - 1)) return
+    var i = if (n < k) n else n - 1 // slot that will shift/drop
+    if (n < k) n += 1
+    while (i > 0 && beats(s, id, i - 1)) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    scores(i) = s; ids(i) = id
+  }
+}
+
+/** `topKNeighbors(id, score, k)` — the k best (score desc, id asc)
+  * entries per group as an array of structs in rank order: the
+  * aggregation form of `row_number().over(partitionBy(g).orderBy(score
+  * desc, id)) <= k`.
+  *
+  * The point versus the window form is the SHUFFLE SHAPE at scale: a
+  * window sorts and shuffles EVERY candidate row to its group's
+  * partition before ranking (the ANN rescoring stage emits
+  * queries × probed-list-size rows), while the aggregate keeps a k-entry
+  * buffer per group map-side and shuffles at most k entries per (group,
+  * input partition) — the candidate volume never crosses the wire.
+  * Identical output to the window form incl. the id tie-break on equal
+  * scores (spec-pinned).
+  */
+case class TopKNeighbors(
+    id: Expression,
+    score: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuf] {
+
+  override def prettyName: String = "graft_topk_neighbors"
+  override def children: Seq[Expression] = Seq(id, score)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (id.dataType, score.dataType) match {
+    case _ if k <= 0 => TypeCheckResult.TypeCheckFailure(s"k must be positive, got $k")
+    case (IntegerType | LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (i, s) => TypeCheckResult.TypeCheckFailure(
+      s"(int/long id, double score) required, got ($i, $s)")
+  }
+
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
+    val iv = id.eval(input)
+    val sv = score.eval(input)
+    if (iv != null && sv != null) {
+      val l = iv match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+      }
+      buf.insert(sv.asInstanceOf[java.lang.Double].doubleValue(), l)
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuf, other: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < other.n) { buf.insert(other.scores(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKBuf): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = InternalRow(buf.ids(i), buf.scores(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuf(k)
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val l = bb.getLong()
+      buf.insert(s, l)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKNeighbors =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKNeighbors =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKNeighbors =
+    copy(id = newChildren(0), score = newChildren(1))
 }

@@ -48,9 +48,21 @@ object Similarity {
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.select(col("query_id"), col("neighbor_id"),
       round(VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // bounded top-k AGGREGATE, not a window: row_number().over(partitionBy
+    // (query).orderBy(cos desc, id)) shuffles and sorts EVERY rescored
+    // candidate row (queries × probed-list-size — the bulk of the ANN
+    // job), while the aggregate keeps a k-entry buffer per query map-side
+    // and shuffles ≤ k entries per (query, partition). Output identical
+    // incl. the id tie-break (TopKSpec pins it against the window form);
+    // measured interleaved in one JVM (ProfileTopK, min-of-3): the
+    // brute-force all-pairs shape 5.06 → 3.51 s, an IVF-shaped 2M-row
+    // synthetic candidates frame 0.38 → 0.36 s (wash — its 1000-row
+    // groups sort cheaply; the win grows with rescored volume per group).
+    scored.groupBy("query_id")
+      .agg(graft.functions.AggF.topKNeighbors(col("neighbor_id"), col("cos"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Exact top-k cosine neighbors per query vector (brute force).
