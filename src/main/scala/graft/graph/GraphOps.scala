@@ -179,6 +179,16 @@ object GraphOps {
   def connectedComponentsLocal(edges: DataFrame, maxEdges: Long = 200000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    connectedComponentsLocalPairs(edges, maxEdges).toSeq.toDF("node", "component")
+  }
+
+  /** Driver-local core of [[connectedComponentsLocal]]: (node → min
+    * component id) pairs as a plain array, for callers that continue
+    * locally (group sizes, keep/drop) instead of round-tripping the tiny
+    * result through another Spark job — see [[graft.text.NearDup.dupGroups]].
+    */
+  def connectedComponentsLocalPairs(edges: DataFrame,
+                                    maxEdges: Long = 200000L): Array[(Long, Long)] = {
     // guard stays count-then-collect (2 jobs): the tempting one-job
     // limit(maxEdges+1).collect() plans CollectLimitExec, whose
     // incremental partition fetch (1, then 4x, ...) runs FOUR sequential
@@ -202,8 +212,7 @@ object GraphOps {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins
     }
-    val nodes = es.map(_._1).distinct
-    nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+    es.map(_._1).distinct.map(n => (n, find(n)))
   }
 
   /** One-row whole-graph summary (graph.py:30-86 `graph_info`, undirected

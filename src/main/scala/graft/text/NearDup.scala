@@ -140,19 +140,30 @@ object NearDup {
     // actions + localCheckpoint per diameter round (pure scheduler
     // overhead on a ~100-row pair set). Above it, distributed CC stays
     // the corpus-scale path.
-    val comps =
-      if (nPairs <= maxLocalPairs)
-        graft.graph.GraphOps.connectedComponentsLocal(p, maxEdges = 2 * maxLocalPairs + 16)
-      else graft.graph.GraphOps.connectedComponents(p)
-    // both CC paths materialize eagerly (collect / per-round
-    // localCheckpoint), so the returned frame no longer depends on the
-    // persisted pairs — release them instead of pinning one cached frame
-    // per call in a long-lived driver
-    p.unpersist(blocking = false)
-    val sizes = comps.groupBy("component").agg(count(lit(1)).as("group_size"))
-    comps.join(sizes, "component")
-      .select(col("node").as("doc_id"), col("component").as("keep_id"),
-        col("group_size"))
+    if (nPairs <= maxLocalPairs) {
+      // local tier finishes LOCALLY: the union-find result is already on
+      // the driver, so the group-size count and keep-join are a hash map
+      // and a lookup — not two more Spark shuffles over a ~100-row frame
+      // (r10; was groupBy(component) + join on the toDF'd result)
+      val comps = graft.graph.GraphOps
+        .connectedComponentsLocalPairs(p, maxEdges = 2 * maxLocalPairs + 16)
+      p.unpersist(blocking = false)
+      val sizes = comps.groupBy(_._2).map { case (c, xs) => (c, xs.length.toLong) }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      comps.toSeq.map { case (n, c) => (n, c, sizes(c)) }
+        .toDF("doc_id", "keep_id", "group_size")
+    } else {
+      val comps = graft.graph.GraphOps.connectedComponents(p)
+      // the distributed CC materializes eagerly (per-round localCheckpoint),
+      // so the returned frame no longer depends on the persisted pairs —
+      // release them instead of pinning one cached frame per call
+      p.unpersist(blocking = false)
+      val sizes = comps.groupBy("component").agg(count(lit(1)).as("group_size"))
+      comps.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("keep_id"),
+          col("group_size"))
+    }
   }
 
   /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
