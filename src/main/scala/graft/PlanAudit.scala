@@ -27,7 +27,7 @@ object PlanAudit {
     "s_ivf2" -> "crossJoin of the 1-row broadcast centroid-array frame: per-row quantizer assignment+probe (no N×nLists materialization)",
     "j13_bucket" -> "broadcast interval lookup against a 3-row dimension (non-equi by nature)",
     "w11_smooth" -> "dense rebalance grid: dates × permnos dimension cross (both provably-small dims)",
-    "g_info" -> "crossJoins of 1-row summary aggregates (edge count, component count)",
+    "g_info__distributed" -> "crossJoins of 1-row summary aggregates (edge count, component count)",
     "g_community" -> "crossJoins of 1-row modularity/coverage aggregates",
     "a10_kpp__bydate" -> "rel-window expansion: events × 13-row broadcast range cross"
   )
@@ -43,7 +43,12 @@ object PlanAudit {
     "g_hits__round_body" -> ((s: SparkSession, dir: String) =>
       graft.graph.Centrality.hitsRoundForAudit(graft.queries.GraphQ.hitsEdges(s, dir))),
     "a10_kpp__bydate" -> ((s: SparkSession, dir: String) =>
-      graft.queries.BacktestQ.a10ByDate(s, dir)._1)
+      graft.queries.BacktestQ.a10ByDate(s, dir)._1),
+    // g_info's catalog row went driver-local in round 10 (size-guarded
+    // twin) — this audits the corpus-scale distributed form it guards
+    "g_info__distributed" -> ((s: SparkSession, dir: String) =>
+      graft.graph.GraphOps.graphInfo(graft.queries.GraphQ.nationGraph(s, dir),
+        smallGraph = false))
   )
 
   def main(args: Array[String]): Unit = {
@@ -114,7 +119,8 @@ object PlanAudit {
     md ++= "story since its driver-local tier landed: the sf0.1 graph sits under\n"
     md ++= "the 2M-edge local guard, so the catalog row is a local result with no\n"
     md ++= "distributed plan — the corpus-scale shuffle tier is what\n"
-    md ++= "g_hits__round_body audits.\n\n"
+    md ++= "g_hits__round_body audits; g_info since its round-10 local twin —\n"
+    md ++= "g_info__distributed audits the corpus-scale summary plan.\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"

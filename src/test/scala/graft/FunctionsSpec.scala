@@ -161,19 +161,21 @@ class FunctionsSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
-  test("fused ShingleHash61 equals composed path on random text (property)") {
+  test("fused ShingleHash61 equals composed path on random text (property, n=1..5)") {
     import graft.text.TextOps
     val rnd = new scala.util.Random(31)
     val alphabet = "abcdefgHIJKLM_ .,!0189\t\né中"
     val docs = (0 until 300).map { i =>
       (i.toLong, (0 until rnd.nextInt(400)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     }.toDF("id", "text")
-    val out = docs.select(
-        TextOps.shingleHashes(col("text"), 3).as("a"),
-        transform(TextOps.wordShingles(col("text"), 3),
-          s => graft.functions.HashF.polyHash61(s)).as("b"))
-      .as[(Seq[Long], Seq[Long])].collect()
-    out.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    for (n <- Seq(1, 2, 3, 5)) { // minHashDedup's shingleWidth is caller-chosen
+      val out = docs.select(
+          TextOps.shingleHashes(col("text"), n).as("a"),
+          transform(TextOps.wordShingles(col("text"), n),
+            s => graft.functions.HashF.polyHash61(s)).as("b"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      out.foreach { case (a, b) => assert(a == b, s"n=$n: $a != $b") }
+    }
   }
 
   test("hash-input minhash signature equals string-input signature") {
