@@ -6,12 +6,24 @@ package graft.ml
   * window-days), never on fact-table data.
   *
   * The reference computes these via the convolution theorem (rfft/irfft
-  * with zero padding); the values here are identical — direct evaluation
-  * of the same sums, O(N²) per pair, which for event-study windows
-  * (N ≤ a few hundred) is faster than FFT set-up anyway. Swap in breeze
-  * `fourierTr` if N grows.
+  * with zero padding); both evaluation strategies are implemented here
+  * and produce identical values (spec'd equal to 1e-9): direct
+  * evaluation of the sums, O(N²) per pair, and an FFT path
+  * ([[crossCorrelationFft]] — zero-pad to the next power of two ≥ 2N,
+  * pointwise conj(X)·Y, inverse transform), O(N log N), matching
+  * filters.py:31-64's algorithm. [[crossCorrelation]] dispatches:
+  * direct below [[fftThreshold]] (event-study windows, where FFT
+  * set-up costs more than the quadratic sum), FFT above it.
   */
 object Filters {
+
+  /** Series length at or above which [[crossCorrelation]] takes the FFT
+    * path. At N = 512 the padded transform (P = 2048, 3 FFTs of
+    * P·log₂P ≈ 22k butterfly ops) already undercuts the ~N²/2 ≈ 131k
+    * multiply-adds of the direct sums; below it the direct loop's cache
+    * locality wins.
+    */
+  val fftThreshold = 512
 
   /** Demean and divide by the L2 norm (filters.py:25-30). */
   def normalize(x: Array[Double]): Array[Double] = {
@@ -28,6 +40,13 @@ object Filters {
     */
   def crossCorrelation(x: Array[Double], y: Array[Double]): (Array[Int], Array[Double]) = {
     require(x.length == y.length, "series must have equal length")
+    if (x.length >= fftThreshold) crossCorrelationFft(x, y)
+    else crossCorrelationDirect(x, y)
+  }
+
+  /** Direct O(N²) evaluation of the cross-correlation sums. */
+  def crossCorrelationDirect(x: Array[Double], y: Array[Double]): (Array[Int], Array[Double]) = {
+    require(x.length == y.length, "series must have equal length")
     val n = x.length
     val xn = normalize(x)
     val yn = normalize(y)
@@ -41,6 +60,89 @@ object Filters {
       s
     }
     (lags, vals)
+  }
+
+  /** Convolution-theorem evaluation (filters.py:31-64): zero-pad the
+    * normalized series to P = next power of two ≥ 2N (so the circular
+    * correlation has no wraparound), take corr = IFFT(conj(FFT(x̂)) ·
+    * FFT(ŷ)), and read lag l from index (l + P) mod P. Same lag window
+    * and values as [[crossCorrelationDirect]] up to FFT round-off.
+    */
+  def crossCorrelationFft(x: Array[Double], y: Array[Double]): (Array[Int], Array[Double]) = {
+    require(x.length == y.length, "series must have equal length")
+    val n = x.length
+    var p = 1
+    while (p < 2 * n) p <<= 1
+    val xre = java.util.Arrays.copyOf(normalize(x), p)
+    val xim = new Array[Double](p)
+    val yre = java.util.Arrays.copyOf(normalize(y), p)
+    val yim = new Array[Double](p)
+    fft(xre, xim, inverse = false)
+    fft(yre, yim, inverse = false)
+    // Z = conj(X) · Y, in place over the X buffers
+    var k = 0
+    while (k < p) {
+      val re = xre(k) * yre(k) + xim(k) * yim(k)
+      val im = xre(k) * yim(k) - xim(k) * yre(k)
+      xre(k) = re; xim(k) = im
+      k += 1
+    }
+    fft(xre, xim, inverse = true)
+    val half = n / 2
+    val lags = (-half to half).toArray
+    (lags, lags.map(l => xre((l + p) % p)))
+  }
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT over parallel re/im
+    * arrays (length must be a power of two). `inverse = true` applies
+    * the conjugate transform with 1/P scaling.
+    */
+  private def fft(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val p = re.length
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < p) {
+      var bit = p >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= p) {
+      val ang = (if (inverse) 2.0 else -2.0) * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < p) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k
+          val b = a + len / 2
+          val tr = re(b) * cr - im(b) * ci
+          val ti = re(b) * ci + im(b) * cr
+          re(b) = re(a) - tr; im(b) = im(a) - ti
+          re(a) += tr; im(a) += ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    if (inverse) {
+      var k = 0
+      while (k < p) { re(k) /= p; im(k) /= p; k += 1 }
+    }
   }
 
   /** Best alignment of every pair of columns (fft_align

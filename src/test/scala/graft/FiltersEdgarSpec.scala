@@ -26,6 +26,30 @@ class FiltersSpec extends SparkSpec {
     assert(math.abs(aligned.head._3) == 3)
   }
 
+  test("FFT path equals the direct sums at every lag (odd/even/pow2 lengths)") {
+    val rng = new scala.util.Random(7)
+    for (n <- Seq(31, 50, 64, 127, 512, 1000)) {
+      val x = Array.fill(n)(rng.nextGaussian())
+      val y = Array.fill(n)(rng.nextGaussian() + 0.3 * x(rng.nextInt(n)))
+      val (dl, dv) = Filters.crossCorrelationDirect(x, y)
+      val (fl, fv) = Filters.crossCorrelationFft(x, y)
+      assert(dl.sameElements(fl), s"lag windows differ at n=$n")
+      val worst = dv.zip(fv).map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-9, s"n=$n worst |direct-fft| = $worst")
+    }
+  }
+
+  test("the dispatcher takes the FFT path above the threshold with identical output") {
+    val rng = new scala.util.Random(11)
+    val n = Filters.fftThreshold // boundary length: dispatcher goes FFT
+    val x = Array.fill(n)(rng.nextGaussian())
+    val (_, viaDispatch) = Filters.crossCorrelation(x, x)
+    val (lags, viaFft) = Filters.crossCorrelationFft(x, x)
+    assert(viaDispatch.sameElements(viaFft))
+    // and the FFT autocorrelation still reads exactly 1 at lag 0
+    assert(math.abs(viaFft(lags.indexOf(0)) - 1.0) < 1e-9)
+  }
+
   test("Newey-West weighting applies the Bartlett kernel over all lags") {
     val x = Array.tabulate(40)(i => i.toDouble)
     val (lags, vals) = Filters.crossCorrelation(x, x)
