@@ -177,7 +177,10 @@ final class TopKBuf(val k: Int) {
   * buffer per group map-side and shuffles at most k entries per (group,
   * input partition) — the candidate volume never crosses the wire.
   * Identical output to the window form incl. the id tie-break on equal
-  * scores (spec-pinned).
+  * scores (spec-pinned) for finite scores; null and NaN scores are
+  * excluded deterministically (the window's desc sort ranked NaN FIRST —
+  * an ordering artifact, not a neighbor), so a group with fewer than k
+  * finite-scored candidates returns fewer than k entries.
   */
 case class TopKNeighbors(
     id: Expression,
@@ -207,11 +210,20 @@ case class TopKNeighbors(
     val iv = id.eval(input)
     val sv = score.eval(input)
     if (iv != null && sv != null) {
-      val l = iv match {
-        case i: java.lang.Integer => i.longValue()
-        case l: java.lang.Long => l.longValue()
+      val s = sv.asInstanceOf[java.lang.Double].doubleValue()
+      // NaN is EXCLUDED, not ranked: every NaN comparison is false, so a
+      // NaN admitted while the buffer is unfilled would sit where it
+      // landed and block later finite scores from shifting past it —
+      // breaking the (score desc, id asc) invariant the merge relies on.
+      // (Exclusion also replaces the window form's desc-sort artifact of
+      // ranking NaN FIRST; a NaN cosine is never a meaningful neighbor.)
+      if (!java.lang.Double.isNaN(s)) {
+        val l = iv match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+        }
+        buf.insert(s, l)
       }
-      buf.insert(sv.asInstanceOf[java.lang.Double].doubleValue(), l)
     }
     buf
   }

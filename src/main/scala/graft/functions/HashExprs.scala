@@ -145,8 +145,10 @@ object HashKernels {
   /** 124-effective-bit SimHash over tokens: TWO independent 62-bit
     * sign-sum signatures from one pass (array<long> of 2). Halves use
     * disjoint polynomial bases (31/131 and 37/137) AND disjoint Lehmer
-    * multiplier sets (48271·16807 vs 69621·48271 — all three are
-    * full-period minstd multipliers mod M31). The multiplier sets must
+    * multiplier products (half 1: 48271·16807 on both lanes; half 2:
+    * 69621·48271 and 69621·16807 — every product includes 69621, absent
+    * from half 1; all three factors are full-period minstd multipliers
+    * mod M31). The multiplier sets must
     * genuinely differ: an earlier revision merely swapped the 16807/48271
     * multiplication ORDER, which commutes mod M31, leaving half 2 an
     * affine image of half 1 for single-char tokens (where every poly
@@ -247,12 +249,14 @@ object HashKernels {
     while (s0 < numHashes) { seedC(s0) = s0 * 2654435761L + 1L; s0 += 1 }
     var i = 0
     while (i < n) {
-      val x = mod31(hashes.getLong(i))
-      var s = 0
-      while (s < numHashes) {
-        val v = mod31(mod31((seedC(s) + x) * 48271L) * 16807L)
-        if (v < mins(s)) mins(s) = v
-        s += 1
+      if (!hashes.isNullAt(i)) { // null elements skip, like the string kernel
+        val x = mod31(hashes.getLong(i))
+        var s = 0
+        while (s < numHashes) {
+          val v = mod31(mod31((seedC(s) + x) * 48271L) * 16807L)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
       }
       i += 1
     }

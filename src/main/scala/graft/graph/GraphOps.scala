@@ -200,6 +200,17 @@ object GraphOps {
       s"local components guard: $cnt symmetrized edges > $maxEdges — use connectedComponents")
     val es = und.selectExpr("cast(src as long)", "cast(dst as long)")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val find = unionFind(es)
+    es.map(_._1).distinct.map(n => (n, find(n)))
+  }
+
+  /** Union-find over a collected edge array with path compression;
+    * the MIN root id wins each union (matching the distributed
+    * min-label propagation). Returns the `find` closure — shared by
+    * [[connectedComponentsLocalPairs]] and [[graphInfoLocal]] so the
+    * min-id invariant can't drift between the two local twins.
+    */
+  private def unionFind(es: Array[(Long, Long)]): Long => Long = {
     val parent = scala.collection.mutable.LongMap[Long]()
     def find(x: Long): Long = {
       var r = x
@@ -212,7 +223,7 @@ object GraphOps {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins
     }
-    es.map(_._1).distinct.map(n => (n, find(n)))
+    find
   }
 
   /** One-row whole-graph summary (graph.py:30-86 `graph_info`, undirected
@@ -241,7 +252,10 @@ object GraphOps {
     val m = und.agg((count(lit(1)) / 2).cast("long").as("edges"))
     base.crossJoin(m).crossJoin(comp).select(
       col("nodes"), col("edges"),
-      (col("edges") * 2.0 / (col("nodes") * (col("nodes") - 1))).as("density"),
+      // nodes ≥ 2 guard: an empty graph's 0·(0−1) divisor is a hard
+      // DIVIDE_BY_ZERO under ANSI mode (Spark 4 default), not a null
+      when(col("nodes") >= 2,
+        col("edges") * 2.0 / (col("nodes") * (col("nodes") - 1))).as("density"),
       when(col("wedges") > 0, col("triangles") * 3.0 / col("wedges"))
         .otherwise(0.0).as("transitivity"),
       col("avg_clustering"),
@@ -277,6 +291,15 @@ object GraphOps {
       s"local graphInfo guard: $cnt symmetrized edges > $maxEdges — use graphInfo(smallGraph=false)")
     val es = und.selectExpr("cast(src as long)", "cast(dst as long)")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val schema = Seq("nodes", "edges", "density", "transitivity",
+      "avg_clustering", "components", "largest_component")
+    // empty graph: the distributed twin's global aggregates over zero
+    // rows yield (0, 0, null density — via its nodes≥2 guard — and
+    // transitivity 0.0 via the wedges>0 guard, null avg, 0 components,
+    // null max); mirror that row instead of letting empty.max throw
+    if (es.isEmpty)
+      return Seq((0L, 0L, Option.empty[Double], 0.0, Option.empty[Double],
+        0L, Option.empty[Long])).toDF(schema: _*)
     val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.HashSet[Long]]
     es.foreach { case (a, b) =>
       adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty[Long]) += b
@@ -284,49 +307,62 @@ object GraphOps {
     val nodes = adj.keys.toArray.sorted
     val n = nodes.length.toLong
     val m = es.length.toLong / 2 // symmetrize emits both directions, distinct
-    // per-node triangles: closed neighbor pairs (v < w, order-free)
+    // Per-node triangle counts by FORWARD adjacency over a degree order
+    // (count each triangle once at its lowest-ordered vertex, credit all
+    // three corners): O(Σ fwd-degree²) ≤ O(m^1.5), where the naive
+    // all-neighbor-pairs loop is O(Σ d²) — a 100k-edge star passes the
+    // edge guard yet would cost 5·10⁹ set probes single-threaded there.
+    val order = scala.collection.mutable.LongMap.empty[Int]
+    nodes.sortBy(u => (adj(u).size, u)).zipWithIndex
+      .foreach { case (u, i) => order(u) = i }
+    val fwd = scala.collection.mutable.LongMap.empty[Array[Long]]
+    nodes.foreach { u =>
+      fwd(u) = adj(u).iterator.filter(v => order(v) > order(u))
+        .toArray.sortBy(order)
+    }
+    val triPerNode = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+    nodes.foreach { u =>
+      val fu = fwd(u)
+      var i = 0
+      while (i < fu.length) {
+        val v = fu(i)
+        // merge-intersect the two order-sorted forward lists
+        val fv = fwd(v)
+        var a = 0
+        var b = 0
+        while (a < fu.length && b < fv.length) {
+          val oa = order(fu(a))
+          val ob = order(fv(b))
+          if (oa == ob) {
+            val w = fu(a)
+            triPerNode(u) += 1; triPerNode(v) += 1; triPerNode(w) += 1
+            a += 1; b += 1
+          } else if (oa < ob) a += 1
+          else b += 1
+        }
+        i += 1
+      }
+    }
     var triTotal = 0L
     var wedges = 0.0
     var clusterSum = 0.0
     nodes.foreach { u =>
-      val nb = adj(u).toArray.sorted
-      val d = nb.length.toLong
-      var t = 0L
-      var i = 0
-      while (i < nb.length) {
-        var j = i + 1
-        while (j < nb.length) {
-          if (adj(nb(i)).contains(nb(j))) t += 1
-          j += 1
-        }
-        i += 1
-      }
+      val d = adj(u).size.toLong
+      val t = triPerNode(u)
       triTotal += t
       wedges += (d * (d - 1) / 2).toDouble
       clusterSum += (if (d >= 2) t * 2.0 / (d * (d - 1)) else 0.0)
     }
     val triangles = triTotal / 3
-    // components: union-find, min id wins (same as connectedComponentsLocal)
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-      r
-    }
-    es.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    // components: shared union-find (min id wins)
+    val find = unionFind(es)
     val compSizes = nodes.groupBy(find).map(_._2.length)
     Seq((n, m,
         m * 2.0 / (n * (n - 1)),
         if (wedges > 0) triangles * 3.0 / wedges else 0.0,
         clusterSum / n,
         compSizes.size.toLong, compSizes.max.toLong))
-      .toDF("nodes", "edges", "density", "transitivity", "avg_clustering",
-        "components", "largest_component")
+      .toDF(schema: _*)
   }
 
   /** PageRank by iterated joins (damping d, fixed iteration count —

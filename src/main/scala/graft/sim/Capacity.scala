@@ -36,8 +36,14 @@ object Capacity {
     */
   def doublings(rows: Long, baseRows: Long): Int = {
     require(rows > 0 && baseRows > 0, s"rows=$rows baseRows=$baseRows")
-    if (rows <= baseRows) 0
-    else math.ceil(math.log(rows.toDouble / baseRows) / math.log(2.0)).toInt
+    // integer arithmetic, not ceil(log/log): FP log division reads
+    // 29.000000000000004 for an exact 2²⁹ ratio, off-by-one at the very
+    // power-of-two corpus sizes the rule claims to pin. With
+    // c = ⌈rows/baseRows⌉ and x the real ratio, x and c share the same
+    // (2^(j−1), 2^j] bracket (2^j is an integer ≥ x ≥ c > 2^(j−1)), so
+    // ⌈log₂ c⌉ = ⌈log₂ x⌉ exactly.
+    val c = (rows + baseRows - 1) / baseRows
+    if (c <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(c - 1)
   }
 
   /** Hyperplane count per LSH table: `basePlanes` at the reference

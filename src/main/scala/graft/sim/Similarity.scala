@@ -53,7 +53,10 @@ object Similarity {
     // candidate row (queries × probed-list-size — the bulk of the ANN
     // job), while the aggregate keeps a k-entry buffer per query map-side
     // and shuffles ≤ k entries per (query, partition). Output identical
-    // incl. the id tie-break (TopKSpec pins it against the window form);
+    // incl. the id tie-break (TopKSpec pins it against the window form)
+    // for finite cosines; a zero-norm vector's null/NaN cos is excluded
+    // rather than ranked (the window's desc sort put NaN first), so
+    // degenerate embeddings never surface as neighbors;
     // measured interleaved in one JVM (ProfileTopK, min-of-3): the
     // brute-force all-pairs shape 5.06 → 3.51 s, an IVF-shaped 2M-row
     // synthetic candidates frame 0.38 → 0.36 s (wash — its 1000-row

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{File, FileInputStream, FileOutputStream, InputStreamReader, OutputStreamWriter}
+import java.io.{File, FileInputStream, FileOutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -70,10 +70,8 @@ class Store(folder: String, gz: Boolean = false) {
   /** store.py `load(name)` for small named values. */
   def load(name: String): Any = {
     val raw = new FileInputStream(pathname(name))
-    val in = new InputStreamReader(
-      if (gz) new GZIPInputStream(raw) else raw, StandardCharsets.UTF_8)
-    try StoreJson.parse(new String(Iterator.continually(in.read())
-      .takeWhile(_ >= 0).map(_.toChar).toArray))
+    val in = if (gz) new GZIPInputStream(raw) else raw
+    try StoreJson.parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
     finally in.close()
   }
 

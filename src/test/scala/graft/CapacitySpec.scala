@@ -54,6 +54,16 @@ class CapacitySpec extends AnyFunSuite {
     assert(Capacity.ivfNLists(1000000000000L) == (1 << 20)) // capped, no overflow
   }
 
+  test("doublings is exact at power-of-two ratios (integer, no FP log)") {
+    // ceil(log/log) read 29.000000000000004 at j=29 and returned j+1;
+    // the integer form must hit j exactly and j+1 one row later
+    for (j <- Seq(1, 7, 29, 31, 39, 51)) {
+      val rows = Capacity.RefEmbeddingRows << j
+      assert(Capacity.doublings(rows, Capacity.RefEmbeddingRows) == j, s"j=$j")
+      assert(Capacity.doublings(rows + 1, Capacity.RefEmbeddingRows) == j + 1, s"j=$j+1")
+    }
+  }
+
   test("degenerate inputs are rejected") {
     intercept[IllegalArgumentException](Capacity.lshPlanes(0L))
     intercept[IllegalArgumentException](Capacity.ivfNLists(-5L))

@@ -192,6 +192,19 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("hash-input minhash skips null elements like the string kernel") {
+    // ShingleHash61 output never contains null, but the public column
+    // function accepts any array<long>; a null element must be skipped,
+    // not folded as garbage into every signature lane
+    val withNull = Seq((Seq[java.lang.Long](7L, null, 99L), Seq[java.lang.Long](7L, 99L)))
+      .toDF("hs_null", "hs_clean")
+    val r = withNull.select(
+        graft.functions.HashF.minhashPolySigHashes(col("hs_null"), 16).as("a"),
+        graft.functions.HashF.minhashPolySigHashes(col("hs_clean"), 16).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect().head
+    assert(r._1 == r._2)
+  }
+
   test("langId kernel matches the HOF formulation exactly") {
     import graft.text.TextOps
     val docs = (sampleDocs ++ Seq(

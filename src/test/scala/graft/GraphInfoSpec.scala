@@ -19,7 +19,7 @@ class GraphInfoSpec extends SparkSpec {
   }
 
   test("local twin equals the distributed graphInfo on random graphs") {
-    for ((seed, n, m) <- Seq((1, 12, 30), (2, 25, 40), (3, 8, 8), (4, 40, 20))) {
+    for ((seed, n, m) <- Seq((1, 12, 30), (2, 25, 40), (3, 8, 8), (4, 40, 20), (5, 60, 400))) {
       val edges = randomEdges(seed, n, m)
       val local = GraphOps.graphInfoLocal(edges).collect().head
       val dist = GraphOps.graphInfo(edges, smallGraph = false).collect().head
@@ -46,6 +46,30 @@ class GraphInfoSpec extends SparkSpec {
     assert(t.getLong(0) == 6 && t.getLong(1) == 6)
     assert(math.abs(t.getDouble(3) - 1.0) < 1e-12 && math.abs(t.getDouble(4) - 1.0) < 1e-12)
     assert(t.getLong(5) == 2 && t.getLong(6) == 3)
+  }
+
+  test("empty edge set matches the distributed zero-row-aggregate summary") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val l = GraphOps.graphInfoLocal(empty).collect().head
+    val d = GraphOps.graphInfo(empty, smallGraph = false).collect().head
+    for (i <- 0 until 7) {
+      assert(l.isNullAt(i) == d.isNullAt(i), s"field $i nullity: $l vs $d")
+      if (!l.isNullAt(i)) assert(l.get(i) == d.get(i), s"field $i: $l vs $d")
+    }
+  }
+
+  test("hub graph: degree-ordered triangle counting matches the distributed form") {
+    // a 200-spoke star with a chord ring among the spokes — the shape
+    // whose naive all-neighbor-pairs loop is O(d_hub²)
+    val spokes = (1L to 200L).map(i => (0L, i))
+    val ring = (1L until 200L).map(i => (i, i + 1)) :+ (200L, 1L)
+    val edges = (spokes ++ ring).toDF("src", "dst")
+    val local = GraphOps.graphInfoLocal(edges).collect().head
+    val dist = GraphOps.graphInfo(edges, smallGraph = false).collect().head
+    for (i <- Seq(0, 1, 5, 6)) assert(local.getLong(i) == dist.getLong(i), s"field $i")
+    for (i <- Seq(2, 3, 4)) assert(math.abs(local.getDouble(i) - dist.getDouble(i)) < 1e-9, s"field $i")
+    // each ring edge closes exactly one triangle through the hub
+    assert(math.abs(local.getDouble(3) - dist.getDouble(3)) < 1e-9)
   }
 
   test("guard refuses above maxEdges and the distributed path remains") {

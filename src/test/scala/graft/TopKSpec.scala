@@ -55,6 +55,21 @@ class TopKSpec extends SparkSpec {
     assert(a == Set((1, 10L, 1), (1, 11L, 2), (2, 12L, 1)))
   }
 
+  test("NaN scores are excluded and cannot poison the buffer order") {
+    // NaN rows arrive FIRST: an unfilled buffer that admitted them would
+    // leave NaN slots later finite scores can't shift past (every NaN
+    // comparison is false), corrupting the (score desc, id asc) invariant
+    val df = (Seq((1L, 100L, Double.NaN), (1L, 101L, Double.NaN)) ++
+      (0 until 10).map(i => (1L, i.toLong, (i + 1).toDouble)))
+      .toDF("q", "id", "s").coalesce(1)
+    val a = aggForm(df, 5).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == Seq((9L, 10.0), (8L, 9.0), (7L, 8.0), (6L, 7.0), (5L, 6.0)))
+    // all-NaN group: no entries at all, not k NaN rows
+    val allNaN = Seq((2L, 1L, Double.NaN), (2L, 2L, Double.NaN)).toDF("q", "id", "s")
+    assert(aggForm(allNaN, 3).count() == 0)
+  }
+
   test("null ids and scores are ignored, not ranked") {
     val df = Seq((1L, Some(10L), Some(0.9)), (1L, None, Some(0.99)), (1L, Some(11L), None))
       .toDF("q", "id", "s")
