@@ -248,8 +248,10 @@ object HashKernels {
     var s0 = 0
     while (s0 < numHashes) { seedC(s0) = s0 * 2654435761L + 1L; s0 += 1 }
     var i = 0
+    var folded = false
     while (i < n) {
       if (!hashes.isNullAt(i)) { // null elements skip, like the string kernel
+        folded = true
         val x = mod31(hashes.getLong(i))
         var s = 0
         while (s < numHashes) {
@@ -260,7 +262,11 @@ object HashKernels {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // all elements null = no shingles at all: same all-null signature as
+    // the empty array, never the Long.MaxValue sentinel (which would
+    // band-collide every such degenerate row with every other one)
+    if (!folded) new GenericArrayData(Array.fill[Any](numHashes)(null))
+    else new GenericArrayData(mins)
   }
 
   /** MinHash signature: element s is min over shingles of

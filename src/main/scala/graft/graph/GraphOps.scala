@@ -312,43 +312,46 @@ object GraphOps {
     // three corners): O(Σ fwd-degree²) ≤ O(m^1.5), where the naive
     // all-neighbor-pairs loop is O(Σ d²) — a 100k-edge star passes the
     // edge guard yet would cost 5·10⁹ set probes single-threaded there.
-    val order = scala.collection.mutable.LongMap.empty[Int]
-    nodes.sortBy(u => (adj(u).size, u)).zipWithIndex
-      .foreach { case (u, i) => order(u) = i }
-    val fwd = scala.collection.mutable.LongMap.empty[Array[Long]]
-    nodes.foreach { u =>
-      fwd(u) = adj(u).iterator.filter(v => order(v) > order(u))
-        .toArray.sortBy(order)
+    // Pre-resolve the degree order to dense int indices once — the
+    // merge-intersect inner loop then runs pure primitive int compares
+    // (a LongMap probe per comparison would undo the rewrite's point)
+    val byOrder = nodes.sortBy(u => (adj(u).size, u))
+    val ordOf = scala.collection.mutable.LongMap.empty[Int]
+    byOrder.zipWithIndex.foreach { case (u, i) => ordOf(u) = i }
+    val fwd: Array[Array[Int]] = byOrder.map { u =>
+      val ou = ordOf(u)
+      adj(u).iterator.map(ordOf).filter(_ > ou).toArray.sorted
     }
-    val triPerNode = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
-    nodes.foreach { u =>
-      val fu = fwd(u)
+    val triByOrd = new Array[Long](byOrder.length)
+    var uo = 0
+    while (uo < fwd.length) {
+      val fu = fwd(uo)
       var i = 0
       while (i < fu.length) {
-        val v = fu(i)
+        val vo = fu(i)
         // merge-intersect the two order-sorted forward lists
-        val fv = fwd(v)
+        val fv = fwd(vo)
         var a = 0
         var b = 0
         while (a < fu.length && b < fv.length) {
-          val oa = order(fu(a))
-          val ob = order(fv(b))
+          val oa = fu(a)
+          val ob = fv(b)
           if (oa == ob) {
-            val w = fu(a)
-            triPerNode(u) += 1; triPerNode(v) += 1; triPerNode(w) += 1
+            triByOrd(uo) += 1; triByOrd(vo) += 1; triByOrd(oa) += 1
             a += 1; b += 1
           } else if (oa < ob) a += 1
           else b += 1
         }
         i += 1
       }
+      uo += 1
     }
     var triTotal = 0L
     var wedges = 0.0
     var clusterSum = 0.0
-    nodes.foreach { u =>
+    nodes.foreach { u => // ascending node order: the scaladoc'd sum order
       val d = adj(u).size.toLong
-      val t = triPerNode(u)
+      val t = triByOrd(ordOf(u))
       triTotal += t
       wedges += (d * (d - 1) / 2).toDouble
       clusterSum += (if (d >= 2) t * 2.0 / (d * (d - 1)) else 0.0)

@@ -40,6 +40,10 @@ object Filters {
     */
   def crossCorrelation(x: Array[Double], y: Array[Double]): (Array[Int], Array[Double]) = {
     require(x.length == y.length, "series must have equal length")
+    // Above the threshold, values carry ~1e-15 FFT round-off: a caller
+    // whose downstream argmax (align's bestLag) must break EXACT
+    // direct-arithmetic ties deterministically should call
+    // crossCorrelationDirect explicitly.
     if (x.length >= fftThreshold) crossCorrelationFft(x, y)
     else crossCorrelationDirect(x, y)
   }
@@ -96,6 +100,13 @@ object Filters {
   /** In-place iterative radix-2 Cooley-Tukey FFT over parallel re/im
     * arrays (length must be a power of two). `inverse = true` applies
     * the conjugate transform with 1/P scaling.
+    *
+    * Deliberately hand-rolled rather than breeze's `fourierTr` (which
+    * ships in Spark's jars): the padded-real-correlation wrapper is the
+    * same amount of code either way, this kernel has no version coupling
+    * to Spark's bundled breeze, and FiltersSpec pins it to the direct
+    * sums at 1e-9 across odd/even/pow-2 lengths — the correctness
+    * evidence lives here, not in a library's release notes.
     */
   private def fft(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
     val p = re.length

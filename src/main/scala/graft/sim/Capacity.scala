@@ -42,7 +42,9 @@ object Capacity {
     // c = ⌈rows/baseRows⌉ and x the real ratio, x and c share the same
     // (2^(j−1), 2^j] bracket (2^j is an integer ≥ x ≥ c > 2^(j−1)), so
     // ⌈log₂ c⌉ = ⌈log₂ x⌉ exactly.
-    val c = (rows + baseRows - 1) / baseRows
+    // division-form ceiling: rows + baseRows - 1 would overflow Long for
+    // rows near Long.MaxValue and silently return 0 doublings
+    val c = rows / baseRows + (if (rows % baseRows == 0) 0 else 1)
     if (c <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(c - 1)
   }
 

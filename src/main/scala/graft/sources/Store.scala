@@ -61,18 +61,26 @@ class Store(folder: String, gz: Boolean = false) {
 
   /** store.py `dump(obj, name)` for small named values (JSON / gzip). */
   def dump(obj: Any, name: String): Unit = {
+    // raw closes in its own finally: the gzip wrapper's constructor does
+    // I/O (writes the header) and can throw before the inner try starts
     val raw = new FileOutputStream(pathname(name))
-    val out = new OutputStreamWriter(
-      if (gz) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8)
-    try out.write(StoreJson.render(obj)) finally out.close()
+    try {
+      val out = new OutputStreamWriter(
+        if (gz) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8)
+      try out.write(StoreJson.render(obj)) finally out.close()
+    } finally raw.close() // second close of the same fd is a no-op
   }
 
   /** store.py `load(name)` for small named values. */
   def load(name: String): Any = {
+    // same shape as dump: GZIPInputStream's constructor READS the header
+    // and throws on a truncated/non-gzip file before any try could run
     val raw = new FileInputStream(pathname(name))
-    val in = if (gz) new GZIPInputStream(raw) else raw
-    try StoreJson.parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-    finally in.close()
+    try {
+      val in = if (gz) new GZIPInputStream(raw) else raw
+      try StoreJson.parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    } finally raw.close()
   }
 
   /** Remove a named entry (both kinds; parquet dirs recursively). */

@@ -62,6 +62,8 @@ class CapacitySpec extends AnyFunSuite {
       assert(Capacity.doublings(rows, Capacity.RefEmbeddingRows) == j, s"j=$j")
       assert(Capacity.doublings(rows + 1, Capacity.RefEmbeddingRows) == j + 1, s"j=$j+1")
     }
+    // no additive-ceiling overflow at the top of the Long range
+    assert(Capacity.doublings(Long.MaxValue, 1000L) == 54)
   }
 
   test("degenerate inputs are rejected") {

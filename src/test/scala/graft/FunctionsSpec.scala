@@ -203,6 +203,16 @@ class FunctionsSpec extends SparkSpec {
         graft.functions.HashF.minhashPolySigHashes(col("hs_clean"), 16).as("b"))
       .as[(Seq[Long], Seq[Long])].collect().head
     assert(r._1 == r._2)
+    // an ALL-null array is "no shingles": the all-null signature of the
+    // empty array, never a Long.MaxValue sentinel that would band-collide
+    // every degenerate row with every other one
+    val allNull = Seq((Seq[java.lang.Long](null, null), Seq.empty[java.lang.Long]))
+      .toDF("hs_nulls", "hs_empty")
+    val s = allNull.select(
+        graft.functions.HashF.minhashPolySigHashes(col("hs_nulls"), 8).as("a"),
+        graft.functions.HashF.minhashPolySigHashes(col("hs_empty"), 8).as("b"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect().head
+    assert(s._1 == Seq.fill(8)(None) && s._1 == s._2)
   }
 
   test("langId kernel matches the HOF formulation exactly") {
