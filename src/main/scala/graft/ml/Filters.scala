@@ -75,26 +75,46 @@ object Filters {
   def crossCorrelationFft(x: Array[Double], y: Array[Double]): (Array[Int], Array[Double]) = {
     require(x.length == y.length, "series must have equal length")
     val n = x.length
+    val p = paddedSize(n)
+    val (xre, xim) = spectrum(x, p)
+    val (yre, yim) = spectrum(y, p)
+    corrFromSpectra(xre, xim, yre, yim, n, p)
+  }
+
+  /** Smallest power of two ≥ 2N (no circular-correlation wraparound). */
+  private def paddedSize(n: Int): Int = {
     var p = 1
     while (p < 2 * n) p <<= 1
-    val xre = java.util.Arrays.copyOf(normalize(x), p)
-    val xim = new Array[Double](p)
-    val yre = java.util.Arrays.copyOf(normalize(y), p)
-    val yim = new Array[Double](p)
-    fft(xre, xim, inverse = false)
-    fft(yre, yim, inverse = false)
-    // Z = conj(X) · Y, in place over the X buffers
+    p
+  }
+
+  /** Forward spectrum of the normalized series zero-padded to `p`. */
+  private def spectrum(x: Array[Double], p: Int): (Array[Double], Array[Double]) = {
+    val re = java.util.Arrays.copyOf(normalize(x), p)
+    val im = new Array[Double](p)
+    fft(re, im, inverse = false)
+    (re, im)
+  }
+
+  /** corr = IFFT(conj(X) · Y) windowed to lags −N/2..N/2. Allocates the
+    * product buffers, so callers may REUSE the input spectra across
+    * pairs (the fft_align pattern).
+    */
+  private def corrFromSpectra(xre: Array[Double], xim: Array[Double],
+                              yre: Array[Double], yim: Array[Double],
+                              n: Int, p: Int): (Array[Int], Array[Double]) = {
+    val zre = new Array[Double](p)
+    val zim = new Array[Double](p)
     var k = 0
     while (k < p) {
-      val re = xre(k) * yre(k) + xim(k) * yim(k)
-      val im = xre(k) * yim(k) - xim(k) * yre(k)
-      xre(k) = re; xim(k) = im
+      zre(k) = xre(k) * yre(k) + xim(k) * yim(k)
+      zim(k) = xre(k) * yim(k) - xim(k) * yre(k)
       k += 1
     }
-    fft(xre, xim, inverse = true)
+    fft(zre, zim, inverse = true)
     val half = n / 2
     val lags = (-half to half).toArray
-    (lags, lags.map(l => xre((l + p) % p)))
+    (lags, lags.map(l => zre((l + p) % p)))
   }
 
   /** In-place iterative radix-2 Cooley-Tukey FFT over parallel re/im
@@ -162,14 +182,33 @@ object Filters {
     * (colA, colB, bestLag, maxCorr).
     */
   def align(cols: Array[Array[Double]]): Seq[(Int, Int, Int, Double)] =
-    for {
-      i <- cols.indices
-      j <- (i + 1) until cols.length
-    } yield {
-      val (lags, vals) = crossCorrelation(cols(i), cols(j))
-      val k = vals.indices.maxBy(vals)
-      (i, j, lags(k), vals(k))
-    }
+    if (cols.length >= 2 && cols(0).length >= fftThreshold) {
+      // fft_align's reuse shape (filters.py:67-97): transform every
+      // column ONCE, then each of the M(M−1)/2 pairs is a pointwise
+      // product + one inverse — 3 transforms per pair would redo
+      // identical forward FFTs M−1 times each
+      val n = cols(0).length
+      require(cols.forall(_.length == n), "columns must have equal length")
+      val p = paddedSize(n)
+      val specs = cols.map(spectrum(_, p))
+      for {
+        i <- cols.indices
+        j <- (i + 1) until cols.length
+      } yield {
+        val (lags, vals) = corrFromSpectra(
+          specs(i)._1, specs(i)._2, specs(j)._1, specs(j)._2, n, p)
+        val k = vals.indices.maxBy(vals)
+        (i, j, lags(k), vals(k))
+      }
+    } else
+      for {
+        i <- cols.indices
+        j <- (i + 1) until cols.length
+      } yield {
+        val (lags, vals) = crossCorrelation(cols(i), cols(j))
+        val k = vals.indices.maxBy(vals)
+        (i, j, lags(k), vals(k))
+      }
 
   /** Newey-West weighted sum of cross-correlations over the full lag
     * window: Σ_l (1 − |l|/(L+1))·corr(l) with L = N/2 — the Bartlett

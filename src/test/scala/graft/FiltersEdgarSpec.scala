@@ -39,6 +39,34 @@ class FiltersSpec extends SparkSpec {
     }
   }
 
+  test("align's spectrum-reuse path equals per-pair direct alignment") {
+    val rng = new scala.util.Random(23)
+    val n = 600 // above the FFT threshold: align transforms each column once
+    val base = Array.fill(n + 10)(rng.nextGaussian())
+    // shifted copies of one series + an independent one: known best lags
+    val cols = Array(
+      base.slice(0, n), base.slice(4, n + 4), base.slice(9, n + 9),
+      Array.fill(n)(rng.nextGaussian()))
+    val fftAligned = Filters.align(cols)
+    // expected via the direct sums, pair by pair
+    val direct = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.length
+    } yield {
+      val (lags, vals) = Filters.crossCorrelationDirect(cols(i), cols(j))
+      val k = vals.indices.maxBy(vals)
+      (i, j, lags(k), vals(k))
+    }
+    assert(fftAligned.length == direct.length)
+    fftAligned.zip(direct).foreach { case ((i1, j1, l1, c1), (i2, j2, l2, c2)) =>
+      assert(i1 == i2 && j1 == j2 && l1 == l2, s"pair ($i1,$j1): lag $l1 vs $l2")
+      assert(math.abs(c1 - c2) < 1e-9)
+    }
+    // and the planted displacements are recovered
+    assert(fftAligned.find(t => t._1 == 0 && t._2 == 1).get._3.abs == 4)
+    assert(fftAligned.find(t => t._1 == 0 && t._2 == 2).get._3.abs == 9)
+  }
+
   test("the dispatcher takes the FFT path above the threshold with identical output") {
     val rng = new scala.util.Random(11)
     val n = Filters.fftThreshold // boundary length: dispatcher goes FFT
