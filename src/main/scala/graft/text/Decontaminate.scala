@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: drop training documents that leak
+  * evaluation-set n-grams (the standard companion to near-dup removal
+  * in an LLM training-data pipeline; no reference analog —
+  * SURVEY.md §2.10's pipeline mandate).
+  *
+  * Semantics: a corpus document is contaminated when the fraction of
+  * its DISTINCT word-`shingleWidth`-gram hashes that also occur
+  * anywhere in the benchmark exceeds `maxOverlap`. The default
+  * `maxOverlap = 0.0` is the strict "any shared n-gram" rule; widths
+  * of 8–13 words are the published range (the wider the n-gram, the
+  * fewer coincidental collisions).
+  *
+  * Scale shape (the 100 TB story): the BENCHMARK side is small by
+  * construction (an eval suite is at most ~10⁷ distinct n-grams — tens
+  * of MB of 61-bit hashes), so it is `broadcast()` after a distinct;
+  * the corpus side is one scan through the fused
+  * [[TextOps.shingleHashes]] head (no shingle strings), an explode,
+  * and a broadcast hash join — corpus rows are NEVER shuffled for the
+  * membership test. The only shuffle is the per-doc hit count, whose
+  * input is the JOIN OUTPUT: clean documents contribute zero rows, so
+  * the exchanged volume is proportional to the contamination, not the
+  * corpus. The final removal is a left-anti join against the flagged
+  * id list, which AQE broadcasts when small (the expected case).
+  */
+object Decontaminate {
+
+  /** Per-document contamination report: one row per corpus document
+    * sharing ≥ 1 shingle hash with the benchmark — (id, n_shingles,
+    * hits, overlap = hits / n_shingles). Documents with no shared
+    * shingle (or too short to form one) emit NO row.
+    */
+  def report(corpus: DataFrame, idCol: String, textCol: String,
+             benchmark: DataFrame, benchTextCol: String,
+             shingleWidth: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(TextOps.shingleHashes(col(benchTextCol), shingleWidth)).as("__h"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("__id"),
+        TextOps.shingleHashes(col(textCol), shingleWidth).as("__hs"))
+      .select(col("__id"), size(col("__hs")).as("n_shingles"),
+        explode(col("__hs")).as("__h"))
+      .join(broadcast(bench), "__h")
+      // n_shingles is functionally dependent on __id; grouping on both
+      // avoids a first() aggregate
+      .groupBy(col("__id").as(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("overlap", col("hits") / col("n_shingles"))
+  }
+
+  /** The corpus minus documents whose benchmark n-gram overlap exceeds
+    * `maxOverlap` (default 0.0 = any shared `shingleWidth`-gram drops
+    * the document). Column set of `corpus` is preserved.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    shingleWidth: Int = 8, maxOverlap: Double = 0.0): DataFrame = {
+    val flagged = report(corpus, idCol, textCol, benchmark, benchTextCol, shingleWidth)
+      .where(col("overlap") > maxOverlap)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+}

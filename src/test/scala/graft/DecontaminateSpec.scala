@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Decontaminate
+
+/** Benchmark decontamination: planted eval leakage must be flagged and
+  * removed, clean documents kept, and the membership test must be a
+  * broadcast join (corpus rows never shuffled for it).
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchSentence =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val benchmark = Seq(
+    (1L, benchSentence),
+    (2L, "all happy families are alike every unhappy family is unhappy in its own way")
+  ).toDF("qid", "question")
+
+  private def corpus = Seq(
+    // verbatim leak: contains the benchmark sentence inside padding
+    (10L, s"some leading words then $benchSentence and some trailing words here"),
+    // clean document, same vocabulary register but no shared 8-gram
+    (11L, "a slow red fox walks under a busy dog far from any river bank at dawn"),
+    // partial leak: shares a few 8-grams of the second benchmark row
+    (12L, "all happy families are alike every unhappy family goes its separate way entirely"),
+    // too short to form one 8-gram: must simply be kept
+    (13L, "tiny doc")
+  ).toDF("id", "text")
+
+  test("verbatim leakage is flagged with high overlap and removed") {
+    val rep = Decontaminate.report(corpus, "id", "text", benchmark, "question")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("overlap")).toMap
+    assert(rep.contains(10L) && rep(10L) > 0.3, s"got $rep")
+    assert(rep.contains(12L) && rep(12L) > 0.0 && rep(12L) < rep(10L))
+    assert(!rep.contains(11L) && !rep.contains(13L))
+
+    val cleaned = Decontaminate.decontaminate(
+      corpus, "id", "text", benchmark, "question")
+    assert(cleaned.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    assert(cleaned.columns.toSeq == corpus.columns.toSeq)
+  }
+
+  test("maxOverlap threshold keeps partial overlaps below it") {
+    val rep = Decontaminate.report(corpus, "id", "text", benchmark, "question")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("overlap")).toMap
+    val thresh = (rep(10L) + rep(12L)) / 2 // between the two overlaps
+    val cleaned = Decontaminate.decontaminate(
+      corpus, "id", "text", benchmark, "question", maxOverlap = thresh)
+    assert(cleaned.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L))
+  }
+
+  test("overlap is hits over the doc's own distinct-shingle count") {
+    val rep = Decontaminate.report(corpus, "id", "text", benchmark, "question")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Int]("n_shingles"), r.getAs[Long]("hits"), r.getAs[Double]("overlap")))
+    rep.foreach { case (id, n, h, o) =>
+      assert(n > 0 && h > 0 && h <= n, s"id=$id")
+      assert(math.abs(o - h.toDouble / n) < 1e-12, s"id=$id")
+    }
+  }
+
+  test("the membership test plans as a broadcast join") {
+    val rep = Decontaminate.report(corpus, "id", "text", benchmark, "question")
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
