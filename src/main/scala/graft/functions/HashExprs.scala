@@ -781,6 +781,8 @@ object HashF {
     Bridge.column(PackedPairs(Bridge.expression(arr)))
   def langId(text: Column): Column =
     Bridge.column(LangIdExpr(Bridge.expression(text)))
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
   def polyHash61(s: Column): Column =
     Bridge.column(PolyHash61(Bridge.expression(s)))
   def simhash64(tokens: Column): Column =

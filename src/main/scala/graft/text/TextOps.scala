@@ -47,6 +47,45 @@ object TextOps {
     round(lenScore * 0.3 + alphaRatio * 0.4 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
   }
 
+  /** Repetition quality signals (the Gopher/RefinedWeb heuristic
+    * family — repetitious documents are the dominant low-quality class
+    * the length/punct blend of [[qualityScore]] misses): struct of
+    * duplicate-line fraction (by count and by character mass) and
+    * top word-bigram/-trigram occurrence fraction. One byte pass, no
+    * string materialization ([[graft.functions.RepetitionKernel]]);
+    * composes into the same fused Project as the other per-doc scores.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val a = graft.functions.HashF.repetitionStats(text)
+    struct(
+      element_at(a, 1).as("dup_line_frac"),
+      element_at(a, 2).as("dup_line_char_frac"),
+      element_at(a, 3).as("top_bigram_frac"),
+      element_at(a, 4).as("top_trigram_frac"))
+  }
+
+  /** PII redaction for training corpora (the C4/Dolma-style scrub):
+    * masks e-mail addresses, international/US phone numbers, IPv4
+    * addresses, and US SSNs with fixed placeholder tokens. Pure chained
+    * `regexp_replace` — codegen'd, per-row, shuffle-free; order matters
+    * (e-mail before phone so a numeric local-part is not half-eaten,
+    * SSN before phone so the more specific \d3-\d2-\d4 shape wins).
+    * Patterns are deliberately conservative (anchored on non-alnum
+    * boundaries) — a redactor that over-fires destroys clean text, and
+    * recall tuning belongs to a deployment's own pattern set.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email,
+      "(^|[^0-9A-Za-z-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?=$|[^0-9-])", "$1<SSN>")
+    val phone = regexp_replace(ssn,
+      "(^|[^0-9A-Za-z])(\\+?[0-9]{1,3}[-. ])?(\\([0-9]{3}\\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?=$|[^0-9])",
+      "$1<PHONE>")
+    regexp_replace(phone,
+      "(^|[^0-9A-Za-z.])([0-9]{1,3}\\.){3}[0-9]{1,3}(?=$|[^0-9.])", "$1<IP>")
+  }
+
   /** Stopword-count language ID over {en, es, de, fr, zh} — native
     * kernel ([[graft.functions.LangKernel]]); [[langIdHof]] is the
     * Column twin for the equivalence spec.

@@ -85,6 +85,82 @@ class TextOpsSpec extends SparkSpec {
     val out = df.select(TextOps.bpeishTokenCount(col("t"))).as[Int].head()
     assert(out == 6)
   }
+
+  test("repetitionSignals match a brute-force string computation") {
+    // brute force mirrors the kernel's documented semantics on strings
+    def brute(text: String): (Double, Double, Double, Double) = {
+      val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+      val (dupN, dupC) = {
+        val seen = scala.collection.mutable.Set.empty[String]
+        var dn = 0L; var dc = 0L
+        lines.foreach { l => if (!seen.add(l)) { dn += 1; dc += l.getBytes("UTF-8").length } }
+        (dn, dc)
+      }
+      val charTotal = lines.map(_.getBytes("UTF-8").length.toLong).sum
+      val toks = text.split("[ \t\n\r]+").filter(_.nonEmpty).map(_.toLowerCase)
+      def topFrac(n: Int): Double = {
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        if (grams.isEmpty) 0.0
+        else grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+      }
+      (if (lines.nonEmpty) dupN.toDouble / lines.length else 0.0,
+       if (charTotal > 0) dupC.toDouble / charTotal else 0.0,
+       topFrac(2), topFrac(3))
+    }
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def randomDoc(): String =
+      (0 until 12).map { _ =>
+        (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      }.mkString("\n")
+    val docs = Seq(
+      "",                                          // empty: all zeros
+      "one two",                                   // 1 bigram, 0 trigrams
+      "same line\nsame line\nsame line\nother",    // heavy line dup
+      "spam spam spam spam spam spam",             // degenerate bigram repeat
+      "A b\na B",                                  // case-folded grams, distinct lines
+      "  padded line \n\npadded line\n\t\n") ++    // trims + blank lines
+      (0 until 8).map(_ => randomDoc())
+    val out = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "t")
+      .select(col("id"), TextOps.repetitionSignals(col("t")).as("r"))
+      .select(col("id"), col("r.dup_line_frac"), col("r.dup_line_char_frac"),
+        col("r.top_bigram_frac"), col("r.top_trigram_frac"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    docs.zipWithIndex.foreach { case (d, i) =>
+      val want = brute(d)
+      val got = out(i.toLong)
+      assert(math.abs(got._1 - want._1) < 1e-12, s"doc $i dup_line: $got vs $want")
+      assert(math.abs(got._2 - want._2) < 1e-12, s"doc $i dup_char: $got vs $want")
+      assert(math.abs(got._3 - want._3) < 1e-12, s"doc $i bigram: $got vs $want")
+      assert(math.abs(got._4 - want._4) < 1e-12, s"doc $i trigram: $got vs $want")
+    }
+    // sanity on the planted shapes
+    assert(out(2L)._1 == 2.0 / 4)   // 2 of 4 lines are repeats
+    assert(out(3L)._3 == 1.0)       // every bigram is "spam spam"
+  }
+
+  test("redactPii masks emails, phones, IPs and SSNs, and leaves clean text alone") {
+    val cases = Seq(
+      ("contact me at jane.doe+test@example.co.uk for details",
+       "contact me at <EMAIL> for details"),
+      ("call (555) 123-4567 or 555-123-4567 today",
+       "call <PHONE> or <PHONE> today"),
+      ("intl +1 555 123 4567 works too", "intl <PHONE> works too"),
+      ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+      ("server at 192.168.0.1 responded", "server at <IP> responded"),
+      // non-PII shapes must survive: version strings, dates, plain numbers
+      ("release 1.2.3 shipped on 2021-01-01 with 12345 fixes",
+       "release 1.2.3 shipped on 2021-01-01 with 12345 fixes"),
+      ("clean prose with no identifiers at all",
+       "clean prose with no identifiers at all"))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextOps.redactPii(col("t")).as("r")).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got [$got] want [$want]")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -232,4 +308,5 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(brute((q, n)) - c) < 1e-9)
     }
   }
+
 }
