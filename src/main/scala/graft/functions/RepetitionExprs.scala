@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Repetition quality signals for the LLM-data pipeline (the
@@ -15,8 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - duplicate LINE fraction (by line count and by character mass):
   *    lines split on '\n', ASCII-trimmed, empty lines skipped, hashed
-  *    with the 61-bit polynomial fold; a line whose hash was already
-  *    seen counts as duplicate.
+  *    with the dual-prime 61-bit polynomial fold (the
+  *    [[HashKernels.polyHash61]] composition — the raw overflowing
+  *    base-31 fold has trivial exact collisions, "Aa" vs "BB"); a line
+  *    whose hash was already seen counts as duplicate.
   *  - top word-BIGRAM and word-TRIGRAM fraction: whitespace tokens
   *    (ASCII-lowercased), n-grams rolled with an FNV-style combine;
   *    output is occurrences-of-most-frequent / total n-grams.
@@ -29,6 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object RepetitionKernel {
 
   private final val FNV = 1099511628211L
+  private final val P1 = 1000000007L
+  private final val P2 = 998244353L
 
   /** Open-addressed long→count map (power-of-two capacity, linear
     * probing; key 0 remapped to 1 so 0 can mark empty slots). Returns
@@ -77,10 +82,10 @@ object RepetitionKernel {
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
 
-  /** [dup_line_frac, dup_line_char_frac, top_bigram_frac,
-    * top_trigram_frac] as array<double>.
+  /** struct<dup_line_frac, dup_line_char_frac, top_bigram_frac,
+    * top_trigram_frac> (all double).
     */
-  def repetitionStats(t: UTF8String): ArrayData = {
+  def repetitionStats(t: UTF8String): InternalRow = {
     val n = t.numBytes
     // --- duplicate lines ---
     val lineMap = new LongCountMap(64)
@@ -97,9 +102,16 @@ object RepetitionKernel {
         while (s < e && isWs(t.getByte(s))) s += 1
         while (e > s && isWs(t.getByte(e - 1))) e -= 1
         if (e > s) {
-          var h = 0L
+          var h1 = 0L
+          var h2 = 0L
           var j = s
-          while (j < e) { h = h * 31 + (t.getByte(j) & 0xffL); j += 1 }
+          while (j < e) {
+            val b = t.getByte(j) & 0xffL
+            h1 = (h1 * 31 + b) % P1
+            h2 = (h2 * 131 + b) % P2
+            j += 1
+          }
+          val h = h1 * 2147483648L + h2
           val len = (e - s).toLong
           lineTotal += 1
           charTotal += len
@@ -122,13 +134,16 @@ object RepetitionKernel {
     i = 0
     while (i < n) {
       if (!isWs(t.getByte(i))) {
-        var h = 0L
+        var h1 = 0L
+        var h2 = 0L
         while (i < n && !isWs(t.getByte(i))) {
           var b = t.getByte(i) & 0xff
           if (b >= 'A' && b <= 'Z') b += 32
-          h = h * 31 + b
+          h1 = (h1 * 31 + b) % P1
+          h2 = (h2 * 131 + b) % P2
           i += 1
         }
+        val h = h1 * 2147483648L + h2
         tokCount += 1
         if (tokCount >= 2) {
           val bi = prevTok * FNV ^ h
@@ -146,7 +161,7 @@ object RepetitionKernel {
         prevTok = h
       } else i += 1
     }
-    new GenericArrayData(Array[Any](
+    new GenericInternalRow(Array[Any](
       if (lineTotal > 0) lineDup.toDouble / lineTotal else 0.0,
       if (charTotal > 0) charDup.toDouble / charTotal else 0.0,
       if (biTotal > 0) biMax.toDouble / biTotal else 0.0,
@@ -154,9 +169,18 @@ object RepetitionKernel {
   }
 }
 
-/** [[RepetitionKernel.repetitionStats]] as a codegen'd expression. */
+/** [[RepetitionKernel.repetitionStats]] as a codegen'd expression.
+  * Returns the STRUCT directly (not an array the caller decomposes):
+  * four `element_at` projections would embed four copies of the kernel
+  * subtree, and only codegen subexpression elimination would collapse
+  * them back to one byte pass.
+  */
 case class RepetitionStats(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("top_trigram_frac", DoubleType, nullable = false)))
   override def prettyName: String = "graft_repetition_stats"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * anywhere in the benchmark exceeds `maxOverlap`. The default
   * `maxOverlap = 0.0` is the strict "any shared n-gram" rule; widths
   * of 8–13 words are the published range (the wider the n-gram, the
-  * fewer coincidental collisions).
+  * fewer coincidental collisions). N-grams are over WHITESPACE tokens
+  * ([[TextOps.wsShingleHashes]]) — digits and short words count, so a
+  * numeric difference breaks the shingle (texts differing only in
+  * numbers do NOT read as identical) and numeric leakage is caught.
   *
   * Scale shape (the 100 TB story): the BENCHMARK side is small by
   * construction (an eval suite is at most ~10⁷ distinct n-grams — tens
   * of MB of 61-bit hashes), so it is `broadcast()` after a distinct;
-  * the corpus side is one scan through the fused
-  * [[TextOps.shingleHashes]] head (no shingle strings), an explode,
+  * the corpus side is one scan through the shingle head, an explode,
   * and a broadcast hash join — corpus rows are NEVER shuffled for the
   * membership test. The only shuffle is the per-doc hit count, whose
   * input is the JOIN OUTPUT: clean documents contribute zero rows, so
@@ -38,11 +40,11 @@ object Decontaminate {
              benchmark: DataFrame, benchTextCol: String,
              shingleWidth: Int = 8): DataFrame = {
     val bench = benchmark
-      .select(explode(TextOps.shingleHashes(col(benchTextCol), shingleWidth)).as("__h"))
+      .select(explode(TextOps.wsShingleHashes(col(benchTextCol), shingleWidth)).as("__h"))
       .distinct()
     corpus
       .select(col(idCol).as("__id"),
-        TextOps.shingleHashes(col(textCol), shingleWidth).as("__hs"))
+        TextOps.wsShingleHashes(col(textCol), shingleWidth).as("__hs"))
       .select(col("__id"), size(col("__hs")).as("n_shingles"),
         explode(col("__hs")).as("__h"))
       .join(broadcast(bench), "__h")

@@ -47,6 +47,26 @@ object TextOps {
     round(lenScore * 0.3 + alphaRatio * 0.4 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
   }
 
+  /** Distinct 61-bit hashes of whitespace-token word n-grams — the
+    * decontamination shingle basis. Unlike [[shingleHashes]] (built on
+    * the reference's ≥3-letter tokenizer, which skips digits and 1–2
+    * char words entirely), EVERY whitespace token participates: a
+    * numeric difference breaks the shingle (no false "identical"
+    * overlap on texts differing only in numbers) and numeric leakage
+    * (math benchmarks, dates, quantities) is detectable. Tokens are
+    * lowercased; hashes are the cross-engine [[graft.functions.HashF.polyHash61]]
+    * fold of the space-joined n-gram.
+    */
+  def wsShingleHashes(text: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => graft.functions.HashF.polyHash61(
+          concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Repetition quality signals (the Gopher/RefinedWeb heuristic
     * family — repetitious documents are the dominant low-quality class
     * the length/punct blend of [[qualityScore]] misses): struct of
@@ -55,14 +75,8 @@ object TextOps {
     * string materialization ([[graft.functions.RepetitionKernel]]);
     * composes into the same fused Project as the other per-doc scores.
     */
-  def repetitionSignals(text: Column): Column = {
-    val a = graft.functions.HashF.repetitionStats(text)
-    struct(
-      element_at(a, 1).as("dup_line_frac"),
-      element_at(a, 2).as("dup_line_char_frac"),
-      element_at(a, 3).as("top_bigram_frac"),
-      element_at(a, 4).as("top_trigram_frac"))
-  }
+  def repetitionSignals(text: Column): Column =
+    graft.functions.HashF.repetitionStats(text)
 
   /** PII redaction for training corpora (the C4/Dolma-style scrub):
     * masks e-mail addresses, international/US phone numbers, IPv4
@@ -72,7 +86,11 @@ object TextOps {
     * SSN before phone so the more specific \d3-\d2-\d4 shape wins).
     * Patterns are deliberately conservative (anchored on non-alnum
     * boundaries) — a redactor that over-fires destroys clean text, and
-    * recall tuning belongs to a deployment's own pattern set.
+    * recall tuning belongs to a deployment's own pattern set. One
+    * accepted ambiguity: a 4-component dotted version string
+    * ("2.5.1.3") is syntactically an IPv4 address and WILL be masked —
+    * no octet-shaped pattern can separate the two; 3-component and
+    * 5+-component dotted numbers survive.
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
@@ -82,8 +100,12 @@ object TextOps {
     val phone = regexp_replace(ssn,
       "(^|[^0-9A-Za-z])(\\+?[0-9]{1,3}[-. ])?(\\([0-9]{3}\\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?=$|[^0-9])",
       "$1<PHONE>")
+    // trailing boundary: no digit/dot may follow, EXCEPT a sentence-final
+    // period (a dot that is itself last or followed by a non-digit
+    // non-dot) — otherwise every IP ending a sentence survives the scrub
     regexp_replace(phone,
-      "(^|[^0-9A-Za-z.])([0-9]{1,3}\\.){3}[0-9]{1,3}(?=$|[^0-9.])", "$1<IP>")
+      "(^|[^0-9A-Za-z.])([0-9]{1,3}\\.){3}[0-9]{1,3}(?=$|[^0-9.]|\\.(?=$|[^0-9.]))",
+      "$1<IP>")
   }
 
   /** Stopword-count language ID over {en, es, de, fr, zh} — native

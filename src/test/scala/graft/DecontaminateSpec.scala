@@ -14,7 +14,8 @@ class DecontaminateSpec extends SparkSpec {
     "the quick brown fox jumps over the lazy dog near the quiet river bank today"
   private val benchmark = Seq(
     (1L, benchSentence),
-    (2L, "all happy families are alike every unhappy family is unhappy in its own way")
+    (2L, "all happy families are alike every unhappy family is unhappy in its own way"),
+    (3L, "the train travels 450 km in 9 hours before reaching the central station platform")
   ).toDF("qid", "question")
 
   private def corpus = Seq(
@@ -25,7 +26,13 @@ class DecontaminateSpec extends SparkSpec {
     // partial leak: shares a few 8-grams of the second benchmark row
     (12L, "all happy families are alike every unhappy family goes its separate way entirely"),
     // too short to form one 8-gram: must simply be kept
-    (13L, "tiny doc")
+    (13L, "tiny doc"),
+    // numbers COUNT as tokens: differing numerics break every 8-gram of
+    // benchmark row 3, so this must NOT be flagged (the letters-only
+    // tokenizer would have read it as 100% identical)
+    (14L, "the train travels 120 km in 2 hours before reaching the central station platform"),
+    // ...while a verbatim numeric leak of row 3 IS caught
+    (15L, "note that the train travels 450 km in 9 hours before reaching the central station platform indeed")
   ).toDF("id", "text")
 
   test("verbatim leakage is flagged with high overlap and removed") {
@@ -33,11 +40,14 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("overlap")).toMap
     assert(rep.contains(10L) && rep(10L) > 0.3, s"got $rep")
     assert(rep.contains(12L) && rep(12L) > 0.0 && rep(12L) < rep(10L))
+    assert(rep.contains(15L) && rep(15L) > 0.3) // numeric leak caught
     assert(!rep.contains(11L) && !rep.contains(13L))
+    assert(!rep.contains(14L), // numeric difference breaks the shingles
+      s"doc differing only in numbers was flagged: $rep")
 
     val cleaned = Decontaminate.decontaminate(
       corpus, "id", "text", benchmark, "question")
-    assert(cleaned.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    assert(cleaned.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 13L, 14L))
     assert(cleaned.columns.toSeq == corpus.columns.toSeq)
   }
 
@@ -47,7 +57,13 @@ class DecontaminateSpec extends SparkSpec {
     val thresh = (rep(10L) + rep(12L)) / 2 // between the two overlaps
     val cleaned = Decontaminate.decontaminate(
       corpus, "id", "text", benchmark, "question", maxOverlap = thresh)
-    assert(cleaned.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L))
+    assert(cleaned.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L, 14L))
+  }
+
+  test("a bad shingle width fails fast at the API, not per-task") {
+    val e = intercept[IllegalArgumentException](
+      Decontaminate.report(corpus, "id", "text", benchmark, "question", shingleWidth = 0))
+    assert(e.getMessage.contains("shingle width"))
   }
 
   test("overlap is hits over the doc's own distinct-shingle count") {

@@ -119,6 +119,7 @@ class TextOpsSpec extends SparkSpec {
       "same line\nsame line\nsame line\nother",    // heavy line dup
       "spam spam spam spam spam spam",             // degenerate bigram repeat
       "A b\na B",                                  // case-folded grams, distinct lines
+      "Aa\nBB",                                    // String.hashCode collision pair: NOT dup lines
       "  padded line \n\npadded line\n\t\n") ++    // trims + blank lines
       (0 until 8).map(_ => randomDoc())
     val out = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
@@ -150,9 +151,16 @@ class TextOpsSpec extends SparkSpec {
       ("intl +1 555 123 4567 works too", "intl <PHONE> works too"),
       ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
       ("server at 192.168.0.1 responded", "server at <IP> responded"),
-      // non-PII shapes must survive: version strings, dates, plain numbers
+      // sentence-final IP: the trailing period must not shield it
+      ("connect to 10.0.0.1. It responded", "connect to <IP>. It responded"),
+      ("last host was 10.0.0.2.", "last host was <IP>."),
+      // documented ambiguity: a 4-component dotted version IS octet-shaped
+      ("agent 2.5.1.3 deployed", "agent <IP> deployed"),
+      // non-PII shapes must survive: 3- and 5-component dotted numbers,
+      // dates, plain numbers
       ("release 1.2.3 shipped on 2021-01-01 with 12345 fixes",
        "release 1.2.3 shipped on 2021-01-01 with 12345 fixes"),
+      ("build 1.2.3.4.5 is fine", "build 1.2.3.4.5 is fine"),
       ("clean prose with no identifiers at all",
        "clean prose with no identifiers at all"))
     val out = cases.map(_._1).toDF("t")
