@@ -783,6 +783,8 @@ object HashF {
     Bridge.column(LangIdExpr(Bridge.expression(text)))
   def repetitionStats(text: Column): Column =
     Bridge.column(RepetitionStats(Bridge.expression(text)))
+  def wsShingleHash61(text: Column, n: Int): Column =
+    Bridge.column(WsShingleHash61(Bridge.expression(text), n))
   def polyHash61(s: Column): Column =
     Bridge.column(PolyHash61(Bridge.expression(s)))
   def simhash64(tokens: Column): Column =

@@ -54,10 +54,22 @@ object TextOps {
     * numeric difference breaks the shingle (no false "identical"
     * overlap on texts differing only in numbers) and numeric leakage
     * (math benchmarks, dates, quantities) is detectable. Tokens are
-    * lowercased; hashes are the cross-engine [[graft.functions.HashF.polyHash61]]
-    * fold of the space-joined n-gram.
+    * ASCII-lowercased; hashes are the cross-engine polyHash61 fold of
+    * the space-joined n-gram — a native one-byte-pass kernel
+    * ([[graft.functions.WsShingleHashKernel]]; [[wsShingleHashesHof]]
+    * is the Column twin kept for the equivalence spec, measured
+    * ~20–35× slower as the operative path).
     */
   def wsShingleHashes(text: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    graft.functions.HashF.wsShingleHash61(text, n)
+  }
+
+  /** Column-HOF formulation of [[wsShingleHashes]] (spec-only twin;
+    * equivalence is exact on ASCII text — its `lower()` also folds
+    * non-ASCII case where the kernel is ASCII-wise).
+    */
+  def wsShingleHashesHof(text: Column, n: Int): Column = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     when(size(toks) >= n,

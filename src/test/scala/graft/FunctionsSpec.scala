@@ -192,6 +192,28 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("ws-shingle kernel equals the HOF formulation (hashes AND order)") {
+    import graft.text.TextOps
+    val docs = Seq(
+      "the train travels 120 km in 2 hours before reaching the station",
+      "a b c d e f g h i j",                   // 1-char tokens all count
+      "Mixed CASE Tokens 42 !punct! x2,y3 ok 1 2 3", // case fold + punctuation
+      "one\ttwo\nthree  four\r\nfive six seven eight nine", // every \\s kind
+      "repeat repeat repeat repeat repeat repeat repeat repeat repeat", // dedup
+      "too short",                              // < n tokens -> empty
+      "")
+    val df = docs.zipWithIndex.map { case (d, i) => (i, d) }.toDF("id", "text")
+    for (n <- Seq(2, 3, 8)) {
+      val out = df.select(
+          TextOps.wsShingleHashes(col("text"), n).as("a"),
+          TextOps.wsShingleHashesHof(col("text"), n).as("b"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      out.zip(docs).foreach { case ((a, b), d) =>
+        assert(a == b, s"n=$n doc=[${d.take(30)}]: $a != $b")
+      }
+    }
+  }
+
   test("hash-input minhash skips null elements like the string kernel") {
     // ShingleHash61 output never contains null, but the public column
     // function accepts any array<long>; a null element must be skipped,

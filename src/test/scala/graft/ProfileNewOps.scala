@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.{Decontaminate, TextOps}
+
+/** Dev harness: scale evidence for the spec-only pipeline ops
+  * (repetitionSignals, redactPii, decontaminate) over the documents
+  * table at base sf0.1 vs a stress dir — the same interleaved
+  * min-of-2 discipline as ScaleStress, with the calib yardstick read
+  * from the same session.
+  *
+  * Usage: SPARK_GRAFT_SCALED_DIR=/tmp/graft_sf3 \
+  *   sbt "Test/runMain graft.ProfileNewOps"
+  *
+  * MEASURED (round 10, ×30 /tmp/graft_sf3 = 150k docs, min-of-2
+  * interleaved, same JVM):
+  *   repetition  base 0.18 s  ×30  0.22 s  ratio  1.2
+  *   decontam    base 0.60 s  ×30  0.76 s  ratio  1.3
+  *   redact      base 0.65 s  ×30 18.3 s   ratio 28.2
+  * repetition and decontam are scheduler-overhead-bound at both scales
+  * (the 45 MB ×30 text volume is far below the 32-core kernel
+  * throughput); redact is exactly linear — the cost is its four
+  * sequential java.util.regex passes (CPU width, shuffle-free,
+  * cluster-absorbable). This run is also what caught the original
+  * HOF-based wsShingleHashes: decontam read base 10.2 s / ×30 14.5 s
+  * (the interpreted lambda chain, ~20–35× the kernel cost measured by
+  * the ProbeWs isolation: 3.5–7 s vs 0.2 s for the same shingle work)
+  * — replaced by WsShingleHashKernel, after which decontam base fell
+  * 10.2 → 0.60 s.
+  */
+object ProfileNewOps {
+  def time(label: String)(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"PROFILE $label%-26s $s%8.2f s")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR", "/tmp/graft_sf3")
+    val spark = Tables.tune(org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("profile")
+      .config("spark.sql.shuffle.partitions", 32).getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    def repetition(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      d.select(TextOps.repetitionSignals(col("text")).as("r"))
+        .agg(sum(col("r.dup_line_frac")), sum(col("r.top_bigram_frac")))
+        .collect(): Unit
+    }
+    def redact(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      d.select(TextOps.redactPii(col("text")).as("t"))
+        .agg(sum(length(col("t")))).collect(): Unit
+    }
+    def decontam(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      // synthetic eval set: 200 base-corpus docs play the benchmark
+      val bench = spark.read.parquet(s"$base/documents.parquet")
+        .orderBy("doc_id").limit(200).select(col("text").as("q"))
+      Decontaminate.decontaminate(d, "doc_id", "text", bench, "q")
+        .agg(count(lit(1))).collect(): Unit
+    }
+
+    val ops = Seq[(String, String => Unit)](
+      "repetition" -> repetition, "redact" -> redact, "decontam" -> decontam)
+    // warm both scales (AQE re-plans per size; bench-notes lesson)
+    ops.foreach { case (_, f) => f(base); f(scaled) }
+    val mins = scala.collection.mutable.Map[String, (Double, Double)]()
+    for (rep <- 1 to 2; (name, f) <- ops) {
+      val b = time(s"$name base rep$rep")(f(base))
+      val s = time(s"$name x rep$rep")(f(scaled))
+      val cur = mins.getOrElse(name, (Double.MaxValue, Double.MaxValue))
+      mins(name) = (math.min(cur._1, b), math.min(cur._2, s))
+    }
+    mins.toSeq.sortBy(_._1).foreach { case (n, (b, s)) =>
+      println(f"RESULT $n%-12s base=$b%6.2f scaled=$s%6.2f ratio=${s / b}%6.2f")
+    }
+    spark.stop()
+  }
+}
