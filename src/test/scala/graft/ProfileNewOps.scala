@@ -28,6 +28,11 @@ import graft.text.{Decontaminate, TextOps}
   * the ProbeWs isolation: 3.5–7 s vs 0.2 s for the same shingle work)
   * — replaced by WsShingleHashKernel, after which decontam base fell
   * 10.2 → 0.60 s.
+  *
+  * Third decade (×81 /tmp/graft_sf8 = 405k docs, same session):
+  *   repetition ratio 1.97, decontam 1.90 — still overhead-bound;
+  *   redact 55.1 s, ratio 87.1 vs linear 81 (within host variance of
+  *   exactly linear — per-row regex has no collision floor to find).
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {
