@@ -91,8 +91,12 @@ object Backtesting {
 
   /** Overlapping-holdings smoothing (backtest.py:140-149, W11): each
     * permno's weight averaged over its last `k` rebalances (missing
-    * months count as 0 — the rolling-queue semantics). `allDates` is the
-    * ordered rebalance calendar to average over.
+    * months count as 0 — the rolling-queue semantics). The rebalance
+    * calendar is derived from the holdings frame's distinct rebaldates;
+    * a calendar date with NO holdings at all does not appear in it, so
+    * the k-window spans the last k dates WITH holdings (a caller whose
+    * screen can empty an entire rebalance should union that date in
+    * with zero weights first).
     */
   def smooth(holdings: DataFrame, k: Int): DataFrame = {
     val dates = holdings.select("rebaldate").distinct()

@@ -24,8 +24,9 @@ object EventStudy {
     ars
       .withColumn("ar", col("ret") - col("mkt"))
       .withColumn("car", sum(col("ar")).over(w))
-      .withColumn("bhar",
-        exp(sum(log1p(col("ret"))).over(w)) - exp(sum(log1p(col("mkt"))).over(w)))
+      .withColumn("bhar", // shared growth kernel, not an inline re-derivation
+        graft.ops.CompoundReturn.cumGrowth(col("ret"), w)
+          - graft.ops.CompoundReturn.cumGrowth(col("mkt"), w))
   }
 
   /** Mean path and naive t-stats per relative day (eventstudy.py:231,

@@ -185,6 +185,7 @@ object Fit {
     require(joined.nonEmpty, "no overlapping rebalances")
     def d(r: Row, i: Int): Double = r.getAs[Any](i) match {
       case x: Double => x; case x: Number => x.doubleValue()
+      case null => Double.NaN // missing cell = NaN (pandas semantics), not MatchError
     }
     val dates = joined.map(r => r.getAs[Any](0).asInstanceOf[Number].intValue())
     val y = joined.map(d(_, 1))

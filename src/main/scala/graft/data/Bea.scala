@@ -21,8 +21,13 @@ object Bea {
   def regroupIoUse(df: DataFrame, mapping: Map[String, Seq[String]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val m = mapping.toSeq.flatMap { case (g, members) => members.map(_ -> g) }
-      .toDF("__old", "__new")
+    val pairs = mapping.toSeq.flatMap { case (g, members) => members.map(_ -> g) }.distinct
+    // a member code in two groups would FAN OUT its fact rows through the
+    // membership join and double-count datavalue — fail fast instead
+    val ambiguous = pairs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(ambiguous.isEmpty,
+      s"ambiguous regroup mapping — member codes in multiple groups: ${ambiguous.mkString(", ")}")
+    val m = pairs.toDF("__old", "__new")
     df
       .join(broadcast(m).withColumnRenamed("__old", "rowcode"), Seq("rowcode"), "left")
       .withColumn("rowcode", coalesce(col("__new"), col("rowcode"))).drop("__new")

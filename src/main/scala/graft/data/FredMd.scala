@@ -42,7 +42,10 @@ object FredMd {
       .map { r =>
         val label = r.getString(0).toLowerCase.replaceAll("[^a-z]", "")
         label -> series.zipWithIndex
-          .map { case (s, i) => s -> math.round(r.getString(i + 1).toDouble).toInt }
+          .flatMap { case (s, i) => // blank metadata cells (FRED-QD) skip, not NPE
+            Option(r.getString(i + 1)).map(_.trim).filter(_.nonEmpty)
+              .map(v => s -> math.round(v.toDouble).toInt)
+          }
           .toMap
       }.toMap
 

@@ -59,11 +59,18 @@ object WindowOps {
   /** Reverse cumulative product over FOLLOWING rows, excluding the current
     * one — the split-factor back-adjustment shape
     * (`real_time.py:71-80`, W10): `shift(-1) reversed cumprod reversed`.
-    * Log-sum form assumes positive factors (split factors are).
+    * Log-sum form assumes positive factors (split factors are); a
+    * non-positive factor in the window (retx ≤ −1, e.g. a special
+    * dividend exceeding the prior close) would make `log` null and
+    * `sum` silently SKIP it — every earlier price would be wrong with
+    * no signal — so the result is NULL instead when any following
+    * factor is ≤ 0 (the same hazard CompoundReturn documents).
     */
-  def reverseCumProdAfter(factor: Column, w: WindowSpec): Column =
-    exp(coalesce(
-      sum(log(factor)).over(w.rowsBetween(1, Window.unboundedFollowing)), lit(0.0)))
+  def reverseCumProdAfter(factor: Column, w: WindowSpec): Column = {
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    when(min(factor).over(after) <= 0, lit(null).cast("double"))
+      .otherwise(exp(coalesce(sum(log(factor)).over(after), lit(0.0))))
+  }
 
   /** Release sequence number per observation date (`alfred.py:388-393`,
     * W12): 0-based rank of realtime_start within each date.

@@ -62,7 +62,10 @@ object AnnStream {
                        ttlMs: Long = Long.MaxValue): (Dataset[AnnCandidate], () => Unit) = {
     import vecs.sparkSession.implicits._
     val tsExpr: Column = tsCol match {
-      case Some(c) => col(c).cast("timestamp").cast("long") * 1000L
+      // unix_millis, NOT cast-to-long×1000: the long cast floors to whole
+      // seconds, so a sub-second ttlMs would never evict within a second
+      // and event-time ordering would degrade to id order inside one
+      case Some(c) => unix_millis(col(c).cast("timestamp"))
       case None => lit(0L)
     }
     val p0 = vecs.select(col(idCol).cast("long").as("id"),
@@ -105,15 +108,21 @@ object AnnStream {
               if (ttlMs != Long.MaxValue)
                 st = st.copy(docs = st.docs.filter(_.ts >= r.ts - ttlMs))
               val rNorm = math.sqrt(dot(r.vec, r.vec))
-              st.docs.foreach { e =>
-                if (e.id != r.id) {
-                  val (a, b) = if (e.id < r.id) (e.id, r.id) else (r.id, e.id)
-                  out += AnnCandidate(a, b, dot(e.vec, r.vec) / (e.norm * rNorm))
+              // zero-norm vectors are EXCLUDED, matching the batch twin
+              // (Similarity.topK/cosineDups drop null/NaN cosines): a
+              // 0/0 = NaN candidate would otherwise leak downstream and
+              // the degenerate entry would NaN every later pairing too
+              if (rNorm > 0) {
+                st.docs.foreach { e =>
+                  if (e.id != r.id) {
+                    val (a, b) = if (e.id < r.id) (e.id, r.id) else (r.id, e.id)
+                    out += AnnCandidate(a, b, dot(e.vec, r.vec) / (e.norm * rNorm))
+                  }
                 }
+                st =
+                  if (st.docs.length >= maxBucketSize) VecBucketState(Nil, inert = true)
+                  else st.copy(docs = VecEntry(r.id, r.vec, rNorm, r.ts) :: st.docs)
               }
-              st =
-                if (st.docs.length >= maxBucketSize) VecBucketState(Nil, inert = true)
-                else st.copy(docs = VecEntry(r.id, r.vec, rNorm, r.ts) :: st.docs)
             }
           }
           state.update(st)

@@ -78,22 +78,39 @@ object EventStreams {
     * Within-batch ordering is exact; an update arriving in a LATER batch
     * than an observation it precedes cannot retro-correct it (append
     * mode) — the same trade-off as any watermarked stream join.
+    *
+    * `allowExact` mirrors `AsOf.joinBackward`: true (default) lets an
+    * observation read an update AT its own timestamp; false takes only
+    * STRICTLY-earlier updates — the Lee-Ready alignment semantics
+    * (`Taq.alignTrades` shifts trades by us−1 for exactly this), where
+    * a same-instant quote is often CAUSED by the trade and reading it
+    * is lookahead.
     */
-  def prevailingJoin(events: Dataset[TaggedEvent]): Dataset[PrevailingOut] = {
+  def prevailingJoin(events: Dataset[TaggedEvent],
+                     allowExact: Boolean = true): Dataset[PrevailingOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)
       .flatMapGroupsWithState[PrevailingState, PrevailingOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[TaggedEvent], state: GroupState[PrevailingState]) =>
           var st = state.getOption.orNull
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, if (e.side == "q") 0 else 1))
+          // equal-ts order follows the mode: allowExact processes the
+          // update first (the observation then reads it); strict mode
+          // processes the observation first, so a same-ts update cannot
+          // overwrite the strictly-earlier state it should read. (A
+          // same-ts update from an EARLIER batch already sits in the
+          // single-value state — strict mode then yields None, the same
+          // cross-batch approximation as the late-arrival trade-off.)
+          val qOrd = if (allowExact) 0 else 1
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, if (e.side == "q") qOrd else 1 - qOrd))
             .flatMap { e =>
               if (e.side == "q") {
                 if (st == null || e.ts.getTime >= st.ts)
                   st = PrevailingState(e.ts.getTime, e.value)
                 None
               } else {
-                val pv = if (st != null && st.ts <= e.ts.getTime) Some(st.value) else None
+                val cut = if (allowExact) e.ts.getTime else e.ts.getTime - 1
+                val pv = if (st != null && st.ts <= cut) Some(st.value) else None
                 Some(PrevailingOut(key, e.ts, e.value, pv))
               }
             }
@@ -110,7 +127,12 @@ object EventStreams {
     * no-op and this equals the batch bins (parity spec'd).
     *
     * `aligned` carries event-time `tsCol` plus price/volume/sign/
-    * prev_mid (the `Taq.alignTrades` output shape).
+    * prev_mid (the `Taq.alignTrades` output shape). One divergence from
+    * the batch twin: first/last tie-break on same-`tsCol` trades —
+    * batch `binTrades` breaks ties on (us, seqno), but the streaming
+    * schema carries no sequence number, so equal-timestamp first/last
+    * is arbitrary here; callers needing the exact batch order should
+    * fold the sequence into the event-time column's sub-second digits.
     */
   def binTradesStream(aligned: DataFrame, tsCol: String, width: String,
                       lateness: String): DataFrame =

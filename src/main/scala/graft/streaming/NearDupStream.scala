@@ -80,7 +80,10 @@ object NearDupStream {
     import docs.sparkSession.implicits._
     val nHashes = bands * rowsPerBand
     val tsExpr: Column = tsCol match {
-      case Some(c) => col(c).cast("timestamp").cast("long") * 1000L
+      // unix_millis, NOT cast-to-long×1000: the long cast floors to whole
+      // seconds — sub-second ttlMs could never evict within a second and
+      // event-time ordering would degrade to id order inside one
+      case Some(c) => unix_millis(col(c).cast("timestamp"))
       case None => lit(0L)
     }
     // fused shingle→hash head + hash-input signature kernel (r10): same

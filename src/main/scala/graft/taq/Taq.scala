@@ -79,8 +79,11 @@ object Taq {
     aligned.groupBy(col("symbol"), bin.as("bin_us"))
       .agg(sum(col("volume")).as("volume"),
         count(lit(1)).as("n_trades"),
-        min_by(col("price"), col("us")).as("first_price"),
-        max_by(col("price"), col("us")).as("last_price"),
+        // (us, seqno) tie-break: same-microsecond trades are routine and
+        // min_by on us alone picks an arbitrary one of the tied rows —
+        // the same order alignTrades' tick-test window already uses
+        min_by(col("price"), struct(col("us"), col("seqno"))).as("first_price"),
+        max_by(col("price"), struct(col("us"), col("seqno"))).as("last_price"),
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"),
         (sum(col("price") * col("volume")) / sum(col("volume"))).as("vwap"),

@@ -198,6 +198,18 @@ class WindowOpsSpec extends SparkSpec {
     assert(math.abs(out(3) - 1.0) < 1e-9)
   }
 
+  test("reverse cumprod: a non-positive later factor nulls the prefix, not silently skips") {
+    // factor -0.5 at seq 3 (retx <= -1): log() is null and sum() would
+    // drop it from the product — rows before it must read NULL instead
+    val df = Seq((1, 2.0), (2, 3.0), (3, -0.5), (4, 4.0)).toDF("seq", "f")
+    val w = Window.orderBy("seq")
+    val out = df.withColumn("adj", WindowOps.reverseCumProdAfter(col("f"), w))
+      .select("seq", "adj").as[(Int, Option[Double])].collect().toMap
+    assert(out(1).isEmpty && out(2).isEmpty, s"prefix must be null: $out")
+    assert(out(3).exists(v => math.abs(v - 4.0) < 1e-9)) // window after 3 is clean
+    assert(out(4).exists(v => math.abs(v - 1.0) < 1e-9))
+  }
+
   test("islands increment on value change") {
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a")).toDF("seq", "v")
     val w = Window.orderBy("seq")

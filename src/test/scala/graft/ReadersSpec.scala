@@ -111,6 +111,17 @@ class BeaSpec extends SparkSpec {
     assert(!out.keys.exists { case (c, r) => c.startsWith("A1") || r.startsWith("A2") })
   }
 
+  test("IOUse regroup rejects a member code mapped to two groups") {
+    val df = Seq(("111", "B", 1.0)).toDF("colcode", "rowcode", "datavalue")
+    val e = intercept[IllegalArgumentException](
+      Bea.regroupIoUse(df, Map("G1" -> Seq("111"), "G2" -> Seq("111"))))
+    assert(e.getMessage.contains("ambiguous"))
+    // a repeated code WITHIN one group must not fan out the join
+    val ok = Bea.regroupIoUse(df, Map("G1" -> Seq("111", "111")))
+      .as[(String, String, Double)].collect()
+    assert(ok.toSeq == Seq(("G1", "B", 1.0)))
+  }
+
   test("screen drops excluded code prefixes") {
     val df = Seq(("T1", "B", 1.0), ("B", "U2", 2.0), ("F", "G", 3.0))
       .toDF("colcode", "rowcode", "datavalue")

@@ -156,6 +156,20 @@ class StreamingSpec extends SparkSpec {
     assert(out(("B", 0L)).isEmpty)
     assert(out(("A", 5000L)).contains(12.0))
 
+    // strict mode (allowExact=false, the Lee-Ready us-1 semantics): the
+    // same-ts quote@5 is lookahead — the trade must read quote@2 instead
+    val mem2 = MemoryStream[TaggedEvent]
+    val q2 = EventStreams.prevailingJoin(mem2.toDS(), allowExact = false)
+      .writeStream.format("memory").queryName("pj_strict_test")
+      .outputMode("append").start()
+    mem2.addData(ev(0, "A", "q", 10.0), ev(2, "A", "q", 11.0),
+      ev(5, "A", "q", 12.0), ev(5, "A", "t", 97.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val strict = spark.table("pj_strict_test").as[PrevailingOut].collect()
+      .map(r => (r.key, r.ts.getTime - t0) -> r.prevailing).toMap
+    assert(strict(("A", 5000L)).contains(11.0), s"strict: $strict")
+
     // the batch union-merge as-of agrees on the same rows
     val trades = Seq(("A", 1L, 99.0), ("A", 3L, 98.0), ("B", 0L, 50.0), ("A", 5L, 97.0))
       .toDF("key", "t", "value")
@@ -378,6 +392,29 @@ class StreamingSpec extends SparkSpec {
     // planted near-identical vectors score ~1
     val ests = spark.table("ann_stream_test").as[AnnCandidate].collect()
     assert(ests.exists(_.cos > 0.99))
+  }
+
+  test("ANN stream excludes zero-norm vectors instead of emitting NaN candidates") {
+    import graft.streaming.{AnnStream, AnnCandidate}
+    implicit val sqlCtx = spark.sqlContext
+    // two near-identical vectors plus an all-zero one: the zero vector
+    // must neither emit a NaN pair nor poison later pairings as a
+    // stored bucket entry (0/0 and x/0 cosines are undefined — the
+    // batch twin drops null/NaN cosines the same way)
+    val v = Array.fill(8)(0.5f)
+    val rows = Seq((1L, v), (2L, Array.fill(8)(0.0f)), (3L, v.map(x => x + 0.001f)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnStream.cosineCandidates(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        planes = 4, tables = 4, maxBucketSize = 100)
+      .writeStream.format("memory").queryName("ann_zero_test")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    q.stop()
+    val cands = spark.table("ann_zero_test").as[AnnCandidate].collect()
+    assert(cands.forall(c => !c.cos.isNaN && c.id_a != 2L && c.id_b != 2L),
+      s"zero-norm leak: ${cands.toSeq}")
+    assert(cands.exists(c => c.id_a == 1L && c.id_b == 3L && c.cos > 0.99))
   }
 
   test("LSH near-dup TTL evicts stale bucket entries by event time") {

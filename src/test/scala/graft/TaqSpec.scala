@@ -74,6 +74,19 @@ class TaqSpec extends SparkSpec {
     assert(out(0L)._4 == 10.0 && out(0L)._5 == 11.0)
     assert(out(100L)._4 == 12.0)
   }
+
+  test("trade bins: same-microsecond trades tie-break on seqno") {
+    // two trades share us=10 — first/last must follow seqno, not an
+    // arbitrary pick among the tied rows
+    val aligned = Seq(
+      ("A", 10L, 2L, 11.0, 100L, 0, 10.25, 1.0),
+      ("A", 10L, 1L, 10.0, 100L, 0, 10.25, 1.0),
+      ("A", 20L, 3L, 12.0, 100L, 0, 10.25, 1.0)
+    ).toDF("symbol", "us", "seqno", "price", "volume", "corr", "prev_mid", "sign")
+    val out = Taq.binTrades(aligned.repartition(4), 100L)
+      .select("first_price", "last_price").as[(Double, Double)].collect().head
+    assert(out == ((10.0, 12.0)), s"got $out")
+  }
 }
 
 class DocStoreSpec extends SparkSpec {
