@@ -94,7 +94,11 @@ object EventStudy {
         val logp = path.map(v => math.log(1 + math.max(v, -0.99)))
         (window until L).map(i => logp(i) - logp(i - 1)).toArray
       }
-      val corrs = graft.ml.Filters.align(post).map(_._4).filterNot(_.isNaN)
+      // exact = true: ρ feeds the oracle-compared a10_kpp row (rounded
+      // to 6 decimals); the FFT path's 1e-15 round-off must not flip a
+      // value on a rounding boundary once post windows reach 512 points
+      val corrs = graft.ml.Filters.align(post, exact = true)
+        .map(_._4).filterNot(_.isNaN)
       if (corrs.isEmpty) 0.0 else corrs.sum / corrs.size
     }
 

@@ -799,6 +799,8 @@ object HashF {
     Bridge.column(MinHashPolySignature(Bridge.expression(shingles), numHashes))
   def minhashPolySigHashes(hashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashPolySigHashes(Bridge.expression(hashes), numHashes))
+  def fingerprint(text: Column): Column =
+    Bridge.column(FingerprintHash(Bridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
   def shingleHash61(text: Column, n: Int): Column =

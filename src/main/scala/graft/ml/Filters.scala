@@ -180,9 +180,17 @@ object Filters {
     * filters.py:67-97): for each (i, j), the lag maximizing the
     * cross-correlation and that maximum. Returns tuples
     * (colA, colB, bestLag, maxCorr).
+    *
+    * `exact = true` pins every pair to [[crossCorrelationDirect]]
+    * regardless of length: the FFT path carries ~1e-15 round-off, and a
+    * caller whose output is replayed against an independent direct-sum
+    * oracle (a10_kpp's ρ, rounded to 6 decimals) must not let a value
+    * sitting on a rounding boundary — or an argmax tie — flip with the
+    * evaluation strategy once series reach [[fftThreshold]] points.
     */
-  def align(cols: Array[Array[Double]]): Seq[(Int, Int, Int, Double)] =
-    if (cols.length >= 2 && cols(0).length >= fftThreshold) {
+  def align(cols: Array[Array[Double]],
+            exact: Boolean = false): Seq[(Int, Int, Int, Double)] =
+    if (!exact && cols.length >= 2 && cols(0).length >= fftThreshold) {
       // fft_align's reuse shape (filters.py:67-97): transform every
       // column ONCE, then each of the M(M−1)/2 pairs is a pointwise
       // product + one inverse — 3 transforms per pair would redo
@@ -205,7 +213,9 @@ object Filters {
         i <- cols.indices
         j <- (i + 1) until cols.length
       } yield {
-        val (lags, vals) = crossCorrelation(cols(i), cols(j))
+        val (lags, vals) =
+          if (exact) crossCorrelationDirect(cols(i), cols(j))
+          else crossCorrelation(cols(i), cols(j))
         val k = vals.indices.maxBy(vals)
         (i, j, lags(k), vals(k))
       }

@@ -30,23 +30,47 @@ class Store(folder: String, gz: Boolean = false) {
   private val root = new File(folder)
   require(root.isDirectory || root.mkdirs(), s"cannot create store folder $folder")
 
-  private val objExt = if (gz) ".json.gz" else ".json"
+  // store.py pathname() parity (store.py:82-84): '<name>.json' in json
+  // mode, '<name>.gz' in gz mode — a gz store written by either side is
+  // visible to the other's load/contains/names.
+  private val objExt = if (gz) ".gz" else ".json"
+  private val otherExt = if (gz) ".json" else ".gz"
 
-  /** Full path of a named small-value object. */
-  def pathname(name: String): String = new File(root, name + objExt).getPath
+  /** Resolve a store-relative file name, rejecting names whose resolved
+    * path escapes the store folder ('..' segments, absolute paths):
+    * [[remove]] deletes recursively, so an unsanitized name would turn a
+    * caller-supplied string into an arbitrary-directory delete.
+    */
+  private def resolved(fileName: String): File = {
+    val f = new File(root, fileName)
+    require(f.getCanonicalPath.startsWith(root.getCanonicalPath + File.separator),
+      s"store name escapes the store folder: $fileName")
+    f
+  }
+
+  /** Full path of a named small-value object (this store's format). */
+  def pathname(name: String): String = resolved(name + objExt).getPath
 
   /** Full path of a named DataFrame materialization. */
-  def framePath(name: String): String = new File(root, name + ".parquet").getPath
+  def framePath(name: String): String = resolved(name + ".parquet").getPath
 
-  /** store.py `__contains__`: does `name` exist (either kind)? */
+  /** store.py `__contains__`: does `name` exist in ANY kind — this
+    * store's object format, the sibling json/gz format, or a frame?
+    */
   def contains(name: String): Boolean =
-    new File(pathname(name)).exists() || new File(framePath(name)).exists()
+    resolved(name + objExt).exists() || resolved(name + otherExt).exists() ||
+      resolved(name + ".parquet").exists()
 
-  /** store.py `__iter__`: names present in the store, sorted. */
+  /** store.py `__iter__`: names present in the store, sorted. Unlike
+    * store.py (which globs only its own extension), BOTH object formats
+    * are listed — a folder holding a python `gzip`+`json.dump` entry
+    * next to plain-JSON ones reads as one store.
+    */
   def names: Seq[String] = {
     val fs = Option(root.listFiles()).getOrElse(Array.empty)
     fs.iterator.map(_.getName).collect {
-      case n if n.endsWith(objExt) => n.dropRight(objExt.length)
+      case n if n.endsWith(".json") => n.dropRight(5)
+      case n if n.endsWith(".gz") => n.dropRight(3)
       case n if n.endsWith(".parquet") => n.dropRight(".parquet".length)
     }.toSeq.distinct.sorted
   }
@@ -71,26 +95,36 @@ class Store(folder: String, gz: Boolean = false) {
     } finally raw.close() // second close of the same fd is a no-op
   }
 
-  /** store.py `load(name)` for small named values. */
+  /** store.py `load(name)` for small named values. Resolves this
+    * store's own format first, then the sibling json/gz format (decoded
+    * by ITS codec), so one Store reads a mixed-format folder.
+    */
   def load(name: String): Any = {
-    // same shape as dump: GZIPInputStream's constructor READS the header
-    // and throws on a truncated/non-gzip file before any try could run
-    val raw = new FileInputStream(pathname(name))
+    val own = resolved(name + objExt)
+    val (file, gzipped) =
+      if (own.exists()) (own, gz) else (resolved(name + otherExt), !gz)
+    // GZIPInputStream's constructor READS the header and throws on a
+    // truncated/non-gzip file before any try could run, so raw closes in
+    // its own finally
+    val raw = new FileInputStream(file)
     try {
-      val in = if (gz) new GZIPInputStream(raw) else raw
+      val in = if (gzipped) new GZIPInputStream(raw) else raw
       try StoreJson.parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
       finally in.close()
     } finally raw.close()
   }
 
-  /** Remove a named entry (both kinds; parquet dirs recursively). */
+  /** Remove a named entry (all kinds; parquet dirs recursively). The
+    * name is containment-checked by [[resolved]] before any delete.
+    */
   def remove(name: String): Unit = {
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
-    rm(new File(pathname(name)))
-    rm(new File(framePath(name)))
+    rm(resolved(name + objExt))
+    rm(resolved(name + otherExt))
+    rm(resolved(name + ".parquet"))
   }
 }
 

@@ -149,13 +149,21 @@ object TextOps {
   }
 
   /** Polynomial rolling-hash document fingerprint over the printable-ASCII
-    * projection of the text, mod 1e9+7 so the arithmetic never exceeds 63
-    * bits (portable: no engine-specific overflow wrapping).
-    * acc = (acc·31 + codepoint) mod p; empty text → 0.
-    * Chars are enumerated via substr (Spark's `split(s, "")` keeps a
+    * projection of the lowercased text, mod 1e9+7 so the arithmetic never
+    * exceeds 63 bits (portable: no engine-specific overflow wrapping).
+    * acc = (acc·31 + codepoint) mod p; empty text → 0. Native one-byte-pass
+    * kernel ([[graft.functions.FingerprintKernel]] — no lowercase copy, no
+    * regex, no per-char string boxing); [[fingerprintHof]] is the Column
+    * twin kept for the equivalence spec.
+    */
+  def fingerprint(text: Column): Column =
+    graft.functions.HashF.fingerprint(text)
+
+  /** Column-HOF formulation of [[fingerprint]] (spec-only twin).
+    * Chars are enumerated via `split` (Spark's `split(s, "")` keeps a
     * trailing empty token that other engines drop).
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprintHof(text: Column): Column = {
     val t = regexp_replace(lower(text), "[^\\x20-\\x7e]", "")
     // split("", -1) semantics keep a trailing empty token — drop it rather
     // than enumerate positions with substr (substr-per-index is O(n²)).

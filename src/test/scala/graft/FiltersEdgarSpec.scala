@@ -65,6 +65,10 @@ class FiltersSpec extends SparkSpec {
     // and the planted displacements are recovered
     assert(fftAligned.find(t => t._1 == 0 && t._2 == 1).get._3.abs == 4)
     assert(fftAligned.find(t => t._1 == 0 && t._2 == 2).get._3.abs == 9)
+    // exact = true pins the direct sums above the threshold: the values
+    // are BIT-equal to the per-pair direct evaluation (the a10_kpp ρ
+    // contract — no FFT round-off reaches an oracle-compared rounding)
+    assert(Filters.align(cols, exact = true) == direct)
   }
 
   test("the dispatcher takes the FFT path above the threshold with identical output") {

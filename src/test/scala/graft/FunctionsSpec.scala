@@ -237,6 +237,42 @@ class FunctionsSpec extends SparkSpec {
     assert(s._1 == Seq.fill(8)(None) && s._1 == s._2)
   }
 
+  test("fingerprint kernel matches the HOF formulation exactly") {
+    import graft.text.TextOps
+    val docs = Seq(
+      "The quick brown fox JUMPS over 13 lazy dogs!",
+      "punct .,;:!? and spaces   and\ttabs\nand newlines",
+      "",
+      " ",                                     // printable but blank
+      "",                    // control chars only -> 0
+      "café résumé unicode dropped", // non-ASCII skipped
+      "中文 only ascii stays 42",
+      // the two non-ASCII chars whose lowercase image contains ASCII:
+      // U+212A KELVIN -> 'k', U+0130 Istanbul I -> 'i' + combining dot
+      "temp 300K in İstanbul",
+      "ALL UPPER CASE FOLDS TO LOWER",
+      (0x20 to 0x7e).map(_.toChar).mkString)   // every printable ASCII char
+    val df = docs.zipWithIndex.map { case (d, i) => (i, d) }.toDF("id", "text")
+    val out = df.select(TextOps.fingerprint(col("text")).as("a"),
+      TextOps.fingerprintHof(col("text")).as("b")).as[(Long, Long)].collect()
+    out.zip(docs).foreach { case ((a, b), d) =>
+      assert(a == b, s"doc=[${d.take(30)}]: $a != $b")
+    }
+    // property pass: random ASCII + occasional multibyte soup
+    val rng = new scala.util.Random(31)
+    val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      " .,;!?\t\n".toSeq ++ Seq('é', '中', 'K', 'İ')
+    val rand = (0 until 300).map { i =>
+      (i, (0 until rng.nextInt(80)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val rout = rand.toDF("id", "text")
+      .select(TextOps.fingerprint(col("text")).as("a"),
+        TextOps.fingerprintHof(col("text")).as("b")).as[(Long, Long)].collect()
+    rout.zip(rand).foreach { case ((a, b), (_, d)) =>
+      assert(a == b, s"rand doc=[${d.take(40)}]: $a != $b")
+    }
+  }
+
   test("langId kernel matches the HOF formulation exactly") {
     import graft.text.TextOps
     val docs = (sampleDocs ++ Seq(

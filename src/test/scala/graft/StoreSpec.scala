@@ -65,6 +65,48 @@ class StoreSpec extends SparkSpec {
     assert(!store.contains("signals"))
   }
 
+  test("gz mode uses store.py's '<name>.gz' pathname and mixed-format folders read as one store") {
+    val dir = Files.createTempDirectory("store").toString
+    val plain = new Store(dir)
+    val gzStore = new Store(dir, gz = true)
+    // extension parity with store.py pathname() (store.py:82-84)
+    assert(gzStore.pathname("x").endsWith("/x.gz"))
+    assert(plain.pathname("x").endsWith("/x.json"))
+    plain.dump(Map("k" -> 1L), "a")
+    gzStore.dump(Map("k" -> 2L), "b")
+    // either store sees BOTH entries and loads each with the right codec
+    for (s <- Seq(plain, gzStore)) {
+      assert(s.names == Seq("a", "b"))
+      assert(s.contains("a") && s.contains("b"))
+      assert(s.load("a") == Map("k" -> 1L) && s.load("b") == Map("k" -> 2L))
+    }
+    // python-side parity: gzip.open('wt') + json.dump writes '<name>.gz'
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "frompy.gz")))
+    out.write("""{"mean": 0.5, "ids": [7]}""".getBytes("UTF-8")); out.close()
+    assert(plain.load("frompy") == Map("mean" -> 0.5, "ids" -> Seq(7L)))
+    plain.remove("b")
+    assert(plain.names == Seq("a", "frompy"))
+  }
+
+  test("names that escape the store folder are rejected before any file op") {
+    val dir = Files.createTempDirectory("store")
+    val victim = Files.createTempDirectory("victim")
+    Files.write(victim.resolve("keep.json"), "{}".getBytes)
+    val store = new Store(dir.toString)
+    val rel = "../" + victim.getFileName.toString + "/keep"
+    // (an absolute child like "/etc/passwd" is relativized under the
+    // store root by java.io.File(parent, child), and a bare ".." gains
+    // the extension suffix — both land inside the root, harmless; the
+    // dangerous class is a name whose '..' segment resolves OUTSIDE)
+    for (bad <- Seq(rel, "../x", "a/../../x")) {
+      intercept[IllegalArgumentException](store.remove(bad))
+      intercept[IllegalArgumentException](store.dump(Map("x" -> 1L), bad))
+      intercept[IllegalArgumentException](store.load(bad))
+    }
+    assert(Files.exists(victim.resolve("keep.json")))
+  }
+
   test("unsupported value types are rejected with a clear error") {
     val store = new Store(Files.createTempDirectory("store").toString)
     val e = intercept[IllegalArgumentException](store.dump(new Object, "bad"))
