@@ -801,6 +801,8 @@ object HashF {
     Bridge.column(MinHashPolySigHashes(Bridge.expression(hashes), numHashes))
   def fingerprint(text: Column): Column =
     Bridge.column(FingerprintHash(Bridge.expression(text)))
+  def redactPii(text: Column): Column =
+    Bridge.column(PiiRedact(Bridge.expression(text)))
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
   def shingleHash61(text: Column, n: Int): Column =

@@ -92,19 +92,29 @@ object TextOps {
 
   /** PII redaction for training corpora (the C4/Dolma-style scrub):
     * masks e-mail addresses, international/US phone numbers, IPv4
-    * addresses, and US SSNs with fixed placeholder tokens. Pure chained
-    * `regexp_replace` — codegen'd, per-row, shuffle-free; order matters
-    * (e-mail before phone so a numeric local-part is not half-eaten,
-    * SSN before phone so the more specific \d3-\d2-\d4 shape wins).
-    * Patterns are deliberately conservative (anchored on non-alnum
-    * boundaries) — a redactor that over-fires destroys clean text, and
-    * recall tuning belongs to a deployment's own pattern set. One
-    * accepted ambiguity: a 4-component dotted version string
+    * addresses, and US SSNs with fixed placeholder tokens. Native
+    * staged byte-scan kernel ([[graft.functions.PiiRedactKernel]] —
+    * the four chained regex passes it replaces were the pipeline
+    * family's dominant per-byte cost); [[redactPiiHof]] is the
+    * regexp_replace chain kept as the equivalence-spec twin. Order
+    * matters (e-mail before phone so a numeric local-part is not
+    * half-eaten, SSN before phone so the more specific \d3-\d2-\d4
+    * shape wins). Patterns are deliberately conservative (anchored on
+    * non-alnum boundaries) — a redactor that over-fires destroys clean
+    * text, and recall tuning belongs to a deployment's own pattern set.
+    * One accepted ambiguity: a 4-component dotted version string
     * ("2.5.1.3") is syntactically an IPv4 address and WILL be masked —
     * no octet-shaped pattern can separate the two; 3-component and
     * 5+-component dotted numbers survive.
     */
-  def redactPii(text: Column): Column = {
+  def redactPii(text: Column): Column =
+    graft.functions.HashF.redactPii(text)
+
+  /** Chained-`regexp_replace` formulation of [[redactPii]] (spec-only
+    * twin; each pass runs on the previous pass's output, placeholders
+    * included — the kernel reproduces exactly this staging).
+    */
+  def redactPiiHof(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ssn = regexp_replace(email,

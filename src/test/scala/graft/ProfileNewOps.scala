@@ -13,26 +13,27 @@ import graft.text.{Decontaminate, TextOps}
   * Usage: SPARK_GRAFT_SCALED_DIR=/tmp/graft_sf3 \
   *   sbt "Test/runMain graft.ProfileNewOps"
   *
-  * MEASURED (round 10, ×30 /tmp/graft_sf3 = 150k docs, min-of-2
-  * interleaved, same JVM):
-  *   repetition  base 0.18 s  ×30  0.22 s  ratio  1.2
-  *   decontam    base 0.60 s  ×30  0.76 s  ratio  1.3
-  *   redact      base 0.65 s  ×30 18.3 s   ratio 28.2
-  * repetition and decontam are scheduler-overhead-bound at both scales
-  * (the 45 MB ×30 text volume is far below the 32-core kernel
-  * throughput); redact is exactly linear — the cost is its four
-  * sequential java.util.regex passes (CPU width, shuffle-free,
-  * cluster-absorbable). This run is also what caught the original
-  * HOF-based wsShingleHashes: decontam read base 10.2 s / ×30 14.5 s
-  * (the interpreted lambda chain, ~20–35× the kernel cost measured by
-  * the ProbeWs isolation: 3.5–7 s vs 0.2 s for the same shingle work)
-  * — replaced by WsShingleHashKernel, after which decontam base fell
-  * 10.2 → 0.60 s.
+  * MEASURED (round 11, ×30 /tmp/graft_sf3 = 150k docs, min-of-2
+  * interleaved, same JVM — redact vs its regex-chain twin A/B'd in the
+  * same session):
+  *   repetition  base 0.18 s  ×30  0.21 s  ratio  1.15
+  *   redact      base 0.14 s  ×30  0.16 s  ratio  1.18   (byte kernel)
+  *   redact_hof  base 0.65 s  ×30 19.11 s  ratio 29.6    (regex chain)
+  *   decontam    base 0.60 s  ×30  0.76 s  ratio  1.27
+  * The staged byte-scan PiiRedactKernel removed the pipeline family's
+  * dominant per-byte cost: the four sequential java.util.regex passes
+  * paid per-position NFA entry over every byte (round-10 reading
+  * 18.3 s at ×30, exactly linear), the kernel only does work at
+  * trigger bytes — ×30 fell 19.11 → 0.16 s (~120×), leaving redact
+  * scheduler-overhead-bound like repetition. This harness is also what
+  * caught the original HOF-based wsShingleHashes: decontam read base
+  * 10.2 s / ×30 14.5 s — replaced by WsShingleHashKernel, after which
+  * decontam base fell 10.2 → 0.60 s.
   *
   * Third decade (×81 /tmp/graft_sf8 = 405k docs, same session):
-  *   repetition ratio 1.97, decontam 1.90 — still overhead-bound;
-  *   redact 55.1 s, ratio 87.1 vs linear 81 (within host variance of
-  *   exactly linear — per-row regex has no collision floor to find).
+  *   repetition ratio 1.73, decontam 1.95, redact KERNEL 0.19 s ratio
+  *   1.44 — all overhead-bound; redact_hof 50.88 s ratio 76.2 (the
+  *   regex chain stays linear; the kernel is ~270× ahead of it there).
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {
@@ -61,6 +62,11 @@ object ProfileNewOps {
       d.select(TextOps.redactPii(col("text")).as("t"))
         .agg(sum(length(col("t")))).collect(): Unit
     }
+    def redactHof(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      d.select(TextOps.redactPiiHof(col("text")).as("t"))
+        .agg(sum(length(col("t")))).collect(): Unit
+    }
     def decontam(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
       // synthetic eval set: 200 base-corpus docs play the benchmark
@@ -71,7 +77,8 @@ object ProfileNewOps {
     }
 
     val ops = Seq[(String, String => Unit)](
-      "repetition" -> repetition, "redact" -> redact, "decontam" -> decontam)
+      "repetition" -> repetition, "redact" -> redact,
+      "redact_hof" -> redactHof, "decontam" -> decontam)
     // warm both scales (AQE re-plans per size; bench-notes lesson)
     ops.foreach { case (_, f) => f(base); f(scaled) }
     val mins = scala.collection.mutable.Map[String, (Double, Double)]()

@@ -169,6 +169,54 @@ class TextOpsSpec extends SparkSpec {
       assert(got == want, s"got [$got] want [$want]")
     }
   }
+
+  test("redactPii kernel equals the regexp_replace chain (adversarial + fuzz)") {
+    // hand-picked cross-stage overlaps where a naive per-position
+    // scanner diverges from the staged pass semantics
+    val adversarial = Seq(
+      "123-45-6789@x.com",          // email eats the SSN-shaped local part
+      "a@b.cc123-45-6789",          // SSN boundary is the placeholder '>'
+      "a@b.cc123-456-7890",         // phone boundary after an email match
+      "1.2.3.555-123-4567",         // phone pass wins over the IP prefix
+      "1.2.123.456.7890",           // phone inside a dotted-number soup
+      "a@b.cc.d@e.ff",              // adjacent emails share no chars
+      "a@b.cc@d.com",               // consumed local run blocks email #2
+      "x+1 555 123 4567",           // alnum before '+': body starts at '1'
+      " +1 555 123 4567",           // boundary before '+': '+' is consumed
+      "x(555) 123-4567",            // '(' boundary-consumed, then no match
+      "(555)123-4567 and (555) 123 4567 and (555)-123-4567",
+      "123.456.7890",               // dot-separated phone, not an IP
+      "555 123 4567555-123-4568",   // trailing digit blocks the lookahead
+      "9.8.7.555.123.4567",         // IP candidates blocked by digit tails
+      "1234-56-7890 and 123-45-67890 and 1234.5.6.7",  // near-misses
+      "ip 10.0.0.1. end and 10.0.0.2.. and 1.2.3.4.5 and 01.02.03.04",
+      "mail a.b-c_d%e+f@sub.domain-x.org9 tail",       // digits after TLD
+      "a@b@c.com and @nolocal.com and local@nodot",
+      "123-45-6789 678-90-1234",    // back-to-back SSNs
+      "+123-456-789-0123 and 12.34.56.78")
+    val rng = new scala.util.Random(47)
+    // fuzz alphabet biased to the pattern trigger bytes
+    val alphabet = "0123456789" * 3 + ".-@+() " * 4 + "abcxyzABC_%\n\té中"
+    val fuzz = (0 until 4000).map { _ =>
+      (0 until rng.nextInt(60)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    // and structured fuzz: PII shapes glued together with thin separators
+    val shapes = Seq("123-45-6789", "555-123-4567", "(555) 123-4567",
+      "+1 555 123 4567", "jane@ex.co", "10.0.0.1", "1.2.3", "1.2.3.4.5",
+      "12345", "v2.5.1.3", "a", ".", "-", "@", "")
+    val glued = (0 until 2000).map { _ =>
+      (0 until rng.nextInt(6)).map(_ => shapes(rng.nextInt(shapes.length)))
+        .mkString(Seq("", " ", ".", "-", "x")(rng.nextInt(5)))
+    }
+    val docs = (adversarial ++ fuzz ++ glued).zipWithIndex.map(_.swap)
+    val out = docs.toDF("id", "t")
+      .select(col("t"), TextOps.redactPii(col("t")).as("a"),
+        TextOps.redactPiiHof(col("t")).as("b"))
+      .as[(String, String, String)].collect()
+    out.foreach { case (t, a, b) =>
+      assert(a == b, s"input [$t]:\n kernel [$a]\n regex  [$b]")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
