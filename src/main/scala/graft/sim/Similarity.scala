@@ -185,6 +185,20 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** [[cosineDups]] with the LSH plane count chosen from the corpus
+    * size by the documented capacity-∝-corpus rule ([[Capacity]]), so
+    * the ×10/×30/×81-proven configuration is one call. `corpusRows` is
+    * an explicit caller-supplied estimate (a deployment knows its table
+    * size; no hidden `count()` job) — at the sf0.1 reference scale it
+    * degenerates to the oracle-checked catalog configuration.
+    */
+  def cosineDupsAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, corpusRows: Long, tables: Int = 8,
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    cosineDups(vecs, idCol, vecCol, threshold,
+      planes = Capacity.lshPlanes(corpusRows, basePlanes = 8),
+      tables = tables, maxBucket = maxBucket)
+
   /** Per-row nearest-centroid ranking: every vector row gets the FULL
     * centroid table as one broadcast array column and computes its
     * `nProbe` nearest list ids (L2, ties → smallest list id) inside a
@@ -297,6 +311,16 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** [[ivfTopK]] with the inverted-list count chosen from the corpus
+    * size ([[Capacity.ivfNLists]]: lists ∝ corpus at ~125 rows/list,
+    * capped at 2²⁰). `corpusRows` is an explicit caller estimate — no
+    * hidden `count()`.
+    */
+  def ivfTopKAuto(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                  corpusRows: Long, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopK(vecs, idCol, vecCol, k,
+      nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed)
+
   /** IVF with a FIXED deterministic coarse quantizer: the centroids are
     * the `nLists` lowest-id vectors (no k-means fit — pure relational
     * plan), assignment is argmin L2 over the broadcast centroids (ties →
@@ -375,4 +399,16 @@ object Similarity {
         "neighbor_id")
     topK(pairs, k)
   }
+
+  /** [[lshTopK]] with the per-table plane count chosen from the corpus
+    * size ([[Capacity.lshPlanes]]: +1 plane per corpus doubling keeps
+    * expected bucket occupancy constant). `corpusRows` is an explicit
+    * caller estimate — no hidden `count()`.
+    */
+  def lshTopKAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, corpusRows: Long, tables: Int = 4,
+                  maxBucket: Int = Int.MaxValue): DataFrame =
+    lshTopK(vecs, idCol, vecCol, k,
+      planes = Capacity.lshPlanes(corpusRows), tables = tables,
+      maxBucket = maxBucket)
 }

@@ -284,4 +284,19 @@ object NearDup {
          hamming(element_at(col("sig_a"), 2), element_at(col("sig_b"), 2))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs at the signature width chosen from the
+    * corpus size ([[graft.sim.Capacity.simHashWide]]): the 64-bit
+    * oracle-checked op below the measured ~×30 collision crossover,
+    * the 124-bit carving above it. `corpusRows` is an explicit caller
+    * estimate — no hidden `count()`. NOTE the widths hash differently,
+    * so the pair SET (not just cost) can differ near the Hamming
+    * budget's edge; both ops are spec'd against brute force at their
+    * own width.
+    */
+  def simHashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       corpusRows: Long, maxHamming: Int = 8): DataFrame =
+    if (graft.sim.Capacity.simHashWide(corpusRows))
+      simHashPairs128(docs, idCol, textCol, maxHamming)
+    else simHashPairs(docs, idCol, textCol, maxHamming)
 }

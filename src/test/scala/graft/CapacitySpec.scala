@@ -72,3 +72,63 @@ class CapacitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Capacity.doublings(10L, 0L))
   }
 }
+
+/** The `*Auto` entry points must be pure delegation: calling them with
+  * a corpus-row estimate returns EXACTLY what the manual call returns
+  * with the chooser's numbers threaded by hand — at the reference scale
+  * and up the stress decades, so "one call" and "the ×81-proven
+  * configuration" are the same thing.
+  */
+class CapacityAutoSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.sim.{Capacity, Similarity}
+  import graft.text.NearDup
+  import spark.implicits._
+
+  private lazy val vecs = (0 until 300).map { i =>
+    val c = i % 15
+    (i.toLong, Array.tabulate(16) { d =>
+      (math.cos(c * 2.399 + d * 0.71) + 0.002 * ((i * 31 + d) % 7)).toFloat
+    })
+  }.toDF("vec_id", "embedding")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("lshTopKAuto / cosineDupsAuto equal manual at ref, x30 and x81") {
+    val ref = Capacity.RefEmbeddingRows
+    for (copies <- Seq(1L, 30L, 81L)) {
+      val n = copies * ref
+      assert(rows(Similarity.lshTopKAuto(vecs, "vec_id", "embedding", 3, n)) ==
+        rows(Similarity.lshTopK(vecs, "vec_id", "embedding", 3,
+          planes = Capacity.lshPlanes(n))), s"lsh x$copies")
+      assert(rows(Similarity.cosineDupsAuto(vecs, "vec_id", "embedding", 0.95, n)) ==
+        rows(Similarity.cosineDups(vecs, "vec_id", "embedding", 0.95,
+          planes = Capacity.lshPlanes(n, basePlanes = 8))), s"dups x$copies")
+    }
+  }
+
+  test("ivfTopKAuto equals manual (k-means fit included) at ref and x10") {
+    val ref = Capacity.RefEmbeddingRows
+    for (copies <- Seq(1L, 10L)) { // x10 -> 160 lists, still < the 300 rows
+      val n = copies * ref
+      assert(rows(Similarity.ivfTopKAuto(vecs, "vec_id", "embedding", 3, n)) ==
+        rows(Similarity.ivfTopK(vecs, "vec_id", "embedding", 3,
+          nLists = Capacity.ivfNLists(n))), s"ivf x$copies")
+    }
+  }
+
+  test("simHashPairsAuto switches width at the measured crossover") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about financial markets data"),
+      (4L, "the quick brown fox jumps over the lazy dog again and often"))
+      .toDF("doc_id", "text")
+    val refDocs = Capacity.RefDocumentRows
+    assert(rows(NearDup.simHashPairsAuto(docs, "doc_id", "text", refDocs)) ==
+      rows(NearDup.simHashPairs(docs, "doc_id", "text")))
+    assert(rows(NearDup.simHashPairsAuto(docs, "doc_id", "text", 81L * refDocs)) ==
+      rows(NearDup.simHashPairs128(docs, "doc_id", "text")))
+  }
+}
