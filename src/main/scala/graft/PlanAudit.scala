@@ -48,7 +48,16 @@ object PlanAudit {
     // twin) — this audits the corpus-scale distributed form it guards
     "g_info__distributed" -> ((s: SparkSession, dir: String) =>
       graft.graph.GraphOps.graphInfo(graft.queries.GraphQ.nationGraph(s, dir),
-        smallGraph = false))
+        smallGraph = false)),
+    // the composite training-data chain (score → gate → redact → exact
+    // + near dedup → decontaminate) is spec-only (catalog frozen at 88)
+    // but its end-to-end plan is the flagship 100 TB shape — audit it
+    "t_pipeline__full" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.core.Tables.documents(s, dir)
+      val bench = docs.orderBy("doc_id").limit(50).select(col("text").as("q"))
+      graft.text.CorpusPipeline.clean(docs, "doc_id", "text", bench, "q")
+    })
   )
 
   def main(args: Array[String]): Unit = {
@@ -120,7 +129,13 @@ object PlanAudit {
     md ++= "the 2M-edge local guard, so the catalog row is a local result with no\n"
     md ++= "distributed plan — the corpus-scale shuffle tier is what\n"
     md ++= "g_hits__round_body audits; g_info since its round-10 local twin —\n"
-    md ++= "g_info__distributed audits the corpus-scale summary plan.\n\n"
+    md ++= "g_info__distributed audits the corpus-scale summary plan.\n"
+    md ++= "t_pipeline__full is the composite training-data chain\n"
+    md ++= "(CorpusPipeline.clean: score → gate → redact → exact + near dedup →\n"
+    md ++= "decontaminate) — spec-only (catalog frozen at 88) but the flagship\n"
+    md ++= "end-to-end 100 TB shape; its cached counts are the persisted scored\n"
+    md ++= "survivors that keep the corpus scan + kernel projection at one\n"
+    md ++= "execution across the three downstream consumers.\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"

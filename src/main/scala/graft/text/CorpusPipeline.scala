@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** The end-to-end training-data cleaning chain (builder brief §2.10's
+  * pipeline mandate; no single reference analog — this is the
+  * composition the individual operators exist FOR):
+  *
+  *   score → quality/repetition gate → PII redaction → exact dedup →
+  *   near dedup → benchmark decontamination
+  *
+  * Plan shape (the 100 TB story):
+  *  - every per-document computation — language ID, quality score,
+  *    repetition signals, token count, PII redaction, and the rolling
+  *    fingerprint OF THE REDACTED TEXT — is native-kernel work inside
+  *    one fused projection over the corpus scan (codegen; the repeated
+  *    `redactPii` subtree under the fingerprint is shared by
+  *    subexpression elimination). The quality gate filters in the same
+  *    codegen stage. Zero shuffles to this point.
+  *  - exact dedup is ONE shuffle (window by fingerprint); near dedup is
+  *    the banded MinHash pipeline (shuffles ∝ candidates, never O(n²));
+  *    decontamination broadcasts the benchmark's distinct n-gram hashes
+  *    and shuffles only the hit rows ([[Decontaminate]]); the final
+  *    removals are left-anti joins that AQE broadcasts in the expected
+  *    (small flagged-set) case.
+  *
+  * CorpusPipelineSpec pins the output equal to the stage-by-stage
+  * composition of the public operators and asserts the fused-Project /
+  * broadcast plan shape; the PLANS audit carries a `t_pipeline__full`
+  * row for the composite frame.
+  */
+object CorpusPipeline {
+
+  /** Clean `corpus` for training use against an evaluation `benchmark`.
+    *
+    * Returns the surviving documents with `textCol` REPLACED by its
+    * redacted form, plus the score columns `pred_lang`, `quality`,
+    * `rep` (the [[TextOps.repetitionSignals]] struct), `ntok`, and the
+    * dedup fingerprint `fp`.
+    *
+    * Gates: `quality >= minQuality`, `rep.dup_line_frac <=
+    * maxDupLineFrac`, `rep.top_bigram_frac <= maxTopBigramFrac`. Exact
+    * dedup keeps the lowest-id document per fingerprint of the REDACTED
+    * text (documents differing only in PII values collapse); near dedup
+    * drops every non-canonical member of a verified MinHash duplicate
+    * group (threshold on exact Jaccard); decontamination drops
+    * documents sharing > `maxOverlap` of their distinct
+    * `decontaminateWidth`-gram hashes with the benchmark.
+    */
+  def clean(corpus: DataFrame, idCol: String, textCol: String,
+            benchmark: DataFrame, benchTextCol: String,
+            minQuality: Double = 0.65,
+            maxDupLineFrac: Double = 0.30,
+            maxTopBigramFrac: Double = 0.20,
+            shingleWidth: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+            nearDupThreshold: Double = 0.5,
+            decontaminateWidth: Int = 8,
+            maxOverlap: Double = 0.0): DataFrame = {
+    // stage 1+2+3 — ONE fused projection of every per-doc kernel over
+    // the corpus scan, gated in the same codegen stage. The redacted
+    // text replaces the raw text for every downstream stage: dedup keys,
+    // near-dup shingles and benchmark overlap all see what a training
+    // run would see.
+    val text = col(textCol)
+    val scored = corpus.select(
+      col(idCol),
+      TextOps.redactPii(text).as(textCol),
+      TextOps.langId(text).as("pred_lang"),
+      round(TextOps.qualityScore(text), 6).as("quality"),
+      TextOps.repetitionSignals(text).as("rep"),
+      TextOps.bpeishTokenCount(text).as("ntok"),
+      TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
+    val gated = scored.where(col("quality") >= minQuality &&
+      col("rep").getField("dup_line_frac") <= maxDupLineFrac &&
+      col("rep").getField("top_bigram_frac") <= maxTopBigramFrac)
+
+    // stage 4 — exact dedup: one shuffle, window by redacted fingerprint.
+    // Persisted: the scored survivors feed THREE consumers (the minhash
+    // shingle head, the near-dup anti-join left side, and the
+    // decontamination membership probe) — without the persist the
+    // corpus scan + kernel projection re-execute once per consumer,
+    // which at 100 TB is two full extra corpus scans.
+    val exactKept = Dedup.keepFirst(gated, Seq("fp"), Seq(col(idCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 5 — near dedup: verified MinHash pairs → duplicate groups →
+    // drop non-canonical members (transitive: A≈B≈C keeps only min id)
+    val pairs = NearDup.minHashDedup(
+      exactKept.select(col(idCol), col(textCol)), idCol, textCol,
+      shingleWidth, bands, rowsPerBand, nearDupThreshold)
+    val drops = NearDup.dupGroups(pairs)
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as(idCol))
+    val nearKept = exactKept.join(drops, Seq(idCol), "left_anti")
+
+    // stage 6 — benchmark decontamination on the surviving corpus
+    Decontaminate.decontaminate(nearKept, idCol, textCol,
+      benchmark, benchTextCol, decontaminateWidth, maxOverlap)
+  }
+}

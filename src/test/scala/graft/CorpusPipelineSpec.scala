@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.text.{CorpusPipeline, Decontaminate, NearDup, TextOps}
+
+/** End-to-end contract of the composite training-data pipeline
+  * (score → gate → redact → exact dedup → near dedup → decontaminate):
+  * the one-call [[CorpusPipeline.clean]] must equal the stage-by-stage
+  * composition of the public operators, each stage must demonstrably
+  * fire on a planted document, and the plan must keep the fused
+  * per-doc-kernel Project and the decontamination broadcast shape.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long clean English so quality clears the 0.65 gate; three DISTINCT
+  // bases so only the planted near-dup family links in minhash
+  private val base1 = ("the quick brown fox jumps over the lazy dog while " +
+    "markets digest the latest earnings reports and analysts debate the " +
+    "outlook for rates growth and inflation across regions ") * 3
+  private val base2 = ("a completely different treatise on gardening where " +
+    "tomatoes and peppers thrive under careful watering schedules and " +
+    "patient seasonal rotation of beds brings steady harvests ") * 3
+  private val base3 = ("meanwhile the orchestra rehearsed a demanding score " +
+    "with woodwinds answering strings in long overlapping phrases that " +
+    "slowly resolved into a quiet and satisfying final cadence ") * 3
+  private val base4 = ("travel writers describe remote mountain villages " +
+    "where narrow stone paths wind between terraced fields and every " +
+    "morning begins with bread baked in shared village ovens ") * 3
+
+  // parquet-backed (not Seq.toDF): ConvertToLocalRelation would evaluate
+  // a LocalRelation pipeline at OPTIMIZATION time, leaving no physical
+  // plan to assert on — parquet inputs give the real scan → kernel →
+  // gate plan a deployment sees
+  private lazy val corpus = {
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    Seq(
+      // 1, 2: exact dups AFTER redaction (differ only in the email)
+      (1L, base1 + "contact alice@example.com for details"),
+      (2L, base1 + "contact bob@other.org for details"),
+      // 3: near-dup of 1 (a few words changed) -> minhash group, dropped
+      (3L, base1 + "contact alice@example.com for many more details"),
+      // 4: distinct clean survivor with a phone to redact
+      (4L, base2 + "call 555-123-4567 to subscribe now"),
+      // 5: contaminated -> contains a benchmark 8-gram verbatim
+      (5L, base3 + "what is the capital city of france paris obviously"),
+      // 6: low quality (short + punct soup) -> gated
+      (6L, "!!! ??? ..."),
+      // 7: repetitive -> dup_line_frac = 5/6 > 0.30 -> gated
+      (7L, Array.fill(6)("buy cheap pills online now").mkString("\n")
+        + "\n" + base1),
+      (8L, base4 + "a unique closing sentence about bonds")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/corpus")
+    spark.read.parquet(s"$dir/corpus")
+  }
+
+  private lazy val benchmark = {
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    Seq(
+      "question: what is the capital city of france paris obviously answer",
+      "unrelated benchmark prompt about chemistry and physics")
+      .toDF("q").write.mode("overwrite").parquet(s"$dir/bench")
+    spark.read.parquet(s"$dir/bench")
+  }
+
+  private def cleaned = CorpusPipeline.clean(
+    corpus, "doc_id", "text", benchmark, "q")
+
+  test("every stage fires: gate, redact, exact dedup, near dedup, decontaminate") {
+    val out = cleaned.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // gated: 6 (quality), 7 (repetition); exact-dup: 2 collapses into 1
+    // (same redacted text); near-dup: 3 drops (group with 1); dirty: 5
+    assert(out.keySet == Set(1L, 4L, 8L), s"survivors: ${out.keySet}")
+    // redaction replaced the working text
+    assert(out(1L).contains("<EMAIL>") && !out(1L).contains("alice@example.com"))
+    assert(out(4L).contains("<PHONE>") && !out(4L).contains("555-123-4567"))
+    // score columns ride along
+    val cols = cleaned.columns.toSet
+    assert(Set("doc_id", "text", "pred_lang", "quality", "rep", "ntok", "fp")
+      .subsetOf(cols), s"columns: $cols")
+    assert(cleaned.where(col("pred_lang") === "en").count() == 3)
+  }
+
+  test("one call equals the stage-by-stage composition of the public operators") {
+    val text = col("text")
+    val scored = corpus.select(col("doc_id"),
+      TextOps.redactPii(text).as("text"),
+      TextOps.langId(text).as("pred_lang"),
+      round(TextOps.qualityScore(text), 6).as("quality"),
+      TextOps.repetitionSignals(text).as("rep"),
+      TextOps.bpeishTokenCount(text).as("ntok"),
+      TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
+    val gated = scored.where(col("quality") >= 0.65 &&
+      col("rep.dup_line_frac") <= 0.30 && col("rep.top_bigram_frac") <= 0.20)
+    val exact = Dedup.keepFirst(gated, Seq("fp"), Seq(col("doc_id")))
+    val pairs = NearDup.minHashDedup(exact.select(col("doc_id"), col("text")),
+      "doc_id", "text", 3, 16, 4, 0.5)
+    val drops = NearDup.dupGroups(pairs)
+      .where(col("doc_id") =!= col("keep_id")).select("doc_id")
+    val near = exact.join(drops, Seq("doc_id"), "left_anti")
+    val want = Decontaminate.decontaminate(near, "doc_id", "text", benchmark, "q")
+      .collect().map(_.toString).toSet
+    assert(cleaned.collect().map(_.toString).toSet == want)
+  }
+
+  test("plan: ONE fused Project carries every per-doc kernel; decontamination broadcasts") {
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+    def root(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+    // the scored/gated stage: all six per-doc kernels live in EXACTLY ONE
+    // Project over the scan — the t_pipeline fusion pattern
+    val kernels = Seq("graft_redact_pii", "graft_langid",
+      "graft_repetition_stats", "graft_fingerprint")
+    val text = col("text")
+    val gatedPlan = root(corpus.select(col("doc_id"),
+        TextOps.redactPii(text).as("text"),
+        TextOps.langId(text).as("pred_lang"),
+        round(TextOps.qualityScore(text), 6).as("quality"),
+        TextOps.repetitionSignals(text).as("rep"),
+        TextOps.bpeishTokenCount(text).as("ntok"),
+        TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
+      .where(col("quality") >= 0.65 &&
+        col("rep.dup_line_frac") <= 0.30 && col("rep.top_bigram_frac") <= 0.20))
+    val projects = gatedPlan.collect {
+      case p: ProjectExec if kernels.exists(k => p.projectList.mkString.contains(k)) => p
+    }
+    assert(projects.size == 1, s"expected one fused kernel Project, got ${projects.size}")
+    kernels.foreach { k =>
+      assert(projects.head.projectList.mkString.contains(k), s"missing $k in the fused Project")
+    }
+    // the quality gate filters in the same stage (below the Project after
+    // predicate pushdown), not behind an exchange
+    assert(gatedPlan.collect { case f: FilterExec => f }.nonEmpty)
+
+    // the composite: decontamination's membership join broadcasts the
+    // benchmark side; no cartesian/nested-loop anywhere
+    val full = root(cleaned)
+    val ops = full.collect { case n => n }
+    assert(ops.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "decontamination membership join must broadcast the benchmark")
+    assert(!ops.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ops.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    // the persisted survivors: consumers read the cache, the corpus scan
+    // + kernel projection execute once, not once per consumer
+    assert(ops.count(_.getClass.getSimpleName == "InMemoryTableScanExec") >= 2,
+      "scored survivors must be cache-read by the downstream consumers")
+    spark.sharedState.cacheManager.clearCache()
+  }
+}

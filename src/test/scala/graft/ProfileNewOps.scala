@@ -34,6 +34,14 @@ import graft.text.{Decontaminate, TextOps}
   *   repetition ratio 1.73, decontam 1.95, redact KERNEL 0.19 s ratio
   *   1.44 — all overhead-bound; redact_hof 50.88 s ratio 76.2 (the
   *   regex chain stays linear; the kernel is ~270× ahead of it there).
+  *
+  * Composite CorpusPipeline.clean (score → gate → redact → exact +
+  * near dedup → decontaminate), measured after the PLANS
+  * t_pipeline__full row landed: base 2.40 s, ×30 9.38 s ratio 3.91
+  * (gate 36), ×81 25.67 s ratio 8.92 (gate 97) — strongly sublinear;
+  * the near-dup stage's banded-candidate work dominates and scales
+  * like t_minhash/t_dupgroups, the per-doc kernel stages are
+  * overhead-bound.
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {
@@ -75,10 +83,21 @@ object ProfileNewOps {
       Decontaminate.decontaminate(d, "doc_id", "text", bench, "q")
         .agg(count(lit(1))).collect(): Unit
     }
+    def pipelineFull(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val bench = spark.read.parquet(s"$base/documents.parquet")
+        .orderBy("doc_id").limit(200).select(col("text").as("q"))
+      graft.text.CorpusPipeline.clean(d, "doc_id", "text", bench, "q")
+        .agg(count(lit(1))).collect(): Unit
+      // the composite persists its scored survivors; drop them so reps
+      // measure the pipeline, not cache accumulation
+      spark.sharedState.cacheManager.clearCache()
+    }
 
     val ops = Seq[(String, String => Unit)](
       "repetition" -> repetition, "redact" -> redact,
-      "redact_hof" -> redactHof, "decontam" -> decontam)
+      "redact_hof" -> redactHof, "decontam" -> decontam,
+      "pipeline_full" -> pipelineFull)
     // warm both scales (AQE re-plans per size; bench-notes lesson)
     ops.foreach { case (_, f) => f(base); f(scaled) }
     val mins = scala.collection.mutable.Map[String, (Double, Double)]()
