@@ -26,6 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    non-ASCII character lowercases to non-ASCII and is skipped — the
   *    kernel matches them by their UTF-8 byte patterns and skips all
   *    other multi-byte sequences without decoding.
+  *
+  * The kernel pins ROOT-locale lowercase semantics regardless of the
+  * JVM default locale (it never calls a locale-sensitive API), which is
+  * what the DuckDB oracle computes. The HOF twin inherits Spark's
+  * `lower()`, whose slow path for non-ASCII strings is default-locale
+  * `toLowerCase` — under e.g. `-Duser.language=tr` the TWIN diverges on
+  * dotted/dotless I (ASCII 'I' → U+0131 in a string that also holds any
+  * non-ASCII char), so the kernel≡HOF equivalence spec assumes a
+  * root/en default locale; the kernel itself stays oracle-correct
+  * everywhere.
   */
 object FingerprintKernel {
 

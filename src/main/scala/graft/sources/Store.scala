@@ -35,6 +35,11 @@ class Store(folder: String, gz: Boolean = false) {
   // visible to the other's load/contains/names.
   private val objExt = if (gz) ".gz" else ".json"
   private val otherExt = if (gz) ".json" else ".gz"
+  // pre-store.py-parity Stores (and a python `gzip` of a '.json' file)
+  // wrote '<name>.json.gz' — recognized as a third, read-only gzip
+  // format so existing folders don't strand their entries behind the
+  // extension change
+  private val legacyGzExt = ".json.gz"
 
   /** Resolve a store-relative file name, rejecting names whose resolved
     * path escapes the store folder ('..' segments, absolute paths):
@@ -59,16 +64,20 @@ class Store(folder: String, gz: Boolean = false) {
     */
   def contains(name: String): Boolean =
     resolved(name + objExt).exists() || resolved(name + otherExt).exists() ||
-      resolved(name + ".parquet").exists()
+      resolved(name + legacyGzExt).exists() || resolved(name + ".parquet").exists()
 
   /** store.py `__iter__`: names present in the store, sorted. Unlike
-    * store.py (which globs only its own extension), BOTH object formats
-    * are listed — a folder holding a python `gzip`+`json.dump` entry
-    * next to plain-JSON ones reads as one store.
+    * store.py (which globs only its own extension), ALL object formats
+    * are listed (json, gz, legacy json.gz) — a folder holding a python
+    * `gzip`+`json.dump` entry next to plain-JSON ones reads as one
+    * store.
     */
   def names: Seq[String] = {
     val fs = Option(root.listFiles()).getOrElse(Array.empty)
     fs.iterator.map(_.getName).collect {
+      // legacy '.json.gz' FIRST: the bare '.gz' case would truncate it
+      // to a corrupted '<name>.json'
+      case n if n.endsWith(legacyGzExt) => n.dropRight(legacyGzExt.length)
       case n if n.endsWith(".json") => n.dropRight(5)
       case n if n.endsWith(".gz") => n.dropRight(3)
       case n if n.endsWith(".parquet") => n.dropRight(".parquet".length)
@@ -101,8 +110,11 @@ class Store(folder: String, gz: Boolean = false) {
     */
   def load(name: String): Any = {
     val own = resolved(name + objExt)
+    val sibling = resolved(name + otherExt)
     val (file, gzipped) =
-      if (own.exists()) (own, gz) else (resolved(name + otherExt), !gz)
+      if (own.exists()) (own, gz)
+      else if (sibling.exists()) (sibling, !gz)
+      else (resolved(name + legacyGzExt), true)
     // GZIPInputStream's constructor READS the header and throws on a
     // truncated/non-gzip file before any try could run, so raw closes in
     // its own finally
@@ -124,6 +136,7 @@ class Store(folder: String, gz: Boolean = false) {
     }
     rm(resolved(name + objExt))
     rm(resolved(name + otherExt))
+    rm(resolved(name + legacyGzExt))
     rm(resolved(name + ".parquet"))
   }
 }

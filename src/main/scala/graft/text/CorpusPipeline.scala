@@ -19,7 +19,9 @@ import graft.ops.Dedup
   *    `redactPii` subtree under the fingerprint is shared by
   *    subexpression elimination). The quality gate filters in the same
   *    codegen stage. Zero shuffles to this point.
-  *  - exact dedup is ONE shuffle (window by fingerprint); near dedup is
+  *  - exact dedup is ONE shuffle (window by the redacted text — not the
+  *    mod-1e9+7 fingerprint, whose ~2^30 space would collide at corpus
+  *    scale and silently drop distinct documents); near dedup is
   *    the banded MinHash pipeline (shuffles ∝ candidates, never O(n²));
   *    decontamination broadcasts the benchmark's distinct n-gram hashes
   *    and shuffles only the hit rows ([[Decontaminate]]); the final
@@ -42,8 +44,14 @@ object CorpusPipeline {
     *
     * Gates: `quality >= minQuality`, `rep.dup_line_frac <=
     * maxDupLineFrac`, `rep.top_bigram_frac <= maxTopBigramFrac`. Exact
-    * dedup keeps the lowest-id document per fingerprint of the REDACTED
-    * text (documents differing only in PII values collapse); near dedup
+    * dedup keeps the lowest-id document per distinct REDACTED text
+    * (documents differing only in PII values collapse). The dedup key
+    * is the text itself, NOT the `fp` fingerprint: `fp` lives in a
+    * ~2^30 space (mod 1e9+7), so keying on it would silently drop a
+    * distinct document per colliding pair — ~11 expected false drops
+    * already at 150k docs, millions at corpus scale. The shuffle cost
+    * is the same either way (the row carries the text regardless; only
+    * the partitioning hash reads more bytes). Near dedup
     * drops every non-canonical member of a verified MinHash duplicate
     * group (threshold on exact Jaccard); decontamination drops
     * documents sharing > `maxOverlap` of their distinct
@@ -63,8 +71,13 @@ object CorpusPipeline {
     // text replaces the raw text for every downstream stage: dedup keys,
     // near-dup shingles and benchmark overlap all see what a training
     // run would see.
+    // pinWidth: the fused kernel projection is the plan's serial head —
+    // on an under-split scan it would run at scan width (the t_pipeline
+    // pathology, Tables.pinWidth scaladoc). Measured in ProfileNewOps'
+    // interleaved A/B: 2.54 → 2.14 s at sf0.1, 9.93 → 8.99 s at ×30;
+    // a corpus-scale scan has thousands of splits, where this is a no-op.
     val text = col(textCol)
-    val scored = corpus.select(
+    val scored = graft.core.Tables.pinWidth(corpus).select(
       col(idCol),
       TextOps.redactPii(text).as(textCol),
       TextOps.langId(text).as("pred_lang"),
@@ -76,23 +89,34 @@ object CorpusPipeline {
       col("rep").getField("dup_line_frac") <= maxDupLineFrac &&
       col("rep").getField("top_bigram_frac") <= maxTopBigramFrac)
 
-    // stage 4 — exact dedup: one shuffle, window by redacted fingerprint.
+    // stage 4 — exact dedup: one shuffle, window by the redacted text.
     // Persisted: the scored survivors feed THREE consumers (the minhash
     // shingle head, the near-dup anti-join left side, and the
     // decontamination membership probe) — without the persist the
     // corpus scan + kernel projection re-execute once per consumer,
-    // which at 100 TB is two full extra corpus scans.
-    val exactKept = Dedup.keepFirst(gated, Seq("fp"), Seq(col(idCol)))
+    // which at 100 TB is two full extra corpus scans. This persist
+    // stays pinned as long as the RETURNED frame is live (it reads the
+    // cache lazily); a caller cleaning many corpora in one session
+    // releases it after materializing the result (unpersist via the
+    // catalog, or cacheManager.clearCache) — the same contract as
+    // [[NearDup.minHashDedup]]'s shingle persist.
+    val exactKept = Dedup.keepFirst(gated, Seq(textCol), Seq(col(idCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 5 — near dedup: verified MinHash pairs → duplicate groups →
     // drop non-canonical members (transitive: A≈B≈C keeps only min id)
-    val pairs = NearDup.minHashDedup(
+    val (pairs, releaseShingles) = NearDup.minHashDedupWithRelease(
       exactKept.select(col(idCol), col(textCol)), idCol, textCol,
       shingleWidth, bands, rowsPerBand, nearDupThreshold)
     val drops = NearDup.dupGroups(pairs)
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id").as(idCol))
+    // dupGroups consumed the pairs EAGERLY (its size-probe count) and
+    // its output is independent of them (driver rows below the local
+    // guard, per-round localCheckpoints above it), so the shingle cache
+    // is dead weight from here — release it instead of pinning one
+    // shingle frame per clean() call for the session.
+    releaseShingles()
     val nearKept = exactKept.join(drops, Seq(idCol), "left_anti")
 
     // stage 6 — benchmark decontamination on the surviving corpus

@@ -76,7 +76,22 @@ object NearDup {
     */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5): DataFrame =
+    minHashDedupWithRelease(docs, idCol, textCol, shingleWidth, bands,
+      rowsPerBand, threshold)._1
+
+  /** [[minHashDedup]] plus a release handle for the persisted shingle
+    * frame. The public op's returned pairs frame depends LAZILY on that
+    * persist, so it must stay pinned for the session; a caller that
+    * consumes the pairs EAGERLY (e.g. [[dupGroups]], whose size-probe
+    * count materializes them) can call the handle afterwards to release
+    * the cache instead of pinning one shingle frame per invocation —
+    * [[CorpusPipeline.clean]] does exactly that.
+    */
+  private[graft] def minHashDedupWithRelease(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): (DataFrame, () => Unit) = {
     // the shingle fold is the expensive per-row kernel and feeds THREE
     // consumers (signatures, sizes, the exploded verify join) — persist it
     // once instead of recomputing the fold per branch (the round-1 plan
@@ -108,12 +123,13 @@ object NearDup {
       .join(ex.select(col(idCol).as("id_a"), col("h")), "id_a")
       .join(ex.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    val verified = inter
       .join(sizes.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("nsh").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (verified, () => { sh.unpersist(blocking = false); () })
   }
 
   /** Near-duplicate CLUSTERS from verified pair output — the corpus-dedup
@@ -293,10 +309,17 @@ object NearDup {
     * so the pair SET (not just cost) can differ near the Hamming
     * budget's edge; both ops are spec'd against brute force at their
     * own width.
+    *
+    * The Hamming budget is fixed at 8 — the value both carved bandings
+    * target (the 128-bit op `require`s it). No `maxHamming` knob here:
+    * exposing one would make a non-8 budget a data-size-dependent crash
+    * the moment the corpus estimate crosses the width crossover. A
+    * caller needing a different budget picks a width explicitly — the
+    * 64-bit [[simHashPairs]] honors any budget.
     */
   def simHashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
-                       corpusRows: Long, maxHamming: Int = 8): DataFrame =
+                       corpusRows: Long): DataFrame =
     if (graft.sim.Capacity.simHashWide(corpusRows))
-      simHashPairs128(docs, idCol, textCol, maxHamming)
-    else simHashPairs(docs, idCol, textCol, maxHamming)
+      simHashPairs128(docs, idCol, textCol)
+    else simHashPairs(docs, idCol, textCol)
 }

@@ -93,7 +93,7 @@ class CorpusPipelineSpec extends SparkSpec {
       TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
     val gated = scored.where(col("quality") >= 0.65 &&
       col("rep.dup_line_frac") <= 0.30 && col("rep.top_bigram_frac") <= 0.20)
-    val exact = Dedup.keepFirst(gated, Seq("fp"), Seq(col("doc_id")))
+    val exact = Dedup.keepFirst(gated, Seq("text"), Seq(col("doc_id")))
     val pairs = NearDup.minHashDedup(exact.select(col("doc_id"), col("text")),
       "doc_id", "text", 3, 16, 4, 0.5)
     val drops = NearDup.dupGroups(pairs)

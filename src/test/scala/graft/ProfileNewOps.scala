@@ -42,6 +42,12 @@ import graft.text.{Decontaminate, TextOps}
   * the near-dup stage's banded-candidate work dominates and scales
   * like t_minhash/t_dupgroups, the per-doc kernel stages are
   * overhead-bound.
+  *
+  * pinWidth A/B on the composite (round 11, same JVM, interleaved
+  * min-of-2): unpinned clean() base 2.54 s / ×30 9.93 s vs pre-pinned
+  * corpus 2.14 s / 8.99 s — the fused kernel head IS the serial head
+  * here (unlike the minhash fold, where pinning lost), so clean() now
+  * pins internally and the pre-pin arm was retired as redundant.
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {

@@ -89,6 +89,22 @@ class StoreSpec extends SparkSpec {
     assert(plain.names == Seq("a", "frompy"))
   }
 
+  test("legacy '<name>.json.gz' entries stay visible after the '.gz' extension change") {
+    val dir = Files.createTempDirectory("store").toString
+    // what the pre-parity Store (gz mode) wrote on disk
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "old.json.gz")))
+    out.write("""{"v": 9}""".getBytes("UTF-8")); out.close()
+    for (s <- Seq(new Store(dir), new Store(dir, gz = true))) {
+      assert(s.names == Seq("old"), s"names: ${s.names}") // not a corrupted 'old.json'
+      assert(s.contains("old"))
+      assert(s.load("old") == Map("v" -> 9L))
+    }
+    val plain = new Store(dir)
+    plain.remove("old")
+    assert(plain.names.isEmpty && !plain.contains("old"))
+  }
+
   test("names that escape the store folder are rejected before any file op") {
     val dir = Files.createTempDirectory("store")
     val victim = Files.createTempDirectory("victim")
