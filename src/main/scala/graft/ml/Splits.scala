@@ -72,4 +72,41 @@ object Splits {
     df.withColumn("batch",
       ((row_number().over(w) - 1) / batchSize).cast("long"))
   }
+
+  /** Weighted sampling of `k` rows WITHOUT replacement, by the
+    * Efraimidis–Spirtes exponential-key scheme: each row draws a
+    * deterministic uniform u from (0, 1) and the k rows with the largest
+    * u^(1/w) win — equivalent to sequential weighted draws without
+    * replacement. The curation use case is quality-weighted corpus
+    * subsampling (`weightCol` = the quality score), where plain
+    * `df.sample` cannot bias toward better documents.
+    *
+    * Plan shape (the 100 TB story): the key is a per-row projection and
+    * the selection is `orderBy(key).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject — a map-side top-k per partition and one
+    * k·partitions-row reduce, never a full sort or shuffle of the
+    * corpus. Rows with weight <= 0 or null are excluded (zero weight =
+    * zero inclusion probability; the reference semantics of
+    * numpy.random.choice with p=0).
+    *
+    * Deterministic: u comes from xxhash64(id, seed) — reruns and
+    * different layouts return the same sample; vary `seed` for fresh
+    * draws. Maximizing u^(1/w) is ordering by ln(u)/w (both negative;
+    * larger = closer to 0), computed in log space so tiny u at extreme
+    * weights cannot underflow.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // 63-bit fraction in (0, 1): never exactly 0 (the +0.5) so ln(u) is
+    // finite, never 1 so ln(u) < 0
+    val u = (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
+      .cast("double") + 0.5) / 9.223372036854776e18
+    val key = log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
 }

@@ -160,4 +160,114 @@ class SplitsSpec extends SparkSpec {
     (0L until 15L).foreach(b => assert(sizes(b) == 64L))
     assert(sizes(15L) == 1000L - 15 * 64)
   }
+
+  // --- weighted sampling without replacement ---
+
+  private def weighted = (0L until 200L)
+    .map(i => (i, if (i == 7L) 50.0 else 1.0)).toDF("id", "w")
+
+  test("sampleWeighted: deterministic, layout-independent, k rows") {
+    val a = Splits.sampleWeighted(weighted, "id", "w", 20).as[(Long, Double)]
+      .collect().toSet
+    val b = Splits.sampleWeighted(weighted.repartition(7), "id", "w", 20)
+      .as[(Long, Double)].collect().toSet
+    assert(a == b && a.size == 20)
+    // a different seed is a different draw
+    val c = Splits.sampleWeighted(weighted, "id", "w", 20, seed = 1L)
+      .as[(Long, Double)].collect().toSet
+    assert(a != c)
+  }
+
+  test("sampleWeighted: selection equals the local top-k of ln(u)/w") {
+    // Spark supplies only the per-row hash fraction u; the selection —
+    // ordering by ln(u)/w and cutting at k — is recomputed locally and
+    // must agree exactly
+    val u = (xxhash64(col("id"), lit(0L)).bitwiseAND(lit(Long.MaxValue))
+      .cast("double") + 0.5) / 9.223372036854776e18
+    val local = weighted.select(col("id"), col("w"), u.as("u"))
+      .as[(Long, Double, Double)].collect()
+      .sortBy { case (id, w, uu) => (-math.log(uu) / w, id) }
+      .take(20).map(_._1).toSet
+    val got = Splits.sampleWeighted(weighted, "id", "w", 20)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got == local)
+  }
+
+  test("sampleWeighted: inclusion frequency tracks the weight across seeds") {
+    val small = (0L until 10L)
+      .map(i => (i, if (i == 3L) 50.0 else 1.0)).toDF("id", "w")
+    // P(heavy wins a k=1 draw) = 50/59 ≈ 0.847; 200 seeds, 3σ ≈ 0.08
+    val wins = (1L to 200L).count { s =>
+      Splits.sampleWeighted(small, "id", "w", 1, seed = s)
+        .as[(Long, Double)].collect().head._1 == 3L
+    }
+    assert(wins > 150 && wins < 195, s"heavy item won $wins/200")
+  }
+
+  test("sampleWeighted: non-positive and null weights are excluded; plan is top-k") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 1.0))
+      .toDF("id", "w").union(Seq(5L).toDF("id").withColumn("w", lit(null).cast("double")))
+    val out = Splits.sampleWeighted(df, "id", "w", 10).as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 4L)) // k > eligible rows: all of them
+    // plan shape on a frame where the limit binds (on the 4-row frame
+    // above, constant folding leaves <= k rows and EliminateLimits
+    // strips the limit, degenerating the plan to a plain sort)
+    val plan = Splits.sampleWeighted(weighted, "id", "w", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+}
+
+/** Token-budget sequence packing: budget safety, assignment totality,
+  * near-optimal pack counts, determinism — the contract a trainer's
+  * data loader relies on.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ml.Packing
+
+  // skewed token counts: many small docs, a few near-budget ones
+  private def docs = (0L until 500L)
+    .map(i => (i, 10L + (i * 48271L % 2147483647L) % 900L)).toDF("id", "ntok")
+
+  test("every doc lands in exactly one pack; no pack exceeds the budget") {
+    val budget = 1000L
+    val packed = Packing.pack(docs, "id", "ntok", budget)
+    val rows = packed.select("id", "ntok", "pack").as[(Long, Long, Long)].collect()
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    val perPack = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    perPack.foreach { case (p, tot) => assert(tot <= budget, s"pack $p holds $tot") }
+  }
+
+  test("pack count is near the token-total lower bound") {
+    val budget = 1000L
+    val packed = Packing.pack(docs, "id", "ntok", budget)
+    val total = docs.agg(sum("ntok")).as[Long].head()
+    val lower = math.ceil(total.toDouble / budget).toLong
+    val got = packed.select("pack").distinct().count()
+    // per-partition BFD: within 11/9 of optimal plus one tail pack per
+    // partition (32 shuffle partitions)
+    assert(got <= math.ceil(lower * 11.0 / 9.0).toLong + 32, s"$got packs vs lower bound $lower")
+  }
+
+  test("deterministic across input layouts") {
+    val a = Packing.pack(docs, "id", "ntok", 1000L)
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    val b = Packing.pack(docs.repartition(7).sortWithinPartitions(desc("id")),
+      "id", "ntok", 1000L).select("id", "pack").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("oversize documents pack alone; null token counts pack as zero") {
+    val mixed = Seq((1L, 100L), (2L, 5000L), (3L, 200L)).toDF("id", "ntok")
+      .union(Seq(4L).toDF("id").withColumn("ntok", lit(null).cast("long")))
+    val out = Packing.pack(mixed, "id", "ntok", 1000L)
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    assert(out.size == 4)
+    // the oversize doc shares its pack with nobody
+    assert(!out.exists { case (id, p) => id != 2L && p == out(2L) })
+    val stats = Packing.packStats(Packing.pack(mixed, "id", "ntok", 1000L),
+      "ntok", 1000L).select("n_docs", "n_tokens").as[(Long, Long)].collect()
+    assert(stats.map(_._2).sum == 5300L)
+  }
 }

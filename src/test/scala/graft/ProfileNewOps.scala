@@ -48,6 +48,15 @@ import graft.text.{Decontaminate, TextOps}
   * corpus 2.14 s / 8.99 s — the fused kernel head IS the serial head
   * here (unlike the minhash fold, where pinning lost), so clean() now
   * pins internally and the pre-pin arm was retired as redundant.
+  *
+  * Packing / weighted sampling (round 11; budget 2048 tok, k=1000):
+  *   ×30:  packing base 0.29 s scaled 1.52 ratio  5.25
+  *         wsample base 0.79 s scaled 1.19 ratio  1.52
+  *   ×81:  packing base 0.31 s scaled 3.20 ratio 10.33
+  *         wsample base 0.59 s scaled 2.45 ratio  4.14   (gate 97)
+  * Both strongly sublinear: packing is one hash shuffle + per-partition
+  * O(n log n) best-fit, wsample a map-side top-k whose reduce is
+  * k·partitions rows regardless of corpus size.
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {
@@ -100,10 +109,24 @@ object ProfileNewOps {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    def packing(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("ntok"))
+      graft.ml.Packing.pack(d, "doc_id", "ntok", 2048L)
+        .agg(countDistinct(col("pack")), sum(col("ntok"))).collect(): Unit
+    }
+    def wsample(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      graft.ml.Splits.sampleWeighted(d, "doc_id", "q", 1000)
+        .agg(sum(col("q"))).collect(): Unit
+    }
+
     val ops = Seq[(String, String => Unit)](
       "repetition" -> repetition, "redact" -> redact,
       "redact_hof" -> redactHof, "decontam" -> decontam,
-      "pipeline_full" -> pipelineFull)
+      "pipeline_full" -> pipelineFull,
+      "packing" -> packing, "wsample" -> wsample)
     // warm both scales (AQE re-plans per size; bench-notes lesson)
     ops.foreach { case (_, f) => f(base); f(scaled) }
     val mins = scala.collection.mutable.Map[String, (Double, Double)]()
