@@ -49,6 +49,8 @@ object Packing {
     */
   def pack(df: DataFrame, idCol: String, ntokCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("pack"),
+      "input already has a 'pack' column — drop it before re-packing")
     val schema = df.schema.add("pack", LongType, nullable = false)
     val ti = df.schema.fieldIndex(ntokCol)
     val packed = df
@@ -60,22 +62,21 @@ object Packing {
         // remaining; best fit = smallest remaining that still admits the
         // document = ceilingEntry(ntok)
         val open = new java.util.TreeMap[Long, java.util.ArrayDeque[Long]]()
-        val remaining = new java.util.HashMap[Long, Long]()
         var nextLocal = 0L
-        def push(packId: Long, rem: Long): Unit = {
-          remaining.put(packId, rem)
+        def push(packId: Long, rem: Long): Unit =
           open.computeIfAbsent(rem, _ => new java.util.ArrayDeque[Long]()).push(packId)
-        }
         it.map { r =>
           val ntok = if (r.isNullAt(ti)) 0L
             else r.get(ti).asInstanceOf[Number].longValue
           val fit = open.ceilingEntry(ntok)
           val packId = if (fit != null) {
+            // a pack's remaining capacity IS its TreeMap key — no side
+            // table needed
             val stack = fit.getValue
             val id = stack.pop()
+            val rem = fit.getKey - ntok
             if (stack.isEmpty) open.remove(fit.getKey)
-            val rem = remaining.get(id) - ntok
-            if (rem > 0) push(id, rem) else remaining.remove(id)
+            if (rem > 0) push(id, rem)
             id
           } else {
             val id = (pid << LocalBits) | nextLocal

@@ -103,7 +103,12 @@ object Splits {
     val u = (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
       .cast("double") + 0.5) / 9.223372036854776e18
     val key = log(u) / col(weightCol).cast("double")
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+    // NaN must be excluded explicitly: Spark's NaN-ordering makes
+    // `NaN > 0` TRUE and sorts the resulting NaN keys above every real
+    // key, so NaN-weight rows (e.g. a degenerate quality score) would
+    // otherwise monopolize the sample
+    df.where(col(weightCol).isNotNull && !isnan(col(weightCol).cast("double")) &&
+        col(weightCol) > 0)
       .withColumn("__es_key", key)
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)

@@ -92,8 +92,15 @@ class Store(folder: String, gz: Boolean = false) {
   def loadFrame(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(framePath(name))
 
-  /** store.py `dump(obj, name)` for small named values (JSON / gzip). */
+  /** store.py `dump(obj, name)` for small named values (JSON / gzip).
+    * A dump shadows any sibling/legacy-format entry of the same name, so
+    * they are deleted first — otherwise a second Store handle of the
+    * other format would keep resolving its own (now stale) file after an
+    * overwrite.
+    */
   def dump(obj: Any, name: String): Unit = {
+    resolved(name + otherExt).delete(): Unit
+    resolved(name + legacyGzExt).delete(): Unit
     // raw closes in its own finally: the gzip wrapper's constructor does
     // I/O (writes the header) and can throw before the inner try starts
     val raw = new FileOutputStream(pathname(name))

@@ -39,8 +39,10 @@ object CorpusPipeline {
     *
     * Returns the surviving documents with `textCol` REPLACED by its
     * redacted form, plus the score columns `pred_lang`, `quality`,
-    * `rep` (the [[TextOps.repetitionSignals]] struct), `ntok`, and the
-    * dedup fingerprint `fp`.
+    * `rep` (the [[TextOps.repetitionSignals]] struct — raw-text gating
+    * diagnostics), `ntok` (token count OF THE REDACTED TEXT, so it
+    * describes the returned document and feeds packing budgets), and
+    * the dedup fingerprint `fp`.
     *
     * Gates: `quality >= minQuality`, `rep.dup_line_frac <=
     * maxDupLineFrac`, `rep.top_bigram_frac <= maxTopBigramFrac`. Exact
@@ -83,7 +85,13 @@ object CorpusPipeline {
       TextOps.langId(text).as("pred_lang"),
       round(TextOps.qualityScore(text), 6).as("quality"),
       TextOps.repetitionSignals(text).as("rep"),
-      TextOps.bpeishTokenCount(text).as("ntok"),
+      // ntok counts the REDACTED text — the document a trainer actually
+      // consumes — so the count is valid input for token-budget packing
+      // ([[graft.ml.Packing]]). The gating scores (quality, rep, langId)
+      // stay on the raw text: they diagnose the original document, and
+      // redaction masks would skew them. The repeated redactPii subtree
+      // is shared by subexpression elimination.
+      TextOps.bpeishTokenCount(TextOps.redactPii(text)).as("ntok"),
       TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
     val gated = scored.where(col("quality") >= minQuality &&
       col("rep").getField("dup_line_frac") <= maxDupLineFrac &&

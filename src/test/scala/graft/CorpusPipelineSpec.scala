@@ -80,6 +80,10 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(Set("doc_id", "text", "pred_lang", "quality", "rep", "ntok", "fp")
       .subsetOf(cols), s"columns: $cols")
     assert(cleaned.where(col("pred_lang") === "en").count() == 3)
+    // ntok describes the RETURNED (redacted) text — the count a packing
+    // budget consumes — not the raw document
+    assert(cleaned.where(col("ntok") =!=
+      TextOps.bpeishTokenCount(col("text"))).count() == 0)
   }
 
   test("one call equals the stage-by-stage composition of the public operators") {
@@ -89,7 +93,7 @@ class CorpusPipelineSpec extends SparkSpec {
       TextOps.langId(text).as("pred_lang"),
       round(TextOps.qualityScore(text), 6).as("quality"),
       TextOps.repetitionSignals(text).as("rep"),
-      TextOps.bpeishTokenCount(text).as("ntok"),
+      TextOps.bpeishTokenCount(TextOps.redactPii(text)).as("ntok"),
       TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
     val gated = scored.where(col("quality") >= 0.65 &&
       col("rep.dup_line_frac") <= 0.30 && col("rep.top_bigram_frac") <= 0.20)
@@ -124,7 +128,7 @@ class CorpusPipelineSpec extends SparkSpec {
         TextOps.langId(text).as("pred_lang"),
         round(TextOps.qualityScore(text), 6).as("quality"),
         TextOps.repetitionSignals(text).as("rep"),
-        TextOps.bpeishTokenCount(text).as("ntok"),
+        TextOps.bpeishTokenCount(TextOps.redactPii(text)).as("ntok"),
         TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
       .where(col("quality") >= 0.65 &&
         col("rep.dup_line_frac") <= 0.30 && col("rep.top_bigram_frac") <= 0.20))

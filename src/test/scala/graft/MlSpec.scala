@@ -204,8 +204,11 @@ class SplitsSpec extends SparkSpec {
     assert(wins > 150 && wins < 195, s"heavy item won $wins/200")
   }
 
-  test("sampleWeighted: non-positive and null weights are excluded; plan is top-k") {
-    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 1.0))
+  test("sampleWeighted: non-positive, null and NaN weights are excluded; plan is top-k") {
+    // NaN matters: Spark orders NaN above every real value, so `w > 0`
+    // is TRUE for NaN and an unfiltered NaN key would sort first and
+    // monopolize the sample
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 1.0), (6L, Double.NaN))
       .toDF("id", "w").union(Seq(5L).toDF("id").withColumn("w", lit(null).cast("double")))
     val out = Splits.sampleWeighted(df, "id", "w", 10).as[(Long, Double)].collect()
     assert(out.map(_._1).toSet == Set(1L, 4L)) // k > eligible rows: all of them
@@ -256,6 +259,17 @@ class PackingSpec extends SparkSpec {
     val b = Packing.pack(docs.repartition(7).sortWithinPartitions(desc("id")),
       "id", "ntok", 1000L).select("id", "pack").as[(Long, Long)].collect().toMap
     assert(a == b)
+  }
+
+  test("re-packing a frame that already carries a pack column is rejected") {
+    val packed = Packing.pack(docs, "id", "ntok", 1000L)
+    // a blind second pack would append a duplicate 'pack' field and make
+    // every downstream select("pack") ambiguous
+    intercept[IllegalArgumentException] {
+      Packing.pack(packed, "id", "ntok", 500L)
+    }
+    assert(Packing.pack(packed.drop("pack"), "id", "ntok", 500L)
+      .columns.count(_ == "pack") == 1)
   }
 
   test("oversize documents pack alone; null token counts pack as zero") {

@@ -89,6 +89,25 @@ class StoreSpec extends SparkSpec {
     assert(plain.names == Seq("a", "frompy"))
   }
 
+  test("a cross-format overwrite shadows the sibling file: both handles read the new value") {
+    val dir = Files.createTempDirectory("store").toString
+    val plain = new Store(dir)
+    val gzStore = new Store(dir, gz = true)
+    gzStore.dump(Map("v" -> 1L), "a")          // writes a.gz
+    plain.dump(Map("v" -> 2L), "a")            // writes a.json, must delete a.gz
+    assert(plain.load("a") == Map("v" -> 2L))
+    assert(gzStore.load("a") == Map("v" -> 2L), "stale sibling survived the overwrite")
+    gzStore.dump(Map("v" -> 3L), "a")          // and back the other way
+    assert(plain.load("a") == Map("v" -> 3L) && gzStore.load("a") == Map("v" -> 3L))
+    assert(plain.names == Seq("a"))
+    // a dump also shadows a legacy '.json.gz' entry of the same name
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "old.json.gz")))
+    out.write("""{"v": 9}""".getBytes("UTF-8")); out.close()
+    plain.dump(Map("v" -> 10L), "old")
+    assert(gzStore.load("old") == Map("v" -> 10L))
+  }
+
   test("legacy '<name>.json.gz' entries stay visible after the '.gz' extension change") {
     val dir = Files.createTempDirectory("store").toString
     // what the pre-parity Store (gz mode) wrote on disk
