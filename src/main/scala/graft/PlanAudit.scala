@@ -57,7 +57,12 @@ object PlanAudit {
       val docs = graft.core.Tables.documents(s, dir)
       val bench = docs.orderBy("doc_id").limit(50).select(col("text").as("q"))
       graft.text.CorpusPipeline.clean(docs, "doc_id", "text", bench, "q")
-    })
+    }),
+    // spec-only cross-document boilerplate-line scrub: audit the
+    // hits-only rebuild shape (no cartesian, corpus text never shuffled)
+    "t_linededup__full" -> ((s: SparkSession, dir: String) =>
+      graft.text.LineDedup.dedupLines(
+        graft.core.Tables.documents(s, dir), "doc_id", "text"))
   )
 
   def main(args: Array[String]): Unit = {

@@ -49,6 +49,13 @@ import graft.text.{Decontaminate, TextOps}
   * here (unlike the minhash fold, where pinning lost), so clean() now
   * pins internally and the pre-pin arm was retired as redundant.
   *
+  * Cross-document line dedup (round 11; minDocs=2, minLineChars=4):
+  *   base 0.73 s, ×30 1.49 s ratio 2.04 (gate 36), ×81 3.31 s ratio
+  *   5.38 (gate 97). Strongly sublinear: the only corpus-sized exchange
+  *   is the distinct (line, doc) frequency input, which map-side
+  *   partial aggregation collapses; the rebuild shuffle is ∝ affected
+  *   docs and the patch join AQE-broadcasts the rebuilt side.
+  *
   * Packing / weighted sampling (round 11; budget 2048 tok, k=1000):
   *   ×30:  packing base 0.29 s scaled 1.52 ratio  5.25
   *         wsample base 0.79 s scaled 1.19 ratio  1.52
@@ -109,6 +116,13 @@ object ProfileNewOps {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    def linededup(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.text.LineDedup.dedupLines(d, "doc_id", "text")
+        .agg(sum(length(col("text"))), sum(col("lines_removed"))).collect(): Unit
+      // dedupLines persists its hit set; drop it between reps
+      spark.sharedState.cacheManager.clearCache()
+    }
     def packing(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("ntok"))
@@ -122,11 +136,15 @@ object ProfileNewOps {
         .agg(sum(col("q"))).collect(): Unit
     }
 
-    val ops = Seq[(String, String => Unit)](
+    val all = Seq[(String, String => Unit)](
       "repetition" -> repetition, "redact" -> redact,
       "redact_hof" -> redactHof, "decontam" -> decontam,
-      "pipeline_full" -> pipelineFull,
+      "pipeline_full" -> pipelineFull, "linededup" -> linededup,
       "packing" -> packing, "wsample" -> wsample)
+    // SPARK_GRAFT_PROFILE_ONLY=a,b — measure a subset (blank = all)
+    val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val ops = if (only.isEmpty) all else all.filter(o => only(o._1))
     // warm both scales (AQE re-plans per size; bench-notes lesson)
     ops.foreach { case (_, f) => f(base); f(scaled) }
     val mins = scala.collection.mutable.Map[String, (Double, Double)]()
