@@ -58,6 +58,15 @@ object CorpusPipeline {
     * group (threshold on exact Jaccard); decontamination drops
     * documents sharing > `maxOverlap` of their distinct
     * `decontaminateWidth`-gram hashes with the benchmark.
+    *
+    * `lineDedupMinDocs = Some(n)` prepends the [[LineDedup]] boilerplate
+    * scrub (drop lines recurring in ≥ n distinct documents) BEFORE
+    * scoring, so the quality/repetition gates judge the de-boilerplated
+    * document and every downstream stage — dedup keys, shingles, ntok,
+    * fingerprint — sees the text a training run would see. Off by
+    * default (None): the stage is corpus-global (its own frequency
+    * pass over the raw corpus), not a per-doc kernel, so it is opt-in
+    * rather than silently adding corpus scans to every clean() call.
     */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             benchmark: DataFrame, benchTextCol: String,
@@ -67,7 +76,13 @@ object CorpusPipeline {
             shingleWidth: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
             nearDupThreshold: Double = 0.5,
             decontaminateWidth: Int = 8,
-            maxOverlap: Double = 0.0): DataFrame = {
+            maxOverlap: Double = 0.0,
+            lineDedupMinDocs: Option[Int] = None): DataFrame = {
+    // stage 0 (opt-in) — cross-document boilerplate-line scrub on the
+    // RAW corpus; everything downstream sees the de-boilerplated text
+    val input = lineDedupMinDocs.fold(corpus)(n =>
+      LineDedup.dedupLines(corpus, idCol, textCol, minDocs = n)
+        .drop("lines_removed"))
     // stage 1+2+3 — ONE fused projection of every per-doc kernel over
     // the corpus scan, gated in the same codegen stage. The redacted
     // text replaces the raw text for every downstream stage: dedup keys,
@@ -79,7 +94,7 @@ object CorpusPipeline {
     // interleaved A/B: 2.54 → 2.14 s at sf0.1, 9.93 → 8.99 s at ×30;
     // a corpus-scale scan has thousands of splits, where this is a no-op.
     val text = col(textCol)
-    val scored = graft.core.Tables.pinWidth(corpus).select(
+    val scored = graft.core.Tables.pinWidth(input).select(
       col(idCol),
       TextOps.redactPii(text).as(textCol),
       TextOps.langId(text).as("pred_lang"),

@@ -157,4 +157,34 @@ class CorpusPipelineSpec extends SparkSpec {
       "scored survivors must be cache-read by the downstream consumers")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("opt-in line-dedup stage: equals the explicit pre-pass; boilerplate line gone") {
+    val footer = "copyright example publishing all rights reserved worldwide"
+    val withFooter = Seq(
+      (1L, s"$base1 introduces the first body\n$footer"),
+      (2L, s"$base2 carries the second body\n$footer"),
+      (3L, s"$base3 rounds out the third body\n$footer"),
+      (4L, s"$base4 stands alone without any footer")).toDF("doc_id", "text")
+    val got = CorpusPipeline.clean(withFooter, "doc_id", "text",
+      benchmark, "q", lineDedupMinDocs = Some(2))
+    val gotRows = got.collect().map(_.toString).toSet
+    spark.sharedState.cacheManager.clearCache()
+    // ≡ the explicit composition: LineDedup pre-pass, then the default chain
+    val pre = graft.text.LineDedup.dedupLines(withFooter, "doc_id", "text")
+      .drop("lines_removed")
+    val want = CorpusPipeline.clean(pre, "doc_id", "text", benchmark, "q")
+      .collect().map(_.toString).toSet
+    spark.sharedState.cacheManager.clearCache()
+    assert(gotRows == want)
+    // the boilerplate footer is scrubbed from every survivor (and the
+    // de-boilerplated docs survive: distinct bases, clean quality)
+    val texts = got.select("text").collect().map(_.getString(0))
+    assert(texts.length == 4)
+    assert(texts.forall(!_.contains(footer)))
+    // default stays identity with the pre-change behavior: footer kept
+    val off = CorpusPipeline.clean(withFooter, "doc_id", "text", benchmark, "q")
+      .select("text").collect().map(_.getString(0))
+    spark.sharedState.cacheManager.clearCache()
+    assert(off.count(_.contains(footer)) == 3)
+  }
 }
