@@ -98,20 +98,83 @@ object Splits {
   def sampleWeighted(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // 63-bit fraction in (0, 1): never exactly 0 (the +0.5) so ln(u) is
-    // finite, never 1 so ln(u) < 0
-    val u = (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
-      .cast("double") + 0.5) / 9.223372036854776e18
-    val key = log(u) / col(weightCol).cast("double")
-    // NaN must be excluded explicitly: Spark's NaN-ordering makes
-    // `NaN > 0` TRUE and sorts the resulting NaN keys above every real
-    // key, so NaN-weight rows (e.g. a degenerate quality score) would
-    // otherwise monopolize the sample
-    df.where(col(weightCol).isNotNull && !isnan(col(weightCol).cast("double")) &&
-        col(weightCol) > 0)
-      .withColumn("__es_key", key)
+    eligible(df, weightCol)
+      .withColumn("__es_key", esKey(idCol, weightCol, seed))
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)
       .drop("__es_key")
+  }
+
+  /** The Efraimidis–Spirtes selection key ln(u)/w (both negative; larger
+    * = closer to 0 = better). 63-bit fraction in (0, 1): never exactly 0
+    * (the +0.5) so ln(u) is finite, never 1 so ln(u) < 0.
+    */
+  private def esKey(idCol: String, weightCol: String, seed: Long): Column = {
+    val u = (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
+      .cast("double") + 0.5) / 9.223372036854776e18
+    log(u) / col(weightCol).cast("double")
+  }
+
+  /** Rows with a usable positive weight. NaN must be excluded
+    * explicitly: Spark's NaN-ordering makes `NaN > 0` TRUE and sorts
+    * the resulting NaN keys above every real key, so NaN-weight rows
+    * (e.g. a degenerate quality score) would otherwise monopolize the
+    * sample.
+    */
+  private def eligible(df: DataFrame, weightCol: String): DataFrame =
+    df.where(col(weightCol).isNotNull && !isnan(col(weightCol).cast("double")) &&
+      col(weightCol) > 0)
+
+  /** [[sampleWeighted]] stratified by `groupCol`: an independent
+    * weighted draw of `k` rows (without replacement) inside every group
+    * — per-source corpus subsampling where a global draw would let one
+    * large domain crowd out the rest.
+    *
+    * Plan shape (the 100 TB story): NOT a window sort. The per-group
+    * winners come from the bounded [[graft.functions.AggF.topKNeighbors]]
+    * aggregate — map-side buffers hold at most k (key, id) entries per
+    * group per partition, so only k·partitions rows per group cross the
+    * wire (a row_number window would sort every group's full row set).
+    * The winning ids then semi-join back, a join AQE broadcasts (the
+    * winner side is ≤ k·groups ids by construction).
+    */
+  def sampleWeightedPerGroup(df: DataFrame, idCol: String, weightCol: String,
+                             groupCol: String, k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val winners = eligible(df, weightCol)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.AggF.topKNeighbors(
+        col(idCol).cast("long"), esKey(idCol, weightCol, seed), k).as("__top"))
+      .select(explode(col("__top")).as("__w"))
+      .select(col("__w.neighbor_id").as("__wid"))
+    df.join(winners, col(idCol).cast("long") === col("__wid"), "left_semi")
+  }
+
+  /** Draw a target MIXTURE: `counts(g)` weighted-sampled rows from each
+    * group `g` (domain/source re-balancing to a prescribed recipe, the
+    * Pile/Dolma-style mixing step). Groups absent from `counts`
+    * contribute nothing; a group smaller than its target yields all its
+    * eligible rows. One aggregate pass sized by the LARGEST target: the
+    * per-group top-max(counts) winners are ranked by the aggregate's
+    * sorted output and cut to each group's own target, so the plan is
+    * identical to [[sampleWeightedPerGroup]] plus a literal-map lookup.
+    */
+  def sampleMixture(df: DataFrame, idCol: String, weightCol: String,
+                    groupCol: String, counts: Map[String, Int],
+                    seed: Long = 0L): DataFrame = {
+    require(counts.nonEmpty, "counts must name at least one group")
+    require(counts.values.forall(_ > 0), s"counts must be positive: $counts")
+    val kmax = counts.values.max
+    val targets = typedLit(counts)
+    val winners = eligible(df, weightCol)
+      .where(col(groupCol).isin(counts.keys.toSeq: _*))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.AggF.topKNeighbors(
+        col(idCol).cast("long"), esKey(idCol, weightCol, seed), kmax).as("__top"))
+      // the aggregate's array is sorted best-first: position = rank
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__rank", "__w")))
+      .where(col("__rank") < element_at(targets, col(groupCol)))
+      .select(col("__w.neighbor_id").as("__wid"))
+    df.join(winners, col(idCol).cast("long") === col("__wid"), "left_semi")
   }
 }

@@ -204,6 +204,69 @@ class SplitsSpec extends SparkSpec {
     assert(wins > 150 && wins < 195, s"heavy item won $wins/200")
   }
 
+  // --- per-group weighted sampling + mixture draws ---
+
+  private def sourced = (0L until 300L)
+    .map(i => (i, s"src${i % 3}", 1.0 + (i % 7))).toDF("id", "src", "w")
+
+  /** Local reference: per-group top-k of the ES key ln(u)/w. */
+  private def localTopK(rows: Seq[(Long, String, Double)], k: Int,
+                        seed: Long = 0L): Map[String, Seq[Long]] = {
+    val keyed = sourced.sparkSession.createDataFrame(rows)
+      .toDF("id", "src", "w")
+      .select(col("id"), col("src"),
+        (log((xxhash64(col("id"), lit(seed)).bitwiseAND(lit(Long.MaxValue))
+          .cast("double") + 0.5) / 9.223372036854776e18) / col("w")).as("key"))
+      .as[(Long, String, Double)].collect()
+    keyed.groupBy(_._2).view.mapValues(
+      _.sortBy { case (id, _, key) => (-key, id) }.take(k).map(_._1).toSeq).toMap
+  }
+
+  test("sampleWeightedPerGroup: k rows per group, equal to the local per-group top-k") {
+    val rows = sourced.as[(Long, String, Double)].collect().toSeq
+    val want = localTopK(rows, 10).values.flatten.toSet
+    val got = Splits.sampleWeightedPerGroup(sourced, "id", "w", "src", 10)
+    val byGroup = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("src0" -> 10L, "src1" -> 10L, "src2" -> 10L))
+    assert(got.select("id").as[Long].collect().toSet == want)
+    // layout independence
+    val again = Splits.sampleWeightedPerGroup(sourced.repartition(7), "id", "w", "src", 10)
+    assert(again.select("id").as[Long].collect().toSet == want)
+    // a group smaller than k yields all its eligible rows
+    val tiny = Seq((1L, "a", 1.0), (2L, "a", 0.0), (3L, "b", 2.0)).toDF("id", "src", "w")
+    val all = Splits.sampleWeightedPerGroup(tiny, "id", "w", "src", 5)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 3L)) // weight-0 row ineligible
+  }
+
+  test("sampleMixture: per-group targets honored; absent groups contribute nothing") {
+    val counts = Map("src0" -> 25, "src1" -> 5)
+    val got = Splits.sampleMixture(sourced, "id", "w", "src", counts)
+    val byGroup = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("src0" -> 25L, "src1" -> 5L)) // src2 absent
+    // each group's draw is the same ids sampleWeightedPerGroup picks at
+    // that group's own k (one aggregate pass must not distort ranks)
+    val rows = sourced.as[(Long, String, Double)].collect().toSeq
+    val local = localTopK(rows, 25)
+    val gotIds = got.select("id").as[Long].collect().toSet
+    assert(gotIds == (local("src0").take(25) ++ local("src1").take(5)).toSet)
+    // a target above the group size returns the whole group
+    val greedy = Splits.sampleMixture(sourced, "id", "w", "src", Map("src0" -> 500))
+    assert(greedy.count() == 100)
+  }
+
+  test("per-group sampling plan: bounded aggregate + broadcast semi join, no window sort") {
+    val dir = java.nio.file.Files.createTempDirectory("wsample").toString
+    sourced.write.mode("overwrite").parquet(s"$dir/docs")
+    val corpus = spark.read.parquet(s"$dir/docs")
+    val out = Splits.sampleWeightedPerGroup(corpus, "id", "w", "src", 10)
+    out.collect(): Unit // AQE decides the semi-join strategy at runtime
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_topk_neighbors"), s"expected bounded top-k aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"per-group sampling must not sort via a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"winner semi join should broadcast:\n$plan")
+  }
+
   test("sampleWeighted: non-positive, null and NaN weights are excluded; plan is top-k") {
     // NaN matters: Spark orders NaN above every real value, so `w > 0`
     // is TRUE for NaN and an unfiltered NaN key would sort first and

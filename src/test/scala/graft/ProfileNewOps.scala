@@ -64,6 +64,12 @@ import graft.text.{Decontaminate, TextOps}
   * Both strongly sublinear: packing is one hash shuffle + per-partition
   * O(n log n) best-fit, wsample a map-side top-k whose reduce is
   * k·partitions rows regardless of corpus size.
+  *
+  * Per-group sampling (sampleWeightedPerGroup, k=1000 over `source`):
+  *   ×30 base 1.20 s scaled 1.78 ratio 1.49; ×81 base 1.25 s scaled
+  *   3.99 ratio 3.18 (gate 97) — the bounded topKNeighbors buffers keep
+  *   the exchanged volume at k·partitions rows per group, and the
+  *   winner semi join broadcasts.
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {
@@ -136,11 +142,20 @@ object ProfileNewOps {
         .agg(sum(col("q"))).collect(): Unit
     }
 
+    def wsampleGrp(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("q"))
+      graft.ml.Splits.sampleWeightedPerGroup(d, "doc_id", "q", "source", 1000)
+        .agg(sum(col("q"))).collect(): Unit
+    }
+
     val all = Seq[(String, String => Unit)](
       "repetition" -> repetition, "redact" -> redact,
       "redact_hof" -> redactHof, "decontam" -> decontam,
       "pipeline_full" -> pipelineFull, "linededup" -> linededup,
-      "packing" -> packing, "wsample" -> wsample)
+      "packing" -> packing, "wsample" -> wsample,
+      "wsample_grp" -> wsampleGrp)
     // SPARK_GRAFT_PROFILE_ONLY=a,b — measure a subset (blank = all)
     val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
