@@ -55,6 +55,41 @@ object Decontaminate {
       .withColumn("overlap", col("hits") / col("n_shingles"))
   }
 
+  /** The INVERSE report — contamination attributed to the benchmark
+    * side: one row per benchmark item sharing ≥ 1 distinct
+    * `shingleWidth`-gram with any corpus document — (benchIdCol,
+    * n_grams = the item's distinct gram count, grams_hit = how many of
+    * them occur in the corpus, coverage = grams_hit / n_grams, n_docs =
+    * distinct corpus documents sharing ≥ 1 gram). The eval-integrity
+    * audit: [[report]] answers "which training docs must go",
+    * this answers "which benchmark items are already burned, and how
+    * badly". Clean items emit NO row.
+    *
+    * Same scale shape as [[report]]: the benchmark's (item, gram) pairs
+    * broadcast; the corpus is one scan through the shingle head and a
+    * broadcast join whose OUTPUT — hit rows only — is all that
+    * shuffles into the per-item aggregate.
+    */
+  def benchReport(corpus: DataFrame, idCol: String, textCol: String,
+                  benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+                  shingleWidth: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(col(benchIdCol),
+        array_distinct(TextOps.wsShingleHashes(col(benchTextCol), shingleWidth)).as("__hs"))
+      .select(col(benchIdCol), size(col("__hs")).as("n_grams"),
+        explode(col("__hs")).as("__h"))
+    corpus
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(TextOps.wsShingleHashes(col(textCol), shingleWidth))).as("__h"))
+      .join(broadcast(bench), "__h")
+      // n_grams is functionally dependent on the item id; grouping on
+      // both avoids a first() aggregate
+      .groupBy(col(benchIdCol), col("n_grams"))
+      .agg(countDistinct(col("__h")).as("grams_hit"),
+        countDistinct(col("__doc")).as("n_docs"))
+      .withColumn("coverage", col("grams_hit") / col("n_grams"))
+  }
+
   /** The corpus minus documents whose benchmark n-gram overlap exceeds
     * `maxOverlap` (default 0.0 = any shared `shingleWidth`-gram drops
     * the document). Column set of `corpus` is preserved.

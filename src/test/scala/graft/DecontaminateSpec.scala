@@ -76,6 +76,33 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("benchReport attributes contamination to the benchmark items that leaked") {
+    val rep = Decontaminate.benchReport(corpus, "id", "text", benchmark, "qid", "question")
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Int]("n_grams"), r.getAs[Long]("grams_hit"),
+          r.getAs[Double]("coverage"), r.getAs[Long]("n_docs")))).toMap
+    // every benchmark row leaked somewhere in this corpus; attribution:
+    // row 1 (15 tokens, 8 grams) fully embedded in doc 10; row 2 shares
+    // exactly its first 8-gram with doc 12; row 3 (14 tokens, 7 grams)
+    // fully embedded in doc 15 (and doc 14's numeric change hits none)
+    assert(rep.keySet == Set(1L, 2L, 3L), s"got $rep")
+    assert(rep(1L) == ((8, 8L, 1.0, 1L)), s"row1: ${rep(1L)}")
+    assert(rep(2L)._1 == 7 && rep(2L)._2 == 1L && rep(2L)._4 == 1L)
+    assert(math.abs(rep(2L)._3 - 1.0 / 7) < 1e-12)
+    assert(rep(3L) == ((7, 7L, 1.0, 1L)), s"row3: ${rep(3L)}")
+    // n_docs counts DISTINCT docs: a second doc leaking row 1 bumps it
+    val extra = corpus.union(Seq(
+      (16L, s"another page carrying $benchSentence verbatim once more")).toDF("id", "text"))
+    val rep2 = Decontaminate.benchReport(extra, "id", "text", benchmark, "qid", "question")
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_docs")).toMap
+    assert(rep2(1L) == 2L && rep2(2L) == 1L && rep2(3L) == 1L)
+    // plan: benchmark side broadcasts, corpus is never cartesian'd
+    val plan = Decontaminate.benchReport(corpus, "id", "text", benchmark, "qid", "question")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the membership test plans as a broadcast join") {
     val rep = Decontaminate.report(corpus, "id", "text", benchmark, "question")
     val plan = rep.queryExecution.executedPlan.toString

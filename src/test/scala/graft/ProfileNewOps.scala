@@ -65,6 +65,11 @@ import graft.text.{Decontaminate, TextOps}
   * O(n log n) best-fit, wsample a map-side top-k whose reduce is
   * k·partitions rows regardless of corpus size.
   *
+  * Benchmark-side leak report (benchReport, 200-item bench):
+  *   ×30 ratio 1.27, ×81 ratio 1.63 — overhead-bound like decontam
+  *   (same broadcast membership shape; only hit rows reach the
+  *   per-item countDistinct).
+  *
   * Per-group sampling (sampleWeightedPerGroup, k=1000 over `source`):
   *   ×30 base 1.20 s scaled 1.78 ratio 1.49; ×81 base 1.25 s scaled
   *   3.99 ratio 3.18 (gate 97) — the bounded topKNeighbors buffers keep
@@ -111,6 +116,14 @@ object ProfileNewOps {
       Decontaminate.decontaminate(d, "doc_id", "text", bench, "q")
         .agg(count(lit(1))).collect(): Unit
     }
+    def benchReport(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val bench = spark.read.parquet(s"$base/documents.parquet")
+        .orderBy("doc_id").limit(200)
+        .select(col("doc_id").as("qid"), col("text").as("q"))
+      Decontaminate.benchReport(d, "doc_id", "text", bench, "qid", "q")
+        .agg(sum(col("n_docs")), sum(col("coverage"))).collect(): Unit
+    }
     def pipelineFull(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
       val bench = spark.read.parquet(s"$base/documents.parquet")
@@ -153,6 +166,7 @@ object ProfileNewOps {
     val all = Seq[(String, String => Unit)](
       "repetition" -> repetition, "redact" -> redact,
       "redact_hof" -> redactHof, "decontam" -> decontam,
+      "benchreport" -> benchReport,
       "pipeline_full" -> pipelineFull, "linededup" -> linededup,
       "packing" -> packing, "wsample" -> wsample,
       "wsample_grp" -> wsampleGrp)
