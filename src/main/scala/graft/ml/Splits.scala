@@ -138,9 +138,22 @@ object Splits {
     * The winning ids then semi-join back, a join AQE broadcasts (the
     * winner side is ≤ k·groups ids by construction).
     */
+  /** The per-group paths route winner ids through a long-typed
+    * aggregate and join them back BY VALUE, so the id column must be
+    * integral — a silent cast would null out string ids (empty sample)
+    * or collapse distinct decimals onto one long (over-sized sample).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+      s"per-group sampling needs an int/long id column; '$idCol' is $dt")
+  }
+
   def sampleWeightedPerGroup(df: DataFrame, idCol: String, weightCol: String,
                              groupCol: String, k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireIntegralId(df, idCol)
     val winners = eligible(df, weightCol)
       .groupBy(col(groupCol))
       .agg(graft.functions.AggF.topKNeighbors(
@@ -164,6 +177,12 @@ object Splits {
                     seed: Long = 0L): DataFrame = {
     require(counts.nonEmpty, "counts must name at least one group")
     require(counts.values.forall(_ > 0), s"counts must be positive: $counts")
+    requireIntegralId(df, idCol)
+    // the recipe keys are strings, so the group column must be too — an
+    // implicit cast would silently match on number rendering
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"sampleMixture keys its recipe by string group values; '$groupCol' is " +
+        s"${df.schema(groupCol).dataType}")
     val kmax = counts.values.max
     val targets = typedLit(counts)
     val winners = eligible(df, weightCol)

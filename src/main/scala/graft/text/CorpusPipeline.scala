@@ -79,22 +79,30 @@ object CorpusPipeline {
             maxOverlap: Double = 0.0,
             lineDedupMinDocs: Option[Int] = None): DataFrame = {
     // stage 0 (opt-in) — cross-document boilerplate-line scrub on the
-    // RAW corpus; everything downstream sees the de-boilerplated text
-    val input = lineDedupMinDocs.fold(corpus)(n =>
-      LineDedup.dedupLines(corpus, idCol, textCol, minDocs = n)
+    // RAW corpus; everything downstream sees the de-boilerplated text.
+    // pinWidth wraps the RAW corpus in both arms (never the dedupLines
+    // output): its toRdd width probe is free on a scan but under AQE
+    // would MATERIALIZE every shuffle stage of the line-dedup subtree at
+    // construction time — and the pinned input also restores full-width
+    // compute for the fused kernels downstream of stage 0's patch join,
+    // which preserves the stream side's (possibly 1-split) partitioning.
+    val pinned = graft.core.Tables.pinWidth(corpus)
+    val input = lineDedupMinDocs.fold(pinned)(n =>
+      LineDedup.dedupLines(pinned, idCol, textCol, minDocs = n)
         .drop("lines_removed"))
     // stage 1+2+3 — ONE fused projection of every per-doc kernel over
     // the corpus scan, gated in the same codegen stage. The redacted
     // text replaces the raw text for every downstream stage: dedup keys,
     // near-dup shingles and benchmark overlap all see what a training
     // run would see.
-    // pinWidth: the fused kernel projection is the plan's serial head —
-    // on an under-split scan it would run at scan width (the t_pipeline
-    // pathology, Tables.pinWidth scaladoc). Measured in ProfileNewOps'
-    // interleaved A/B: 2.54 → 2.14 s at sf0.1, 9.93 → 8.99 s at ×30;
-    // a corpus-scale scan has thousands of splits, where this is a no-op.
+    // The `pinned` upstream matters here: the fused kernel projection is
+    // the plan's serial head — on an under-split scan it would run at
+    // scan width (the t_pipeline pathology, Tables.pinWidth scaladoc).
+    // Measured in ProfileNewOps' interleaved A/B: 2.54 → 2.14 s at
+    // sf0.1, 9.93 → 8.99 s at ×30; a corpus-scale scan has thousands of
+    // splits, where the pin is a no-op.
     val text = col(textCol)
-    val scored = graft.core.Tables.pinWidth(input).select(
+    val scored = input.select(
       col(idCol),
       TextOps.redactPii(text).as(textCol),
       TextOps.langId(text).as("pred_lang"),

@@ -42,10 +42,25 @@ object LineDedup {
     corpus.select(col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
 
+  /** ASCII whitespace trimmed off both ends for the frequency key —
+    * EXPLICIT char set, because Spark's one-arg `trim` strips spaces
+    * only: a CRLF corpus leaves '\r' on every split line, and a
+    * tab-indented copy of a banner must still match its space-indented
+    * twin.
+    */
+  private val TrimChars = " \t\r\f"
+
   private def candidateKey(minLineChars: Int): Column = {
-    val t = trim(col("__line"))
+    val t = trim(col("__line"), TrimChars)
     when(length(t) >= minLineChars, t) // null (never joins) when exempt
   }
+
+  /** Column names this operator uses internally around the patch join;
+    * a caller column with one of these names would be silently consumed
+    * (drop-by-name drops ALL matches), so they are rejected up front.
+    */
+  private val Reserved =
+    Seq("__id", "__pos", "__line", "__key", "__newtext", "__removed")
 
   /** Diagnostic report: the boilerplate lines themselves — one row per
     * trimmed line text occurring in ≥ `minDocs` distinct documents,
@@ -66,11 +81,25 @@ object LineDedup {
     * the surviving lines rejoined with '\n' in original order (documents
     * whose every line is boilerplate keep an empty text), and a
     * `lines_removed` count is appended. All other columns pass through.
+    * The internal hit set stays persisted while the returned frame is
+    * live; use [[dedupLinesWithRelease]] when cleaning many corpora in
+    * one session.
     */
   def dedupLines(corpus: DataFrame, idCol: String, textCol: String,
-                 minDocs: Int = 2, minLineChars: Int = 4): DataFrame = {
+                 minDocs: Int = 2, minLineChars: Int = 4): DataFrame =
+    dedupLinesWithRelease(corpus, idCol, textCol, minDocs, minLineChars)._1
+
+  /** [[dedupLines]] plus a release handle that unpersists the internal
+    * hit-set cache (the [[NearDup.minHashDedupWithRelease]] shape) —
+    * call it after materializing the result; later re-evaluations of
+    * the returned frame stay correct, they just recompute the hits.
+    */
+  def dedupLinesWithRelease(corpus: DataFrame, idCol: String, textCol: String,
+                            minDocs: Int = 2, minLineChars: Int = 4): (DataFrame, () => Unit) = {
     require(!corpus.columns.contains("lines_removed"),
       "input already has a 'lines_removed' column — drop or rename it first")
+    Reserved.foreach(r => require(!corpus.columns.contains(r),
+      s"column name '$r' is reserved by dedupLines — rename it first"))
     val frequent = frequentLines(corpus, idCol, textCol, minDocs, minLineChars)
       .select(col("line").as("__key"))
     // hit (doc, pos) rows only: clean documents contribute nothing past
@@ -78,9 +107,7 @@ object LineDedup {
     // consumers (affected-id semi join, kept-line anti join, removal
     // counts) would each re-derive the whole frequency subtree — two
     // extra corpus passes — and the hit set is ∝ boilerplate, not the
-    // corpus. Pinned while the returned frame is live; a long-running
-    // session releases it after materializing (same contract as
-    // [[CorpusPipeline.clean]]'s survivor persist).
+    // corpus.
     val hits = linesOf(corpus, idCol, textCol)
       .join(frequent, candidateKey(minLineChars) === col("__key"))
       .select(col("__id"), col("__pos"))
@@ -105,10 +132,11 @@ object LineDedup {
           .otherwise(col(textCol)).as(textCol)
       case c => col(c)
     } :+ coalesce(col("__removed"), lit(0L)).as("lines_removed")
-    corpus
+    val out = corpus
       .join(rebuilt, col(idCol) === rebuilt("__id"), "left")
       .drop("__id")
       .join(removed, col(idCol) === removed("__id"), "left")
       .select(outCols.toIndexedSeq: _*)
+    (out, () => { hits.unpersist(); () })
   }
 }

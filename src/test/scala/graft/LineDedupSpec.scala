@@ -71,6 +71,41 @@ class LineDedupSpec extends SparkSpec {
     strict.foreach(t => assert(!t.contains("---")))
   }
 
+  test("CRLF and tab-indented copies of a banner match the LF/space form") {
+    // split('\n') leaves '\r' on CRLF lines and copies may be
+    // tab-indented; the frequency key must still unify them (Spark's
+    // one-arg trim strips spaces ONLY — this is the regression case)
+    val d = Seq(
+      (1L, s"$banner\r\nwindows doc body stays"),
+      (2L, s"\t$banner\t\nunix doc body remains"),
+      (3L, s"$banner\nplain doc body survives")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(d, "doc_id", "text")
+      .select("doc_id", "text", "lines_removed").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (("windows doc body stays", 1L)), s"got ${out(1L)}")
+    assert(out(2L) == (("unix doc body remains", 1L)))
+    assert(out(3L) == (("plain doc body survives", 1L)))
+  }
+
+  test("reserved internal column names and a pre-existing lines_removed are rejected") {
+    val clash = docs.withColumn("__id", col("doc_id"))
+    intercept[IllegalArgumentException](LineDedup.dedupLines(clash, "doc_id", "text"))
+    val counted = docs.withColumn("lines_removed", lit(0L))
+    intercept[IllegalArgumentException](LineDedup.dedupLines(counted, "doc_id", "text"))
+  }
+
+  test("dedupLinesWithRelease: release unpersists the hit cache; the frame stays correct") {
+    spark.sharedState.cacheManager.clearCache() // isolate from earlier tests
+    val (out, release) = LineDedup.dedupLinesWithRelease(docs, "doc_id", "text")
+    val before = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!spark.sharedState.cacheManager.isEmpty, "hit set should be cached")
+    release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must drop the internal hit cache")
+    // re-evaluation after release recomputes and agrees
+    assert(out.select("doc_id", "text").as[(Long, String)].collect().toMap == before)
+  }
+
   test("differential: equals a local recomputation on a generated corpus") {
     val corpus = (0L until 120L).map { i =>
       val own = (0 until (i % 4 + 1).toInt)

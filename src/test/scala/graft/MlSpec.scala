@@ -255,6 +255,22 @@ class SplitsSpec extends SparkSpec {
     assert(greedy.count() == 100)
   }
 
+  test("per-group sampling rejects non-integral ids; mixture rejects non-string groups") {
+    // a silent cast("long") would null string ids (empty sample) or
+    // collapse decimals onto one long (over-sized sample)
+    val strId = Seq(("a", "g", 1.0), ("b", "g", 2.0)).toDF("id", "src", "w")
+    intercept[IllegalArgumentException](
+      Splits.sampleWeightedPerGroup(strId, "id", "w", "src", 1))
+    intercept[IllegalArgumentException](
+      Splits.sampleMixture(strId, "id", "w", "src", Map("g" -> 1)))
+    val intGroup = Seq((1L, 3, 1.0), (2L, 3, 2.0)).toDF("id", "src", "w")
+    intercept[IllegalArgumentException](
+      Splits.sampleMixture(intGroup, "id", "w", "src", Map("3" -> 1)))
+    // int ids are fine (they join back exactly)
+    val intId = Seq((1, "g", 1.0), (2, "g", 2.0)).toDF("id", "src", "w")
+    assert(Splits.sampleWeightedPerGroup(intId, "id", "w", "src", 1).count() == 1)
+  }
+
   test("per-group sampling plan: bounded aggregate + broadcast semi join, no window sort") {
     val dir = java.nio.file.Files.createTempDirectory("wsample").toString
     sourced.write.mode("overwrite").parquet(s"$dir/docs")

@@ -39,6 +39,9 @@ import graft.text.{Decontaminate, TextOps}
   * near dedup → decontaminate), measured after the PLANS
   * t_pipeline__full row landed: base 2.40 s, ×30 9.38 s ratio 3.91
   * (gate 36), ×81 25.67 s ratio 8.92 (gate 97) — strongly sublinear;
+  * re-measured after the ntok-on-redacted-text fix at 2.35 / 9.91 /
+  * 4.21 (same session spread — the extra redactPii occurrence is
+  * shared by subexpression elimination, cost-neutral as predicted);
   * the near-dup stage's banded-candidate work dominates and scales
   * like t_minhash/t_dupgroups, the per-doc kernel stages are
   * overhead-bound.
