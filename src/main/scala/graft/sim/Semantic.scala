@@ -1,0 +1,199 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorF
+
+/** SemDeDup-style semantic deduplication over an embedding column: a
+  * k-means coarse clustering partitions the embedding space, candidate
+  * pairs are generated only WITHIN a shared cluster, and exact cosine
+  * rescoring keeps pairs ≥ `threshold` (Abbas et al. 2023, "SemDeDup:
+  * Data-efficient learning at web-scale through semantic
+  * deduplication"). No reference analog — builder-brief surface, like
+  * the rest of `graft.sim`.
+  *
+  * This is the complementary scale path to the LSH-bucketed
+  * [[Similarity.cosineDups]]: LSH bounds candidates by signature
+  * collision probability, which is tuned for NEAR-VERBATIM duplicates
+  * (cos ≳ 0.95 — a fixed-plane signature's collision odds fall
+  * exponentially in the angle), while the cluster scope stays usable at
+  * SEMANTIC-duplicate thresholds (cos ~0.7–0.9, paraphrases and
+  * re-crawls rather than byte-twins) where an LSH table would need
+  * impractically many OR-ed bands to hold recall. The trade is
+  * boundary recall: a pair straddling a Voronoi boundary is missed at
+  * `nProbe = 1` (the paper's formulation); `nProbe > 1` soft-assigns
+  * every vector to its `nProbe` nearest lists, so only pairs with NO
+  * shared probed list are missed — the candidate volume grows ∝ nProbe.
+  *
+  * Scale shape (the 100 TB story):
+  *   - quantizer fit is on a bounded sample ([[Similarity.fitQuantizer]]
+  *     — never a corpus scan beyond one count);
+  *   - assignment is the zero-shuffle broadcast-centroid kernel
+  *     ([[Similarity.nearestLists]]) — no N×nLists row materialization;
+  *   - candidate generation is one equi-join on the list id over
+  *     id-only rows; with lists ∝ corpus ([[Capacity.ivfNLists]],
+  *     [[semanticDupsAuto]]) per-list occupancy — and so per-list pair
+  *     count — is constant in corpus size;
+  *   - `maxList` drops degenerate clusters (a near-identical crawl
+  *     shard collapses into one list and would emit b² pairs) from pair
+  *     generation, the same guard as `cosineDups`' `maxBucket`;
+  *   - vectors re-join AFTER candidate generation — only id pairs
+  *     shuffle.
+  */
+object Semantic {
+
+  /** Semantic near-duplicate pairs: all (id_a < id_b) with cosine ≥
+    * `threshold` among vectors sharing ≥ 1 of their `nProbe` nearest
+    * k-means lists. Deterministic for a fixed seed. Returns
+    * (id_a, id_b, cos).
+    */
+  def semanticDups(vecs: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nLists: Int = 16, nProbe: Int = 1,
+                   seed: Long = 42L, maxList: Int = Int.MaxValue): DataFrame = {
+    val (pairs, _, _, _) = dupsParts(vecs, idCol, vecCol, threshold, nLists,
+      nProbe, seed, maxList)
+    pairs
+  }
+
+  /** [[semanticDups]] with the list count chosen from the corpus size
+    * ([[Capacity.ivfNLists]]: lists ∝ corpus at ~125 rows/list keeps
+    * per-list pair volume constant). `corpusRows` is an explicit caller
+    * estimate — no hidden `count()`.
+    */
+  def semanticDupsAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, corpusRows: Long, nProbe: Int = 1,
+                       seed: Long = 42L, maxList: Int = Int.MaxValue): DataFrame =
+    semanticDups(vecs, idCol, vecCol, threshold,
+      nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed,
+      maxList = maxList)
+
+  /** Pairs + the frames the keep-policy re-pick needs: (pairs, prepped
+    * vectors (persisted), nearest-list assignment (id, list) — one row
+    * per vector, its single nearest list; maxList-capped vectors may be
+    * absent at nProbe = 1, but capped vectors have no pairs and so no
+    * group membership either — and the fitted centroid frame).
+    */
+  private def dupsParts(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nLists: Int, nProbe: Int,
+                        seed: Long, maxList: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(threshold >= -1.0 && threshold <= 1.0, s"cosine threshold: $threshold")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    // the operator keys candidate rows by an internal "list" column
+    require(idCol != "list" && idCol != "cos",
+      s"id column name '$idCol' is reserved by semanticDups — rename it first")
+    import org.apache.spark.ml.functions.array_to_vector
+    // persisted: feeds the quantizer sample, the assignment pass, and
+    // both rescore joins (the ivfTopK convention — same lifetime note)
+    val v = Similarity.prepped(vecs, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nLists = 1 is the exactness degenerate (candidate scope = all
+    // pairs) and MLlib requires k >= 2 — its one centroid is the global
+    // mean directly (what a k=1 Lloyd step converges to), so the
+    // keepFarthest policy stays well-defined
+    val centroids = if (nLists == 1) {
+      import v.sparkSession.implicits._
+      val mean = v.select(posexplode(col("__v")))
+        .groupBy("pos").agg(avg("col").as("m"))
+        .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+      v.sparkSession.createDataFrame(Seq((0, mean))).toDF("list", "centroid")
+    } else {
+      val feats = v.select(col(idCol), array_to_vector(col("__v")).as("features"))
+      Similarity.centroidFrame(v.sparkSession,
+        Similarity.fitQuantizer(feats, nLists, seed))
+    }
+    // soft assignment: each vector's nProbe nearest lists from ONE
+    // broadcast-kernel projection (no shuffle, no MLlib transform pass)
+    val near = Similarity.nearestLists(v, idCol, centroids, nProbe)
+    def assignedFirst = near.select(col(idCol), element_at(col("lists"), 1).as("list"))
+    val member = if (nProbe == 1) assignedFirst
+      else near.select(col(idCol), explode(col("lists")).as("list"))
+    val bounded0 = if (maxList == Int.MaxValue) member else {
+      val w = Window.partitionBy("list")
+      member.withColumn("__lsz", count(lit(1)).over(w))
+        .where(col("__lsz") <= maxList).drop("__lsz")
+    }
+    // persisted: the self-join below references the assignment twice
+    // (once per side) and Catalyst duplicates lineage — uncached, the
+    // N·nLists nearest-centroid arithmetic (the job's inherent CPU at
+    // corpus scale) would run twice. The cached frame is (id, int) rows.
+    val bounded = bounded0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bounded.select(col(idCol).as("id_a"), col("list"))
+    val b = bounded.select(col(idCol).as("id_b"), col("list"))
+    val joined = a.join(b, "list").where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // nProbe = 1: each id is in exactly one list, pairs unique by
+    // construction — no dedup shuffle (the ivfTopK argument)
+    val cands = if (nProbe == 1) joined else joined.distinct()
+    val pairs = cands
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+    // assignment frame for the keep-policy re-pick: at nProbe = 1 the
+    // cached member frame IS the nearest-list assignment (reused — no
+    // second kernel pass); multi-probe recomputes the first element
+    // (keepFarthest + nProbe > 1 only)
+    val assignment = if (nProbe == 1) bounded else assignedFirst
+    (pairs, v, assignment, centroids)
+  }
+
+  /** Semantic dedup keep/drop decisions: connected components over the
+    * [[semanticDups]] pair graph ([[graft.text.NearDup.dupGroups]] —
+    * A≈B and B≈C group A,B,C even if A,C never matched), one canonical
+    * keeper per group. Returns (doc_id, keep_id, group_size); docs with
+    * no semantic dup are absent (they keep themselves).
+    *
+    * Keep policy: by default the group's smallest id (the engine-wide
+    * `dupGroups` convention — deterministic, join-free).
+    * `keepFarthest = true` applies the SemDeDup paper's policy instead:
+    * within each group keep the member FARTHEST (L2) from its cluster
+    * centroid — low-similarity-to-centroid examples preserve diversity
+    * (paper §4.1); ties break to the smallest id. The re-pick runs on
+    * the dup subset only (∝ near-dup rate, per-mille at web scale),
+    * never the corpus.
+    */
+  /** [[semanticDedup]] with the list count chosen from the corpus size
+    * ([[Capacity.ivfNLists]]), like [[semanticDupsAuto]].
+    */
+  def semanticDedupAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, corpusRows: Long, nProbe: Int = 1,
+                        seed: Long = 42L, maxList: Int = Int.MaxValue,
+                        keepFarthest: Boolean = false): DataFrame =
+    semanticDedup(vecs, idCol, vecCol, threshold,
+      nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed,
+      maxList = maxList, keepFarthest = keepFarthest)
+
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nLists: Int = 16, nProbe: Int = 1,
+                    seed: Long = 42L, maxList: Int = Int.MaxValue,
+                    keepFarthest: Boolean = false): DataFrame = {
+    val (pairs, v, assignedFirst, centroids) = dupsParts(vecs, idCol, vecCol,
+      threshold, nLists, nProbe, seed, maxList)
+    val groups = graft.text.NearDup.dupGroups(pairs)
+    if (!keepFarthest) groups
+    else {
+      // distance to own centroid for the dup subset only: semi-join the
+      // grouped ids, then one broadcast-centroid join. d² suffices for
+      // the argmax (monotone) — no sqrt.
+      val sub = v.join(groups.select(col("doc_id").as(idCol)), idCol)
+        .join(assignedFirst, idCol)
+        .join(broadcast(centroids), "list")
+        .select(col(idCol).as("doc_id"),
+          (VectorF.dotp(col("__v"), col("__v"))
+            + VectorF.dotp(col("centroid"), col("centroid"))
+            - lit(2.0) * VectorF.dotp(col("__v"), col("centroid"))).as("__d2"))
+      // argmax by (d², -id): max distance, ties to the smallest id
+      val keepers = groups.join(sub, "doc_id")
+        .groupBy(col("keep_id").as("__grp"))
+        .agg(max(struct(col("__d2"), (-col("doc_id")).as("__nid"),
+          col("doc_id").as("__keep"))).as("m"))
+        .select(col("__grp"), col("m.__keep").as("__newkeep"))
+      groups.join(keepers, groups("keep_id") === keepers("__grp"))
+        .select(col("doc_id"), col("__newkeep").as("keep_id"), col("group_size"))
+    }
+  }
+}

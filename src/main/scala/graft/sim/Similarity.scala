@@ -40,7 +40,7 @@ object Similarity {
   /** Per-row prep shared by the exact and LSH paths: vector cast to
     * `array<double>` once, L2 norm computed once.
     */
-  private def prepped(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[sim] def prepped(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", sqrt(VectorF.dotp(col("__v"), col("__v"))))
 
@@ -253,6 +253,37 @@ object Similarity {
         .select(col(idCol), transform(col("__near"), x => x.getField("list")).as("lists"))
   }
 
+  /** Bounded-sample k-means coarse quantizer shared by [[ivfTopK]] and
+    * [[Semantic]]. A coarse quantizer doesn't need a converged
+    * clustering — recall comes from probing `nProbe` lists, not centroid
+    * quality. Random init (one pass) + few Lloyd iterations replaces
+    * k-means|| init + 20 iterations: same recall (spec-pinned >=0.9),
+    * ~3x fewer jobs. Trains on a bounded SAMPLE: at 100 TB the Lloyd
+    * iterations must not scan the corpus — ~3k points per centroid fixes
+    * quantizer quality independently of corpus size (the caller's
+    * assignment pass still covers every vector). Small corpora
+    * (< ~3k/list) train on everything, keeping k <= n at every scale.
+    */
+  private[sim] def fitQuantizer(feats: DataFrame, nLists: Int, seed: Long)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    val sampleTarget = nLists * 3000L
+    val n = feats.count()
+    val train = if (n > sampleTarget)
+      feats.sample(withReplacement = false, sampleTarget.toDouble / n, seed)
+    else feats
+    new KMeans().setK(math.min(nLists.toLong, n).toInt).setSeed(seed)
+      .setInitMode("random").setMaxIter(5).setTol(1e-3)
+      .fit(train)
+  }
+
+  /** The fitted centroids as a (list, centroid: array<double>) frame. */
+  private[sim] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame =
+    spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("list", "centroid")
+
   /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (the inverted
     * lists); each query probes its `nProbe` nearest centroids and scores
@@ -264,33 +295,14 @@ object Similarity {
     */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = prepped(vecs, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feats = v.select(col(idCol), array_to_vector(col("__v")).as("features"))
-    // a coarse quantizer doesn't need a converged clustering — recall
-    // comes from probing nProbe lists, not centroid quality. Random init
-    // (one pass) + few Lloyd iterations replaces k-means|| init + 20
-    // iterations: same recall (spec-pinned >=0.9), ~3x fewer jobs.
-    // Train on a bounded SAMPLE: at 100 TB the Lloyd iterations must not
-    // scan the corpus — ~3k points per centroid fixes quantizer quality
-    // independently of corpus size (the assignment pass below still
-    // covers every vector). Small corpora (< ~20/list) train on
-    // everything, keeping k <= n at every scale factor.
-    val sampleTarget = nLists * 3000L
-    val n = feats.count()
-    val train = if (n > sampleTarget)
-      feats.sample(withReplacement = false, sampleTarget.toDouble / n, seed)
-    else feats
-    val model = new KMeans().setK(math.min(nLists.toLong, n).toInt).setSeed(seed)
-      .setInitMode("random").setMaxIter(5).setTol(1e-3)
-      .fit(train)
+    val model = fitQuantizer(feats, nLists, seed)
     val assigned = model.transform(feats)
       .select(col(idCol), col("prediction").as("list"))
-    val centroids = v.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("list", "centroid")
+    val centroids = centroidFrame(v.sparkSession, model)
     // probe the nProbe nearest centroids per query: per-row ranking over
     // the broadcast centroid array (see nearestLists) — the N·nLists
     // distance arithmetic runs inside one projection instead of

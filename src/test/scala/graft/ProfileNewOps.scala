@@ -158,6 +158,15 @@ object ProfileNewOps {
         .agg(sum(col("q"))).collect(): Unit
     }
 
+    def semdedup(dir: String): Unit = {
+      val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = v.count() // profile-side capacity estimate (the Auto APIs take it as an argument)
+      graft.sim.Semantic.semanticDedupAuto(v, "vec_id", "embedding", 0.9, n)
+        .agg(count(lit(1)), sum(col("group_size"))).collect(): Unit
+      // the op persists the prepped vectors + the (id, list) assignment
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     def wsampleGrp(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
@@ -172,7 +181,7 @@ object ProfileNewOps {
       "benchreport" -> benchReport,
       "pipeline_full" -> pipelineFull, "linededup" -> linededup,
       "packing" -> packing, "wsample" -> wsample,
-      "wsample_grp" -> wsampleGrp)
+      "wsample_grp" -> wsampleGrp, "semdedup" -> semdedup)
     // SPARK_GRAFT_PROFILE_ONLY=a,b — measure a subset (blank = all)
     val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
