@@ -29,7 +29,8 @@ object PlanAudit {
     "w11_smooth" -> "dense rebalance grid: dates × permnos dimension cross (both provably-small dims)",
     "g_info__distributed" -> "crossJoins of 1-row summary aggregates (edge count, component count)",
     "g_community" -> "crossJoins of 1-row modularity/coverage aggregates",
-    "a10_kpp__bydate" -> "rel-window expansion: events × 13-row broadcast range cross"
+    "a10_kpp__bydate" -> "rel-window expansion: events × 13-row broadcast range cross",
+    "t_semdedup__full" -> "crossJoin of the 1-row broadcast centroid-array frame: per-row quantizer assignment (the s_ivf2 shape)"
   )
 
   /** Audit-only frames for plan shapes the catalog queries hide from the
@@ -62,7 +63,15 @@ object PlanAudit {
     // hits-only rebuild shape (no cartesian, corpus text never shuffled)
     "t_linededup__full" -> ((s: SparkSession, dir: String) =>
       graft.text.LineDedup.dedupLines(
-        graft.core.Tables.documents(s, dir), "doc_id", "text"))
+        graft.core.Tables.documents(s, dir), "doc_id", "text")),
+    // spec-only SemDeDup-style clustered semantic dedup: audit the pair
+    // generation (quantizer assignment, candidate equi-join, rescore
+    // joins). semanticDedup itself ends in dupGroups' checkpointed
+    // iteration, which leaves no plan to audit — the g_hits story.
+    "t_semdedup__full" -> ((s: SparkSession, dir: String) =>
+      graft.sim.Semantic.semanticDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        0.9, nLists = 8))
   )
 
   def main(args: Array[String]): Unit = {
@@ -140,7 +149,12 @@ object PlanAudit {
     md ++= "decontaminate) — spec-only (catalog frozen at 88) but the flagship\n"
     md ++= "end-to-end 100 TB shape; its cached counts are the persisted scored\n"
     md ++= "survivors that keep the corpus scan + kernel projection at one\n"
-    md ++= "execution across the three downstream consumers.\n\n"
+    md ++= "execution across the three downstream consumers.\n"
+    md ++= "t_semdedup__full audits Semantic.semanticDups' pair generation (the\n"
+    md ++= "candidate equi-join + exact-cosine rescore joins over the cached\n"
+    md ++= "quantizer assignment — the centroid-broadcast kernel sits inside the\n"
+    md ++= "cached build plan); semanticDedup itself ends in dupGroups'\n"
+    md ++= "checkpointed iteration, which leaves no outer plan (the g_hits story).\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
