@@ -78,6 +78,13 @@ import graft.text.{Decontaminate, TextOps}
   *   3.99 ratio 3.18 (gate 97) — the bounded topKNeighbors buffers keep
   *   the exchanged volume at k·partitions rows per group, and the
   *   winner semi join broadcasts.
+  *
+  * Clustered semantic dedup (semanticDedupAuto, threshold 0.9):
+  *   ×30 base 1.36 s scaled 3.61 ratio 2.66; ×81 base 1.30 s scaled
+  *   12.76 ratio 9.80 (gate 97) — capacity-chosen nLists keeps per-list
+  *   occupancy (and so pair volume) constant; the ×81 step-up is the
+  *   larger quantizer fit + the dupGroups iteration tail, both
+  *   sublinear.
   */
 object ProfileNewOps {
   def time(label: String)(f: => Unit): Double = {
