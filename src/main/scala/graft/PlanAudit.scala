@@ -70,7 +70,7 @@ object PlanAudit {
     // iteration, which leaves no plan to audit — the g_hits story.
     "t_semdedup__full" -> ((s: SparkSession, dir: String) =>
       graft.sim.Semantic.semanticDups(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
         0.9, nLists = 8))
   )
 

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorF
 
@@ -80,8 +79,12 @@ object Semantic {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(threshold >= -1.0 && threshold <= 1.0, s"cosine threshold: $threshold")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    // the operator keys candidate rows by an internal "list" column
-    require(idCol != "list" && idCol != "cos",
+    // internal column names: "list"/"lists" key the candidate rows,
+    // "cos" is the output score, "centroid" joins back on the
+    // keepFarthest re-pick — an id column with any of these names would
+    // surface as an ambiguous-reference AnalysisException deep in the
+    // plan instead of here
+    require(!Set("list", "lists", "cos", "centroid").contains(idCol),
       s"id column name '$idCol' is reserved by semanticDups — rename it first")
     import org.apache.spark.ml.functions.array_to_vector
     // persisted: feeds the quantizer sample, the assignment pass, and
@@ -93,10 +96,12 @@ object Semantic {
     // mean directly (what a k=1 Lloyd step converges to), so the
     // keepFarthest policy stays well-defined
     val centroids = if (nLists == 1) {
-      import v.sparkSession.implicits._
-      val mean = v.select(posexplode(col("__v")))
-        .groupBy("pos").agg(avg("col").as("m"))
-        .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+      // one-pass vector-mean aggregate (no posexplode of N·dim rows
+      // through a groupBy); empty input degenerates to an empty centroid
+      val rows = v.select(org.apache.spark.ml.stat.Summarizer
+        .mean(array_to_vector(col("__v"))).as("m")).collect()
+      val mean = if (rows.isEmpty || rows(0).isNullAt(0)) Array.empty[Double]
+        else rows(0).getAs[org.apache.spark.ml.linalg.Vector]("m").toArray
       v.sparkSession.createDataFrame(Seq((0, mean))).toDF("list", "centroid")
     } else {
       val feats = v.select(col(idCol), array_to_vector(col("__v")).as("features"))
@@ -109,11 +114,7 @@ object Semantic {
     def assignedFirst = near.select(col(idCol), element_at(col("lists"), 1).as("list"))
     val member = if (nProbe == 1) assignedFirst
       else near.select(col(idCol), explode(col("lists")).as("list"))
-    val bounded0 = if (maxList == Int.MaxValue) member else {
-      val w = Window.partitionBy("list")
-      member.withColumn("__lsz", count(lit(1)).over(w))
-        .where(col("__lsz") <= maxList).drop("__lsz")
-    }
+    val bounded0 = Similarity.capGroups(member, maxList, "list")
     // persisted: the self-join below references the assignment twice
     // (once per side) and Catalyst duplicates lineage — uncached, the
     // N·nLists nearest-centroid arithmetic (the job's inherent CPU at
@@ -127,12 +128,7 @@ object Semantic {
     // nProbe = 1: each id is in exactly one list, pairs unique by
     // construction — no dedup shuffle (the ivfTopK argument)
     val cands = if (nProbe == 1) joined else joined.distinct()
-    val pairs = cands
-      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
-      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= threshold)
+    val pairs = Similarity.rescorePairs(cands, v, idCol, threshold)
     // assignment frame for the keep-policy re-pick: at nProbe = 1 the
     // cached member frame IS the nearest-list assignment (reused — no
     // second kernel pass); multi-probe recomputes the first element
@@ -156,17 +152,6 @@ object Semantic {
     * the dup subset only (∝ near-dup rate, per-mille at web scale),
     * never the corpus.
     */
-  /** [[semanticDedup]] with the list count chosen from the corpus size
-    * ([[Capacity.ivfNLists]]), like [[semanticDupsAuto]].
-    */
-  def semanticDedupAuto(vecs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, corpusRows: Long, nProbe: Int = 1,
-                        seed: Long = 42L, maxList: Int = Int.MaxValue,
-                        keepFarthest: Boolean = false): DataFrame =
-    semanticDedup(vecs, idCol, vecCol, threshold,
-      nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed,
-      maxList = maxList, keepFarthest = keepFarthest)
-
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nLists: Int = 16, nProbe: Int = 1,
                     seed: Long = 42L, maxList: Int = Int.MaxValue,
@@ -196,4 +181,15 @@ object Semantic {
         .select(col("doc_id"), col("__newkeep").as("keep_id"), col("group_size"))
     }
   }
+
+  /** [[semanticDedup]] with the list count chosen from the corpus size
+    * ([[Capacity.ivfNLists]]), like [[semanticDupsAuto]].
+    */
+  def semanticDedupAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, corpusRows: Long, nProbe: Int = 1,
+                        seed: Long = 42L, maxList: Int = Int.MaxValue,
+                        keepFarthest: Boolean = false): DataFrame =
+    semanticDedup(vecs, idCol, vecCol, threshold,
+      nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed,
+      maxList = maxList, keepFarthest = keepFarthest)
 }

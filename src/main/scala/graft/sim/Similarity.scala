@@ -44,6 +44,34 @@ object Similarity {
     vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", sqrt(VectorF.dotp(col("__v"), col("__v"))))
 
+  /** Degenerate-bucket guard shared by every bucketed candidate
+    * generator ([[cosineDups]], [[lshTopK]], [[Semantic.semanticDups]]):
+    * drop groups larger than `max` rows from pair generation (a bucket
+    * of b rows emits b² pairs, so one near-identical crawl shard can
+    * dominate the whole job). `Int.MaxValue` is the no-op fast path.
+    */
+  private[sim] def capGroups(df: DataFrame, max: Int, cols: String*): DataFrame =
+    if (max == Int.MaxValue) df else {
+      val w = Window.partitionBy(cols.map(col): _*)
+      df.withColumn("__bsz", count(lit(1)).over(w))
+        .where(col("__bsz") <= max).drop("__bsz")
+    }
+
+  /** Exact-cosine rescore shared by the near-dup candidate paths
+    * ([[cosineDups]], [[Semantic.semanticDups]]): re-join the prepped
+    * vectors onto id-only (id_a, id_b) candidates — AFTER candidate
+    * dedup, so only id pairs shuffle — and keep pairs with cosine ≥
+    * `threshold`. Returns (id_a, id_b, cos).
+    */
+  private[sim] def rescorePairs(cands: DataFrame, v: DataFrame, idCol: String,
+                                threshold: Double): DataFrame =
+    cands
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+
   /** Exact cosine top-k from a prepped pair frame (va/na vs vb/nb). */
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.select(col("query_id"), col("neighbor_id"),
@@ -166,23 +194,14 @@ object Similarity {
       .select(col(idCol), explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
       .select(col(idCol), col("s.tbl"), col("s.sig"))
-    val bounded = if (maxBucket == Int.MaxValue) sigs else {
-      val w = Window.partitionBy("tbl", "sig")
-      sigs.withColumn("__bsz", count(lit(1)).over(w))
-        .where(col("__bsz") <= maxBucket).drop("__bsz")
-    }
+    val bounded = capGroups(sigs, maxBucket, "tbl", "sig")
     // id-only candidate dedup; vectors re-join after the distinct
     val a = bounded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
     val b = bounded.select(col(idCol).as("id_b"), col("tbl"), col("sig"))
     val cands = a.join(b, Seq("tbl", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
-      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
-      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= threshold)
+    rescorePairs(cands, v, idCol, threshold)
   }
 
   /** [[cosineDups]] with the LSH plane count chosen from the corpus
@@ -392,11 +411,7 @@ object Similarity {
       .select(col(idCol), explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
       .select(col(idCol), col("s.tbl"), col("s.sig"))
-    val bounded = if (maxBucket == Int.MaxValue) sigs else {
-      val w = Window.partitionBy("tbl", "sig")
-      sigs.withColumn("__bsz", count(lit(1)).over(w))
-        .where(col("__bsz") <= maxBucket).drop("__bsz")
-    }
+    val bounded = capGroups(sigs, maxBucket, "tbl", "sig")
     // id-only candidate pairs: the distinct shuffles 16 bytes per pair,
     // not two embedding vectors
     val a = bounded.select(col(idCol).as("query_id"), col("tbl"), col("sig"))

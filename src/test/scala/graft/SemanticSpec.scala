@@ -149,9 +149,13 @@ class SemanticSpec extends SparkSpec {
   }
 
   test("reserved id column name and bad arguments are rejected") {
-    val renamed = clustered.withColumnRenamed("vec_id", "list")
-    intercept[IllegalArgumentException](
-      Semantic.semanticDups(renamed, "list", "embedding", 0.9))
+    for (bad <- Seq("list", "lists", "cos", "centroid")) {
+      val renamed = clustered.withColumnRenamed("vec_id", bad)
+      intercept[IllegalArgumentException](
+        Semantic.semanticDups(renamed, bad, "embedding", 0.9))
+      intercept[IllegalArgumentException](
+        Semantic.semanticDedup(renamed, bad, "embedding", 0.9, keepFarthest = true))
+    }
     intercept[IllegalArgumentException](
       Semantic.semanticDups(clustered, "vec_id", "embedding", 1.5))
     intercept[IllegalArgumentException](
