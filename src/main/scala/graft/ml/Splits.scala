@@ -105,15 +105,45 @@ object Splits {
       .drop("__es_key")
   }
 
+  /** [[sampleWeighted]] with the weight given in LOG space (natural
+    * log), for weights whose linear form under- or overflows double —
+    * the DSIR importance weight ([[graft.text.NgramLm]]) is a sum of
+    * thousands of log-ratios, so exp() of it is not representable.
+    * Gumbel-top-k: the k rows maximizing ln w + G win, where
+    * G = −ln(−ln u) is a standard Gumbel draw from the SAME
+    * deterministic u as [[sampleWeighted]] — ln w + G is a monotone
+    * transform of the Efraimidis–Spirtes key ln(u)/w, so for any
+    * weight column where both forms are representable the two methods
+    * select IDENTICAL rows at the same seed (spec-pinned). Same
+    * TakeOrderedAndProject plan shape. Rows with a null, NaN, or
+    * non-finite log weight are excluded (−∞ = zero weight; +∞ would
+    * monopolize the sample).
+    */
+  def sampleLogWeighted(df: DataFrame, idCol: String, logWeightCol: String,
+                        k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lw = col(logWeightCol).cast("double")
+    df.where(lw.isNotNull && !isnan(lw) &&
+        lw > Double.NegativeInfinity && lw < Double.PositiveInfinity)
+      .withColumn("__es_key", lw - log(-log(u01(idCol, seed))))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** The Efraimidis–Spirtes selection key ln(u)/w (both negative; larger
     * = closer to 0 = better). 63-bit fraction in (0, 1): never exactly 0
     * (the +0.5) so ln(u) is finite, never 1 so ln(u) < 0.
     */
-  private def esKey(idCol: String, weightCol: String, seed: Long): Column = {
-    val u = (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
+  private def esKey(idCol: String, weightCol: String, seed: Long): Column =
+    log(u01(idCol, seed)) / col(weightCol).cast("double")
+
+  /** The deterministic uniform draw in (0, 1) both sampling keys share:
+    * 63-bit hash fraction, never exactly 0 (the +0.5) or 1.
+    */
+  private def u01(idCol: String, seed: Long): Column =
+    (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
       .cast("double") + 0.5) / 9.223372036854776e18
-    log(u) / col(weightCol).cast("double")
-  }
 
   /** Rows with a usable positive weight. NaN must be excluded
     * explicitly: Spark's NaN-ordering makes `NaN > 0` TRUE and sorts

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
+import graft.functions.{NgramBuckets, NgramScore}
+
+/** Hashed bag-of-ngram language models over the document corpus: the
+  * two standard model-based curation gates of an LLM data pipeline,
+  * built on one shared feature space ([[graft.functions.NgramLmKernel]]
+  * — whitespace word k-grams, k = 1..n, hashed into a fixed bucket
+  * table):
+  *
+  *  - '''quality scoring''' (CCNet, Wenzek et al. 2020): fit the model
+  *    on a trusted target corpus, score every raw document with its
+  *    cross-entropy (bits/ngram) under that model — low bits = looks
+  *    like the target distribution, high bits = gibberish/boilerplate.
+  *    The hashed bag model stands in for CCNet's KenLM (no pure-JVM
+  *    KenLM exists); the gate semantics — rank by likelihood under a
+  *    target-corpus LM, keep the head/tail — are the same.
+  *  - '''importance resampling''' (DSIR, Xie et al. 2023): fit the SAME
+  *    feature distribution on target and raw, weight every raw document
+  *    by log p_target(doc) − log p_raw(doc), and sample ∝ weight —
+  *    the paper's exact estimator (§3: hashed unigram+bigram bag,
+  *    importance weights on feature counts, Gumbel-top-k resample).
+  *
+  * Scale shape (the 100 TB story): `fit` is ONE shuffle whose width is
+  * bounded by the bucket-table size regardless of corpus size — the
+  * per-row featurizer explodes bucket ids and the groupBy partially
+  * aggregates map-side, so each partition ships ≤ `buckets` rows; the
+  * driver collects the ≤ `buckets`-row table once (a constant, like the
+  * IVF quantizer sample — never corpus-proportional). Scoring is a
+  * shuffle-free per-row projection: the log-prob table rides the
+  * serialized plan to executors, so it composes into the same fused
+  * Project as the other per-doc scores (`t_pipeline` pattern), and
+  * selection reuses the [[graft.ml.Splits]] TakeOrderedAndProject
+  * top-k (never a full sort).
+  */
+object NgramLm {
+
+  /** A fitted hashed-ngram model: `logProbs(b)` = log₂ of the
+    * add-alpha-smoothed probability of bucket b. Plain data — ships
+    * inside expressions; `grams` is the total gram mass it was fit on.
+    */
+  case class Model(n: Int, buckets: Int, alpha: Double,
+                   logProbs: Array[Double], grams: Long)
+
+  /** Hashed n-gram bucket ids of `textCol` (with repetition) —
+    * the featurizer both gates share.
+    */
+  def ngramBuckets(text: Column, n: Int = 2, buckets: Int = 1 << 16): Column =
+    Bridge.column(NgramBuckets(Bridge.expression(text), n, buckets))
+
+  /** struct<sum, grams>: Σ weights(bucket) over `text`'s n-grams. */
+  private def score(text: Column, weights: Array[Double], n: Int,
+                    buckets: Int): Column =
+    Bridge.column(NgramScore(Bridge.expression(text), weights, n, buckets))
+
+  /** Fit the bucket distribution of `textCol` over `docs` with
+    * add-alpha smoothing: p(b) = (c_b + alpha) / (total + alpha·B).
+    * One bounded-width shuffle + one ≤ `buckets`-row collect (see the
+    * object scaladoc); `docs` is typically the TARGET (trusted) corpus,
+    * which in curation practice is the small side.
+    */
+  def fit(docs: DataFrame, textCol: String, n: Int = 2,
+          buckets: Int = 1 << 16, alpha: Double = 0.1): Model = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val counts = docs
+      .select(explode(ngramBuckets(col(textCol), n, buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect()
+    val c = new Array[Long](buckets)
+    var total = 0L
+    counts.foreach { r =>
+      val cnt = r.getLong(1)
+      c(r.getInt(0)) = cnt
+      total += cnt
+    }
+    val denom = total + alpha * buckets
+    val lp = Array.tabulate(buckets)(b =>
+      math.log((c(b) + alpha) / denom) / math.log(2.0))
+    Model(n, buckets, alpha, lp, total)
+  }
+
+  /** Cross-entropy of every document under `model`: `outCol` =
+    * −(1/m) Σ log₂ p(bucket_i) — bits per n-gram; null when the
+    * document has no n-grams (no tokens) rather than a fake 0.0
+    * ("0 bits" would read as a perfect score). Shuffle-free.
+    */
+  def crossEntropy(docs: DataFrame, textCol: String, model: Model,
+                   outCol: String = "bits"): DataFrame = {
+    val s = score(col(textCol), model.logProbs, model.n, model.buckets)
+    docs.withColumn("__lm", s)
+      .withColumn(outCol,
+        when(col("__lm.grams") > 0, -col("__lm.sum") / col("__lm.grams")))
+      .drop("__lm")
+  }
+
+  /** DSIR log importance weight of every document: `outCol` =
+    * Σ_grams (log₂ p_target(b) − log₂ p_raw(b)) — the paper's
+    * importance weight on hashed n-gram counts, in log space (the raw
+    * weight overflows double for long documents; every consumer —
+    * ranking, Gumbel-top-k sampling — works on the log). Null when the
+    * document has no n-grams. Both models must share one feature
+    * space. Shuffle-free.
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, target: Model,
+                        raw: Model, outCol: String = "log_w"): DataFrame = {
+    require(target.n == raw.n && target.buckets == raw.buckets,
+      s"models disagree on the feature space: n ${target.n}/${raw.n}, " +
+        s"buckets ${target.buckets}/${raw.buckets}")
+    val diff = Array.tabulate(target.buckets)(b =>
+      target.logProbs(b) - raw.logProbs(b))
+    val s = score(col(textCol), diff, target.n, target.buckets)
+    docs.withColumn("__lm", s)
+      .withColumn(outCol, when(col("__lm.grams") > 0, col("__lm.sum")))
+      .drop("__lm")
+  }
+
+  /** DSIR selection: importance-weight `docs` against target/raw and
+    * draw `k` documents without replacement with probability ∝ weight
+    * ([[graft.ml.Splits.sampleLogWeighted]] — Gumbel-top-k on the log
+    * weight, the paper's §3.2 resample). Documents with no n-grams are
+    * excluded (no weight). Returns the sampled rows with the log
+    * weight attached.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 target: Model, raw: Model, k: Int, seed: Long = 0L,
+                 outCol: String = "log_w"): DataFrame =
+    graft.ml.Splits.sampleLogWeighted(
+      importanceWeights(docs, textCol, target, raw, outCol),
+      idCol, outCol, k, seed)
+}

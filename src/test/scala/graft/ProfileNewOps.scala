@@ -79,6 +79,17 @@ import graft.text.{Decontaminate, TextOps}
   *   the exchanged volume at k·partitions rows per group, and the
   *   winner semi join broadcasts.
   *
+  * Hashed-ngram LM gates (round 11; target = fixed 200-doc fit,
+  * n=2, 2^16 buckets):
+  *   ×30:  lmscore base 0.21 s scaled 0.25 ratio 1.20
+  *         dsir    base 0.48 s scaled 0.85 ratio 1.79
+  *   ×81:  lmscore base 0.24 s scaled 0.41 ratio 1.71
+  *         dsir    base 0.53 s scaled 1.37 ratio 2.61   (gate 97)
+  * Scoring is a shuffle-free projection (the weight table rides the
+  * plan), so lmscore is overhead-bound; dsir adds the raw-side fit —
+  * one shuffle whose width is capped at `buckets` rows per partition
+  * regardless of corpus size — and the Gumbel-top-k reduce.
+  *
   * Clustered semantic dedup (semanticDedupAuto, threshold 0.9):
   *   ×30 base 1.36 s scaled 3.61 ratio 2.66; ×81 base 1.30 s scaled
   *   12.76 ratio 9.80 (gate 97) — capacity-chosen nLists keeps per-list
@@ -174,6 +185,25 @@ object ProfileNewOps {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    // hashed-ngram LM gates: the TARGET model is fit once on a fixed
+    // 200-doc trusted set (its cost does not scale with the corpus);
+    // lmscore measures the shuffle-free scoring projection, dsir the
+    // raw-side fit (the one bounded-width shuffle) + weight + top-k.
+    lazy val lmTarget = graft.text.NgramLm.fit(
+      spark.read.parquet(s"$base/documents.parquet").orderBy("doc_id").limit(200),
+      "text")
+    def lmscore(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.text.NgramLm.crossEntropy(d, "text", lmTarget)
+        .agg(sum(col("bits"))).collect(): Unit
+    }
+    def dsir(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val raw = graft.text.NgramLm.fit(d, "text")
+      graft.text.NgramLm.dsirSelect(d, "doc_id", "text", lmTarget, raw, 1000)
+        .agg(sum(col("log_w"))).collect(): Unit
+    }
+
     def wsampleGrp(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
@@ -188,7 +218,8 @@ object ProfileNewOps {
       "benchreport" -> benchReport,
       "pipeline_full" -> pipelineFull, "linededup" -> linededup,
       "packing" -> packing, "wsample" -> wsample,
-      "wsample_grp" -> wsampleGrp, "semdedup" -> semdedup)
+      "wsample_grp" -> wsampleGrp, "semdedup" -> semdedup,
+      "lmscore" -> lmscore, "dsir" -> dsir)
     // SPARK_GRAFT_PROFILE_ONLY=a,b — measure a subset (blank = all)
     val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
