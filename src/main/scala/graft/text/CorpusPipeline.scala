@@ -67,6 +67,18 @@ object CorpusPipeline {
     * default (None): the stage is corpus-global (its own frequency
     * pass over the raw corpus), not a per-doc kernel, so it is opt-in
     * rather than silently adding corpus scans to every clean() call.
+    *
+    * `lmModel = Some(m)` adds the CCNet-style model gate: the RAW text's
+    * cross-entropy under `m` ([[NgramLm.bits]] — a trusted-corpus fit
+    * the caller supplies) must be ≤ `maxLmBits`, and the score is
+    * returned as `lm_bits` (rounded to 6dp like `quality`). The bits
+    * column joins the SAME fused projection as the other per-doc
+    * kernels (the model table rides the plan — no shuffle, no join).
+    * A document with no n-grams has null bits and FAILS the gate: the
+    * model cannot vouch for text it cannot score (such documents are
+    * token-free, so the quality gate would drop them anyway). Off by
+    * default: the gate needs a caller-fit model, and the default output
+    * schema stays exactly the un-gated one.
     */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             benchmark: DataFrame, benchTextCol: String,
@@ -77,7 +89,9 @@ object CorpusPipeline {
             nearDupThreshold: Double = 0.5,
             decontaminateWidth: Int = 8,
             maxOverlap: Double = 0.0,
-            lineDedupMinDocs: Option[Int] = None): DataFrame = {
+            lineDedupMinDocs: Option[Int] = None,
+            lmModel: Option[NgramLm.Model] = None,
+            maxLmBits: Double = 12.0): DataFrame = {
     // stage 0 (opt-in) — cross-document boilerplate-line scrub on the
     // RAW corpus; everything downstream sees the de-boilerplated text.
     // pinWidth wraps the RAW corpus in both arms (never the dedupLines
@@ -102,7 +116,7 @@ object CorpusPipeline {
     // sf0.1, 9.93 → 8.99 s at ×30; a corpus-scale scan has thousands of
     // splits, where the pin is a no-op.
     val text = col(textCol)
-    val scored = input.select(
+    val scored = input.select(Seq(
       col(idCol),
       TextOps.redactPii(text).as(textCol),
       TextOps.langId(text).as("pred_lang"),
@@ -110,15 +124,19 @@ object CorpusPipeline {
       TextOps.repetitionSignals(text).as("rep"),
       // ntok counts the REDACTED text — the document a trainer actually
       // consumes — so the count is valid input for token-budget packing
-      // ([[graft.ml.Packing]]). The gating scores (quality, rep, langId)
-      // stay on the raw text: they diagnose the original document, and
-      // redaction masks would skew them. The repeated redactPii subtree
-      // is shared by subexpression elimination.
+      // ([[graft.ml.Packing]]). The gating scores (quality, rep, langId,
+      // lm_bits) stay on the raw text: they diagnose the original
+      // document, and redaction masks would skew them. The repeated
+      // redactPii subtree is shared by subexpression elimination.
       TextOps.bpeishTokenCount(TextOps.redactPii(text)).as("ntok"),
-      TextOps.fingerprint(TextOps.redactPii(text)).as("fp"))
+      TextOps.fingerprint(TextOps.redactPii(text)).as("fp")) ++
+      lmModel.map(m => round(NgramLm.bits(text, m), 6).as("lm_bits")): _*)
     val gated = scored.where(col("quality") >= minQuality &&
       col("rep").getField("dup_line_frac") <= maxDupLineFrac &&
-      col("rep").getField("top_bigram_frac") <= maxTopBigramFrac)
+      col("rep").getField("top_bigram_frac") <= maxTopBigramFrac &&
+      // null lm_bits (no n-grams) is filtered out here too: null && x
+      // is never true in a WHERE
+      lmModel.fold(lit(true))(_ => col("lm_bits") <= maxLmBits))
 
     // stage 4 — exact dedup: one shuffle, window by the redacted text.
     // Persisted: the scored survivors feed THREE consumers (the minhash

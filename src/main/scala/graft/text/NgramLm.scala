@@ -82,19 +82,22 @@ object NgramLm {
     Model(n, buckets, alpha, lp, total)
   }
 
-  /** Cross-entropy of every document under `model`: `outCol` =
-    * −(1/m) Σ log₂ p(bucket_i) — bits per n-gram; null when the
-    * document has no n-grams (no tokens) rather than a fake 0.0
-    * ("0 bits" would read as a perfect score). Shuffle-free.
+  /** Cross-entropy of `text` under `model` as a column: −(1/m) Σ log₂
+    * p(bucket_i) — bits per n-gram; null when the document has no
+    * n-grams (no tokens) rather than a fake 0.0 ("0 bits" would read as
+    * a perfect score). A plain projection, so it composes into a fused
+    * kernel Project ([[CorpusPipeline.clean]]'s LM gate); the repeated
+    * score subtree is shared by subexpression elimination.
     */
-  def crossEntropy(docs: DataFrame, textCol: String, model: Model,
-                   outCol: String = "bits"): DataFrame = {
-    val s = score(col(textCol), model.logProbs, model.n, model.buckets)
-    docs.withColumn("__lm", s)
-      .withColumn(outCol,
-        when(col("__lm.grams") > 0, -col("__lm.sum") / col("__lm.grams")))
-      .drop("__lm")
+  def bits(text: Column, model: Model): Column = {
+    val s = score(text, model.logProbs, model.n, model.buckets)
+    when(s.getField("grams") > 0, -s.getField("sum") / s.getField("grams"))
   }
+
+  /** [[bits]] over a frame: `docs` plus the score as `outCol`. */
+  def crossEntropy(docs: DataFrame, textCol: String, model: Model,
+                   outCol: String = "bits"): DataFrame =
+    docs.withColumn(outCol, bits(col(textCol), model))
 
   /** DSIR log importance weight of every document: `outCol` =
     * Σ_grams (log₂ p_target(b) − log₂ p_raw(b)) — the paper's

@@ -187,4 +187,72 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
     assert(off.count(_.contains(footer)) == 3)
   }
+
+  test("opt-in LM gate: equals the explicit pre-filter; OOD doc dropped; fusion kept") {
+    import graft.text.NgramLm
+    // target model: the corpus's own English register (fit on the four
+    // clean bases), so in-distribution docs score low bits
+    val target = NgramLm.fit(
+      Seq(base1, base2, base3, base4).zipWithIndex.map(_.swap).toDF("i", "t"), "t")
+    // planted out-of-distribution doc: 150 DISTINCT 4-letter consonant
+    // tokens — long, alphabetic, punct-free, no repeated lines or
+    // bigrams, so it clears the quality (≈0.82) and repetition gates
+    // and only the LM gate can drop it
+    val salad = (0 until 150).map(i =>
+      s"${('b' + i % 24).toChar}q${('b' + i / 24 % 24).toChar}x").mkString(" ")
+    val ood = (9L, salad)
+    val withOod = corpus.union(Seq(ood).toDF("doc_id", "text"))
+    val bitsOf = NgramLm.crossEntropy(withOod, "text", target)
+      .select("doc_id", "bits").as[(Long, Double)].collect().toMap
+    val cut = bitsOf(9L) - 0.01 // between the clean docs' bits and the OOD's
+    assert(Set(1L, 4L, 8L).forall(id => bitsOf(id) < cut), s"$bitsOf")
+
+    // without the gate the salad SURVIVES every other stage (so the drop
+    // below is attributable to the LM gate alone)
+    val ungated = CorpusPipeline.clean(withOod, "doc_id", "text", benchmark, "q")
+      .select("doc_id").as[Long].collect().toSet
+    spark.sharedState.cacheManager.clearCache()
+    assert(ungated == Set(1L, 4L, 8L, 9L), s"ungated survivors: $ungated")
+
+    val got = CorpusPipeline.clean(withOod, "doc_id", "text", benchmark, "q",
+      lmModel = Some(target), maxLmBits = cut)
+    val gotRows = got.collect().map(_.toString).toSet
+    spark.sharedState.cacheManager.clearCache()
+    // the OOD doc is gone, the usual survivors remain, and lm_bits rides along
+    assert(got.columns.contains("lm_bits"))
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == Set(1L, 4L, 8L), s"LM-gated survivors: $gotIds")
+    // ≡ the explicit composition: pre-filter on rounded bits, then the
+    // default chain plus the same lm_bits column (recomputed on the RAW
+    // corpus and joined back — clean() returns redacted text)
+    val wantRows = CorpusPipeline.clean(
+        withOod.where(round(NgramLm.bits(col("text"), target), 6) <= cut),
+        "doc_id", "text", benchmark, "q")
+      .join(withOod.select(col("doc_id"),
+        round(NgramLm.bits(col("text"), target), 6).as("lm_bits")), "doc_id")
+      .select(got.columns.toIndexedSeq.map(col): _*)
+      .collect().map(_.toString).toSet
+    spark.sharedState.cacheManager.clearCache()
+    assert(gotRows == wantRows)
+
+    // the lm_bits kernel joins the SAME fused Project as the other
+    // kernels (over the parquet corpus — a union input would get one
+    // Project per branch and muddy the count)
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val scored = corpus.select(col("doc_id"),
+      TextOps.redactPii(col("text")).as("text"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"),
+      round(NgramLm.bits(col("text"), target), 6).as("lm_bits"))
+    val plan = scored.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val projects = plan.collect {
+      case p: ProjectExec if p.projectList.mkString.contains("graft_ngram_score") => p
+    }
+    assert(projects.size == 1 &&
+      projects.head.projectList.mkString.contains("graft_redact_pii"),
+      s"lm_bits must fuse with the kernel Project: $plan")
+  }
 }
