@@ -100,20 +100,24 @@ object NgramLm {
     docs.withColumn(outCol, bits(col(textCol), model))
 
   /** DSIR log importance weight of every document: `outCol` =
-    * Σ_grams (log₂ p_target(b) − log₂ p_raw(b)) — the paper's
-    * importance weight on hashed n-gram counts, in log space (the raw
-    * weight overflows double for long documents; every consumer —
-    * ranking, Gumbel-top-k sampling — works on the log). Null when the
-    * document has no n-grams. Both models must share one feature
-    * space. Shuffle-free.
+    * Σ_grams (ln p_target(b) − ln p_raw(b)) — the paper's importance
+    * weight on hashed n-gram counts, in log space (the raw weight
+    * overflows double for long documents; every consumer — ranking,
+    * Gumbel-top-k sampling — works on the log). NATURAL log, because
+    * that is what [[graft.ml.Splits.sampleLogWeighted]]'s Gumbel key
+    * exponentiates: a base-2 log here would sample ∝ w^(1/ln 2) ≈
+    * w^1.44 instead of ∝ w (the model's log₂ tables are rescaled by
+    * ln 2 — NgramLmSpec pins the base). Null when the document has no
+    * n-grams. Both models must share one feature space. Shuffle-free.
     */
   def importanceWeights(docs: DataFrame, textCol: String, target: Model,
                         raw: Model, outCol: String = "log_w"): DataFrame = {
     require(target.n == raw.n && target.buckets == raw.buckets,
       s"models disagree on the feature space: n ${target.n}/${raw.n}, " +
         s"buckets ${target.buckets}/${raw.buckets}")
+    val ln2 = math.log(2.0)
     val diff = Array.tabulate(target.buckets)(b =>
-      target.logProbs(b) - raw.logProbs(b))
+      (target.logProbs(b) - raw.logProbs(b)) * ln2)
     val s = score(col(textCol), diff, target.n, target.buckets)
     docs.withColumn("__lm", s)
       .withColumn(outCol, when(col("__lm.grams") > 0, col("__lm.sum")))

@@ -93,6 +93,12 @@ class NgramLmSpec extends SparkSpec {
     val gibIds = Seq(5L, 6L, 7L)
     assert(engIds.map(w).min > gibIds.map(w).max,
       s"english ${engIds.map(w)} vs gibberish ${gibIds.map(w)}")
+    // the log weight is in NATURAL log — what sampleLogWeighted's Gumbel
+    // key exponentiates (a base-2 weight would sample ∝ w^1.44, not ∝ w):
+    // log_w(doc) = ln2 · Σ_grams (log₂ p_target(b) − log₂ p_raw(b))
+    val want = localBuckets(english.head, 2, 1 << 12)
+      .map(b => (target.logProbs(b) - raw.logProbs(b)) * math.log(2.0)).sum
+    assert(math.abs(w(0L) - want) < 1e-9, s"${w(0L)} vs $want")
     // dsirSelect: the k = |english| draw is dominated by target-like docs
     val picked = NgramLm.dsirSelect(rawCorpus, "doc_id", "text", target, raw,
       k = english.size, seed = 3L).select("doc_id").as[Long].collect().toSet
