@@ -71,7 +71,18 @@ object PlanAudit {
     "t_semdedup__full" -> ((s: SparkSession, dir: String) =>
       graft.sim.Semantic.semanticDups(
         graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
-        0.9, nLists = 8))
+        0.9, nLists = 8)),
+    // spec-only DSIR selection: the two model fits run at frame
+    // CONSTRUCTION (bounded ≤-buckets collects, the quantizer-fit
+    // pattern); the audited plan is the scale-path remainder — the
+    // shuffle-free weight projection into the TakeOrderedAndProject
+    // top-k (never a full sort of the corpus)
+    "t_dsir__full" -> ((s: SparkSession, dir: String) => {
+      val docs = graft.core.Tables.documents(s, dir)
+      val target = graft.text.NgramLm.fit(docs.orderBy("doc_id").limit(50), "text")
+      val raw = graft.text.NgramLm.fit(docs, "text")
+      graft.text.NgramLm.dsirSelect(docs, "doc_id", "text", target, raw, 100)
+    })
   )
 
   def main(args: Array[String]): Unit = {
@@ -154,7 +165,11 @@ object PlanAudit {
     md ++= "candidate equi-join + exact-cosine rescore joins over the cached\n"
     md ++= "quantizer assignment — the centroid-broadcast kernel sits inside the\n"
     md ++= "cached build plan); semanticDedup itself ends in dupGroups'\n"
-    md ++= "checkpointed iteration, which leaves no outer plan (the g_hits story).\n\n"
+    md ++= "checkpointed iteration, which leaves no outer plan (the g_hits story).\n"
+    md ++= "t_dsir__full audits NgramLm.dsirSelect's scale path: the two model\n"
+    md ++= "fits run at frame construction (bounded <=-buckets collects), so the\n"
+    md ++= "audited plan is the shuffle-free importance-weight projection feeding\n"
+    md ++= "the TakeOrderedAndProject top-k — never a full sort of the corpus.\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"

@@ -807,4 +807,6 @@ object HashF {
     Bridge.column(WordShingles(Bridge.expression(text), n))
   def shingleHash61(text: Column, n: Int): Column =
     Bridge.column(ShingleHash61(Bridge.expression(text), n))
+  def chunkByTokens(text: Column, maxTokens: Int, overlap: Int): Column =
+    Bridge.column(ChunkByTokens(Bridge.expression(text), maxTokens, overlap))
 }

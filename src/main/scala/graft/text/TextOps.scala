@@ -31,6 +31,33 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Long-document chunking: windows of at most `maxTokens` whitespace
+    * tokens, consecutive windows sharing `overlap` tokens of context —
+    * the fixed-context splitter between cleaning and packing (documents
+    * longer than the model context are windowed; short ones pass
+    * through whole as their original bytes). One byte-pass kernel
+    * ([[graft.functions.ChunkKernel]]); chunk text preserves the
+    * original bytes between its first and last token, so chunking never
+    * rewrites a document, only windows it. Empty array for token-free
+    * text. The tail window always ends at the last token (it may share
+    * more than `overlap` tokens with its predecessor — the standard
+    * sliding-window tail).
+    */
+  def chunkByTokens(text: Column, maxTokens: Int, overlap: Int = 0): Column =
+    graft.functions.HashF.chunkByTokens(text, maxTokens, overlap)
+
+  /** [[chunkByTokens]] over a frame: one row per (document, window),
+    * with `chunk_id` the 0-based window index and `textCol` REPLACED by
+    * the window text. A projection + generate — shuffle-free, and
+    * chunk rows stay co-partitioned with their source document.
+    */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, maxTokens: Int, overlap: Int = 0)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      posexplode(chunkByTokens(col(textCol), maxTokens, overlap))
+        .as(Seq("chunk_id", textCol)))
+
   /** Quality score in [0,1]: blend of length, alpha ratio, punctuation
     * ratio and mean word length (LLM-pipeline quality heuristics).
     */

@@ -90,6 +90,11 @@ import graft.text.{Decontaminate, TextOps}
   * one shuffle whose width is capped at `buckets` rows per partition
   * regardless of corpus size — and the Gumbel-top-k reduce.
   *
+  * Long-doc chunking (chunkDocs, maxTokens 64 / overlap 8):
+  *   ×30 base 0.25 s scaled 0.32 ratio 1.24; ×81 base 0.31 s scaled
+  *   0.40 ratio 1.31 — a projection + generate, overhead-bound like
+  *   the sibling per-doc kernels.
+  *
   * Clustered semantic dedup (semanticDedupAuto, threshold 0.9):
   *   ×30 base 1.36 s scaled 3.61 ratio 2.66; ×81 base 1.30 s scaled
   *   12.76 ratio 9.80 (gate 97) — capacity-chosen nLists keeps per-list
@@ -204,6 +209,12 @@ object ProfileNewOps {
         .agg(sum(col("log_w"))).collect(): Unit
     }
 
+    def chunk(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      TextOps.chunkDocs(d, "doc_id", "text", 64, overlap = 8)
+        .agg(count(lit(1)), sum(length(col("text")))).collect(): Unit
+    }
+
     def wsampleGrp(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
@@ -219,7 +230,7 @@ object ProfileNewOps {
       "pipeline_full" -> pipelineFull, "linededup" -> linededup,
       "packing" -> packing, "wsample" -> wsample,
       "wsample_grp" -> wsampleGrp, "semdedup" -> semdedup,
-      "lmscore" -> lmscore, "dsir" -> dsir)
+      "lmscore" -> lmscore, "dsir" -> dsir, "chunk" -> chunk)
     // SPARK_GRAFT_PROFILE_ONLY=a,b — measure a subset (blank = all)
     val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet

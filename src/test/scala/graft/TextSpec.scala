@@ -217,6 +217,92 @@ class TextOpsSpec extends SparkSpec {
       assert(a == b, s"input [$t]:\n kernel [$a]\n regex  [$b]")
     }
   }
+
+  // local twin of the chunk kernel: token spans by whitespace, windows
+  // of maxTokens stepping by maxTokens - overlap, tail ends at the last
+  // token, each chunk = the ORIGINAL bytes from its first token's start
+  // to its last token's end
+  private def localChunks(text: String, maxTokens: Int, overlap: Int): Seq[String] = {
+    val bytes = text.getBytes("UTF-8")
+    def ws(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!ws(bytes(i))) {
+        val s = i
+        while (i < bytes.length && !ws(bytes(i))) i += 1
+        spans += ((s, i))
+      } else i += 1
+    }
+    if (spans.isEmpty) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var s = 0
+      var done = false
+      while (!done) {
+        val e = math.min(s + maxTokens, spans.length)
+        out += new String(bytes, spans(s)._1, spans(e - 1)._2 - spans(s)._1, "UTF-8")
+        if (e == spans.length) done = true else s += maxTokens - overlap
+      }
+      out.toSeq
+    }
+  }
+
+  test("chunkByTokens matches the local twin (unicode, mixed whitespace, overlap)") {
+    val texts = Seq(
+      "one two three four five six seven eight nine ten eleven twelve",
+      "  leading and trailing whitespace preserved inside   not outside  ",
+      "tabs\tand\nnewlines\r\nseparate  tokens\ttoo",
+      "中文 tokens mixed with ASCII ones here",
+      "single", "", "   \n\t ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    for ((maxT, ov) <- Seq((5, 0), (5, 2), (3, 1), (100, 0), (1, 0))) {
+      val got = df.select(col("id"),
+          TextOps.chunkByTokens(col("t"), maxT, ov).as("c"))
+        .as[(Int, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i) == localChunks(t, maxT, ov),
+          s"text [$t] maxT=$maxT ov=$ov: ${got(i)} vs ${localChunks(t, maxT, ov)}")
+      }
+    }
+  }
+
+  test("chunkByTokens properties: budget, coverage, overlap sharing, identity") {
+    val words = (0 until 57).map(i => s"w$i")
+    val doc = words.mkString(" ")
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val noOv = localChunks(doc, 10, 0)
+    // every window within budget; non-tail windows full; zero-overlap
+    // windows reassemble the exact token stream
+    assert(noOv.forall(c => toks(c).size <= 10))
+    assert(noOv.init.forall(c => toks(c).size == 10))
+    assert(noOv.flatMap(toks) == words)
+    val ov = localChunks(doc, 10, 3)
+    // consecutive windows share exactly `overlap` tokens (except the tail)
+    ov.sliding(2).toSeq.dropRight(1).foreach { case Seq(a, b) =>
+      assert(toks(a).takeRight(3) == toks(b).take(3))
+    }
+    // a short document passes through whole as its trimmed original bytes
+    assert(localChunks("  short doc  ", 10, 0) == Seq("short doc"))
+    // spark side agrees on the same document
+    val viaSpark = Seq((1, doc)).toDF("id", "t")
+      .select(TextOps.chunkByTokens(col("t"), 10, 3)).as[Seq[String]].head()
+    assert(viaSpark == ov)
+  }
+
+  test("chunkDocs: one row per window, 0-based chunk_id, shuffle-free, null-safe") {
+    val df = Seq((1L, (0 until 12).map(i => s"t$i").mkString(" ")),
+      (2L, "tiny doc"), (3L, null: String), (4L, "  ")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, "doc_id", "text", 5)
+    val rows = out.as[(Long, Int, String)].collect().sorted
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(rows.filter(_._1 == 1L).map(_._3).mkString(" ") ==
+      (0 until 12).map(i => s"t$i").mkString(" "))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException](TextOps.chunkByTokens(col("text"), 0))
+    intercept[IllegalArgumentException](TextOps.chunkByTokens(col("text"), 5, 5))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
