@@ -22,8 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ChunkKernel {
 
+  // the full ASCII \s set (incl. VT/FF), so the chunk budget counts
+  // tokens exactly like TextOps.wsTokenCount's \s+ (the WsShingleExprs
+  // convention)
   @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == 0x0c || b == '\r'
 
   /** array<string> of token windows; empty array for a token-free
     * document (nothing to train on), single original-bytes chunk when

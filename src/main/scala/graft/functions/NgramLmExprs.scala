@@ -30,8 +30,9 @@ object NgramLmKernel {
   private final val P2 = 998244353L
   private final val MIX = -7046029254386353131L
 
+  // the full ASCII \s set (incl. VT/FF) — the WsShingleExprs convention
   @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == 0x0c || b == '\r'
 
   @inline private def bucketOf(h: Long, buckets: Int): Int =
     java.lang.Long.hashCode(h * MIX) & (buckets - 1)

@@ -39,9 +39,11 @@ object TextOps {
     * ([[graft.functions.ChunkKernel]]); chunk text preserves the
     * original bytes between its first and last token, so chunking never
     * rewrites a document, only windows it. Empty array for token-free
-    * text. The tail window always ends at the last token (it may share
-    * more than `overlap` tokens with its predecessor — the standard
-    * sliding-window tail).
+    * text. Windows advance by a fixed `maxTokens − overlap` stride, so
+    * every consecutive pair shares exactly `overlap` tokens; the tail
+    * window ends at the last token and may be short (down to one token
+    * past the shared prefix) — it is never re-anchored backwards to
+    * full width.
     */
   def chunkByTokens(text: Column, maxTokens: Int, overlap: Int = 0): Column =
     graft.functions.HashF.chunkByTokens(text, maxTokens, overlap)

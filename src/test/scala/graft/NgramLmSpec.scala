@@ -22,7 +22,7 @@ class NgramLmSpec extends SparkSpec {
     h1 * 2147483648L + h2
   }
   private def localBuckets(text: String, n: Int, buckets: Int): Seq[Int] = {
-    val toks = text.split("[ \t\n\r]+").filter(_.nonEmpty).map(tokHash)
+    val toks = text.split("\\s+").filter(_.nonEmpty).map(tokHash)
     val grams = (1 to n).flatMap(k => toks.sliding(k).filter(_.length == k)
       .map(_.reduceLeft((a, h) => a * FNV ^ h)))
     grams.map(h => java.lang.Long.hashCode(h * -7046029254386353131L) & (buckets - 1))
@@ -41,7 +41,8 @@ class NgramLmSpec extends SparkSpec {
 
   test("ngramBuckets matches the local twin (incl. unicode and edge tokens)") {
     val texts = Seq("The quick  brown\tfox", "one", "", "  \n ",
-      "中文 mixed ASCII tokens", "a b c d e")
+      "中文 mixed ASCII tokens", "a b c d e",
+      "vertical\u000btab and\u000cform feed split tokens")
     val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
     val got = df.select(col("id"),
         NgramLm.ngramBuckets(col("t"), n = 2, buckets = 1 << 10).as("b"))

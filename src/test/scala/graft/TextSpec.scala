@@ -224,7 +224,8 @@ class TextOpsSpec extends SparkSpec {
   // to its last token's end
   private def localChunks(text: String, maxTokens: Int, overlap: Int): Seq[String] = {
     val bytes = text.getBytes("UTF-8")
-    def ws(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    def ws(b: Byte) = b == ' ' || b == '\t' || b == '\n' ||
+      b == 0x0b || b == 0x0c || b == '\r'
     val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     var i = 0
     while (i < bytes.length) {
@@ -253,6 +254,7 @@ class TextOpsSpec extends SparkSpec {
       "one two three four five six seven eight nine ten eleven twelve",
       "  leading and trailing whitespace preserved inside   not outside  ",
       "tabs\tand\nnewlines\r\nseparate  tokens\ttoo",
+      "vertical\u000btab and\u000cform feed are token cuts too",
       "中文 tokens mixed with ASCII ones here",
       "single", "", "   \n\t ")
     val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
