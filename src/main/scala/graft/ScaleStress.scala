@@ -128,7 +128,9 @@ object ScaleStress {
     // generator-version marker: a cached outDir from an older generator
     // (or a different copy count) is silently wrong — e.g. the v1
     // single-alphabet bijection made copy 9 byte-identical to copy 0
-    val genTag = s"v2-copies$copies"
+    // v3: third text alphabet (period 405) + affine embedding
+    // permutation (period dim²/2) — v2 wrapped embeddings at copy 64
+    val genTag = s"v3-copies$copies"
     val marker = new java.io.File(s"$outDir/_GEN")
     val cached = marker.isFile &&
       scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim).toOption
@@ -323,26 +325,30 @@ object ScaleStress {
 
   private def generate(spark: SparkSession, baseDir: String, outDir: String,
                        copies: Int): Unit = {
-    // TWO disjoint 9-letter alphabets, rotated independently (set 1 by
-    // c mod 9, set 2 by c/9 mod 9), give the per-copy bijection period
-    // 9·9 = 81: with the single set a copy count above 9 wrapped —
-    // rotated(9) was the identity, so copy 9's text was byte-identical
-    // to copy 0's, planting exactly the corpus-wide cross-copy duplicate
-    // set the decorrelation exists to avoid (round-6 advice). Each
-    // rotation maps its set onto itself and the sets are disjoint, so
-    // the composition is still a character bijection — within-copy
-    // shingle equality is exactly preserved.
+    // THREE disjoint alphabets (9, 9, 5 letters), rotated independently
+    // (set 1 by c mod 9, set 2 by c/9 mod 9, set 3 by c/81 mod 5), give
+    // the per-copy bijection period 9·9·5 = 405: the original single
+    // 9-letter set wrapped at copy 9 (byte-identical text — round-6
+    // advice), the two-set v2 wrapped at copy 81, which blocked
+    // fourth-decade (×243) stress runs. Each rotation maps its set onto
+    // itself and the sets are disjoint, so the composition is still a
+    // character bijection — within-copy shingle equality is exactly
+    // preserved, and distinct copies < 405 get distinct bijections.
     val rot1 = "etaoinsrh"
     val rot2 = "dlcumwfgy"
-    require((rot1 ++ rot2).distinct.length == rot1.length + rot2.length,
+    val rot3 = "bpvkx"
+    require((rot1 ++ rot2 ++ rot3).distinct.length ==
+      rot1.length + rot2.length + rot3.length,
       "rotation alphabets must be disjoint")
-    require(copies <= rot1.length * rot2.length,
-      s"per-copy bijection period is ${rot1.length * rot2.length}; got copies=$copies")
+    require(copies <= rot1.length * rot2.length * rot3.length,
+      s"per-copy bijection period is ${rot1.length * rot2.length * rot3.length}; got copies=$copies")
     def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
     def scrambled(c: Int) =
       if (c == 0) col("text")
-      else translate(translate(col("text"), rot1, rotated(rot1, c % rot1.length)),
-        rot2, rotated(rot2, (c / rot1.length) % rot2.length))
+      else translate(translate(translate(
+        col("text"), rot1, rotated(rot1, c % rot1.length)),
+        rot2, rotated(rot2, (c / rot1.length) % rot2.length)),
+        rot3, rotated(rot3, (c / (rot1.length * rot2.length)) % rot3.length))
 
     val docs = Tables.documents(spark, baseDir)
     (0 until copies).map { c =>
@@ -355,14 +361,26 @@ object ScaleStress {
 
     val emb = Tables.embeddings(spark, baseDir)
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    // per-copy AFFINE coordinate permutation j -> (s·j + a) mod dim with
+    // s odd: a coordinate permutation is an isometry (within-copy dot
+    // products — and so all planted similarity structure — are exactly
+    // preserved), and affine maps are pairwise distinct for distinct
+    // (s, a) (evaluate at j=0 and j=1), so the period is dim · dim/2 =
+    // 2048 at dim 64. The old plain cyclic shift (c·7 mod dim) wrapped
+    // at copy `dim`: copies 64..80 of an ×81 run were EXACT cross-copy
+    // duplicates of copies 0..16 — extra (conservative) pair volume the
+    // decorrelation exists to avoid.
+    require(copies <= dim * dim / 2,
+      s"embedding permutation period is ${dim * dim / 2}; got copies=$copies")
     (0 until copies).map { c =>
-      val k = (c * 7) % dim
-      val shifted =
-        if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k))
+      val a = c % dim
+      val s = 2 * ((c / dim) % (dim / 2)) + 1
+      val permuted =
+        if (c == 0) col("embedding")
+        else transform(sequence(lit(0), lit(dim - 1)),
+          j => element_at(col("embedding"), (lit(s) * j + lit(a)) % dim + 1))
       emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
-        shifted.as("embedding"), col("label"))
+        permuted.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 

@@ -57,20 +57,64 @@ object Similarity {
         .where(col("__bsz") <= max).drop("__bsz")
     }
 
+  /** Keep a too-big-to-broadcast vector side OUT of sort-merge joins.
+    *
+    * Every ANN/near-dup rescore re-joins the prepped vectors onto the
+    * id-only candidate stream. When the vector side fits the broadcast
+    * threshold, Spark picks BHJ — optimal, leave it alone (no hint).
+    * When it does NOT (the corpus-scale regime), the un-hinted planner
+    * falls back to sort-merge, which SORTS the candidate stream — and
+    * after the first join each sorted row drags its dim·8-byte vector
+    * payload through the sorter. At the fourth stress decade (×243,
+    * ~10⁸ candidates) that sort's spill exceeded a single node's 74 GB
+    * local disk. The SHUFFLE_HASH hint (only applied in that regime)
+    * builds the hash map on the vector side (corpus-proportional, a
+    * few MB per partition) and STREAMS the candidates — no payload
+    * ever enters a sort. Decision from the plan-statistics size
+    * estimate vs the session broadcast threshold, so the catalog/bench
+    * scale keeps its broadcast plans bit-for-bit (PLANS gate) and the
+    * hint engages exactly where broadcast stops being available.
+    */
+  private def hashHintedIfBig(side: DataFrame): DataFrame = {
+    val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(side.sparkSession)
+    val size = org.apache.spark.sql.graftx.Bridge.sizeEstimate(side)
+    if (thresh >= 0 && size > thresh) side.hint("SHUFFLE_HASH") else side
+  }
+
   /** Exact-cosine rescore shared by the near-dup candidate paths
     * ([[cosineDups]], [[Semantic.semanticDups]]): re-join the prepped
     * vectors onto id-only (id_a, id_b) candidates — AFTER candidate
     * dedup, so only id pairs shuffle — and keep pairs with cosine ≥
-    * `threshold`. Returns (id_a, id_b, cos).
+    * `threshold`. Returns (id_a, id_b, cos). Vector side join strategy
+    * per [[hashHintedIfBig]].
     */
   private[sim] def rescorePairs(cands: DataFrame, v: DataFrame, idCol: String,
                                 threshold: Double): DataFrame =
     cands
-      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
-      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
+      .join(hashHintedIfBig(
+        v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))), "id_a")
+      .join(hashHintedIfBig(
+        v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
+
+  /** Vector re-join + exact-cosine top-k shared by the ANN paths
+    * ([[ivfTopK]], [[ivfTopKFixed]], [[lshTopK]]): join the prepped
+    * vectors onto id-only (query_id, neighbor_id) candidates and rank.
+    * Vector side join strategy per [[hashHintedIfBig]].
+    */
+  private def rescoreTopK(cands: DataFrame, v: DataFrame, idCol: String,
+                          k: Int): DataFrame = {
+    val pairs = cands
+      .join(hashHintedIfBig(
+        v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na"))),
+        "query_id")
+      .join(hashHintedIfBig(
+        v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb"))),
+        "neighbor_id")
+    topK(pairs, k)
+  }
 
   /** Exact cosine top-k from a prepped pair frame (va/na vs vb/nb). */
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
@@ -334,12 +378,7 @@ object Similarity {
     val cands = probes.join(assigned.select(col(idCol).as("neighbor_id"), col("list")), "list")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    val pairs = cands
-      .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
-        "query_id")
-      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
-        "neighbor_id")
-    topK(pairs, k)
+    rescoreTopK(cands, v, idCol, k)
   }
 
   /** [[ivfTopK]] with the inverted-list count chosen from the corpus
@@ -385,12 +424,7 @@ object Similarity {
     val cands = probes.join(assigned, "list")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    val pairs = cands
-      .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
-        "query_id")
-      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
-        "neighbor_id")
-    topK(pairs, k)
+    rescoreTopK(cands, v, idCol, k)
   }
 
   /** ANN via LSH buckets: candidates share the exact signature in at least
@@ -419,12 +453,7 @@ object Similarity {
     val cands = a.join(b, Seq("tbl", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val pairs = cands
-      .join(v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
-        "query_id")
-      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
-        "neighbor_id")
-    topK(pairs, k)
+    rescoreTopK(cands, v, idCol, k)
   }
 
   /** [[lshTopK]] with the per-table plane count chosen from the corpus

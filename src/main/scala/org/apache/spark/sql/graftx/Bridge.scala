@@ -29,4 +29,18 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's auto-broadcast threshold in bytes (negative =
+    * broadcast disabled) — the same value the join planner consults.
+    */
+  def broadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+
+  /** The optimizer's size estimate for a frame (stats of the optimized
+    * logical plan — what drives the planner's own broadcast decision).
+    * Driver-side plan analysis only; runs no job.
+    */
+  def sizeEstimate(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
 }

@@ -90,6 +90,15 @@ import graft.text.{Decontaminate, TextOps}
   * one shuffle whose width is capped at `buckets` rows per partition
   * regardless of corpus size — and the Gumbel-top-k reduce.
   *
+  * FOURTH decade (×243 /tmp/graft_sf24 = 1.215M docs, v3 generator,
+  * gate 292; same session, calib st 0.62-0.65): pipeline_full 80.4 s
+  * ratio 39.7, packing 9.2 s / 32.6, linededup 11.9 s / 23.1,
+  * wsample_grp 8.0 s / 8.6, dsir 1.75 s / 6.4, decontam 2.3 s / 4.5,
+  * lmscore 0.56 s / 4.0, chunk 0.32 s / 2.8 — the whole pipeline-op
+  * family is far sublinear four decades out. semdedup was NOT run at
+  * ×243: its vector rescore shares t_embdup's single-node disk
+  * boundary (README "fourth decade").
+  *
   * Long-doc chunking (chunkDocs, maxTokens 64 / overlap 8):
   *   ×30 base 0.25 s scaled 0.32 ratio 1.24; ×81 base 0.31 s scaled
   *   0.40 ratio 1.31 — a projection + generate, overhead-bound like
