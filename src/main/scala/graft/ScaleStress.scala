@@ -370,6 +370,12 @@ object ScaleStress {
     // at copy `dim`: copies 64..80 of an ×81 run were EXACT cross-copy
     // duplicates of copies 0..16 — extra (conservative) pair volume the
     // decorrelation exists to avoid.
+    // s odd guarantees gcd(s, dim) = 1 ONLY for power-of-two dims — for
+    // any other dim some odd strides share a factor with dim and the
+    // affine map stops being injective (repeated/dropped coordinates,
+    // silently breaking the isometry). Guard rather than assume.
+    require(Integer.bitCount(dim) == 1,
+      s"affine embedding permutation needs a power-of-two dim, got $dim")
     require(copies <= dim * dim / 2,
       s"embedding permutation period is ${dim * dim / 2}; got copies=$copies")
     (0 until copies).map { c =>

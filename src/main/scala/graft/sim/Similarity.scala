@@ -75,43 +75,50 @@ object Similarity {
     * scale keeps its broadcast plans bit-for-bit (PLANS gate) and the
     * hint engages exactly where broadcast stops being available.
     */
-  private def hashHintedIfBig(side: DataFrame): DataFrame = {
-    val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(side.sparkSession)
-    val size = org.apache.spark.sql.graftx.Bridge.sizeEstimate(side)
-    if (thresh >= 0 && size > thresh) side.hint("SHUFFLE_HASH") else side
+  private def vectorSideTooBig(v: DataFrame): Boolean = {
+    val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(v.sparkSession)
+    // threshold < 0 = auto-broadcast disabled: broadcast is never
+    // available, which IS the regime the hint exists for
+    thresh < 0 || org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) > thresh
   }
+
+  private def hashHinted(side: DataFrame, big: Boolean): DataFrame =
+    if (big) side.hint("SHUFFLE_HASH") else side
 
   /** Exact-cosine rescore shared by the near-dup candidate paths
     * ([[cosineDups]], [[Semantic.semanticDups]]): re-join the prepped
     * vectors onto id-only (id_a, id_b) candidates — AFTER candidate
     * dedup, so only id pairs shuffle — and keep pairs with cosine ≥
     * `threshold`. Returns (id_a, id_b, cos). Vector side join strategy
-    * per [[hashHintedIfBig]].
+    * per [[vectorSideTooBig]].
     */
   private[sim] def rescorePairs(cands: DataFrame, v: DataFrame, idCol: String,
-                                threshold: Double): DataFrame =
+                                threshold: Double): DataFrame = {
+    val big = vectorSideTooBig(v) // one estimate; both sides are v
     cands
-      .join(hashHintedIfBig(
-        v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))), "id_a")
-      .join(hashHintedIfBig(
-        v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))), "id_b")
+      .join(hashHinted(
+        v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), big), "id_a")
+      .join(hashHinted(
+        v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), big), "id_b")
       .select(col("id_a"), col("id_b"),
         (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
+  }
 
   /** Vector re-join + exact-cosine top-k shared by the ANN paths
     * ([[ivfTopK]], [[ivfTopKFixed]], [[lshTopK]]): join the prepped
     * vectors onto id-only (query_id, neighbor_id) candidates and rank.
-    * Vector side join strategy per [[hashHintedIfBig]].
+    * Vector side join strategy per [[vectorSideTooBig]].
     */
   private def rescoreTopK(cands: DataFrame, v: DataFrame, idCol: String,
                           k: Int): DataFrame = {
+    val big = vectorSideTooBig(v) // one estimate; both sides are v
     val pairs = cands
-      .join(hashHintedIfBig(
-        v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na"))),
+      .join(hashHinted(
+        v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")), big),
         "query_id")
-      .join(hashHintedIfBig(
-        v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb"))),
+      .join(hashHinted(
+        v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")), big),
         "neighbor_id")
     topK(pairs, k)
   }
