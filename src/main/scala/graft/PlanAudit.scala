@@ -82,6 +82,20 @@ object PlanAudit {
       val target = graft.text.NgramLm.fit(docs.orderBy("doc_id").limit(50), "text")
       val raw = graft.text.NgramLm.fit(docs, "text")
       graft.text.NgramLm.dsirSelect(docs, "doc_id", "text", target, raw, 100)
+    }),
+    // the full training-prep sequence (round-12 verdict #2): clean →
+    // chunk → per-chunk recount → pack. The chunk/recount stages fuse
+    // over the pipeline's persisted survivors (no corpus re-scan —
+    // CorpusPipelineSpec pins scan-count equality with clean()); the
+    // only addition over t_pipeline__full is packing's one
+    // deterministic hash exchange.
+    "t_chunkpack__full" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.core.Tables.documents(s, dir)
+      val bench = docs.orderBy("doc_id").limit(50).select(col("text").as("q"))
+      graft.text.CorpusPipeline.chunkAndPack(
+        graft.text.CorpusPipeline.clean(docs, "doc_id", "text", bench, "q"),
+        "doc_id", "text", maxChunkTokens = 64, overlap = 8, packBudget = 2048L)
     })
   )
 
@@ -169,7 +183,12 @@ object PlanAudit {
     md ++= "t_dsir__full audits NgramLm.dsirSelect's scale path: the two model\n"
     md ++= "fits run at frame construction (bounded <=-buckets collects), so the\n"
     md ++= "audited plan is the shuffle-free importance-weight projection feeding\n"
-    md ++= "the TakeOrderedAndProject top-k — never a full sort of the corpus.\n\n"
+    md ++= "the TakeOrderedAndProject top-k — never a full sort of the corpus.\n"
+    md ++= "t_chunkpack__full is the full training-prep sequence (clean → chunk →\n"
+    md ++= "per-chunk token recount → pack): chunking + recount fuse over the\n"
+    md ++= "pipeline's persisted survivors, so its row must read exactly like\n"
+    md ++= "t_pipeline__full plus ONE shuffle (packing's deterministic hash\n"
+    md ++= "exchange) and NO extra corpus scan.\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"

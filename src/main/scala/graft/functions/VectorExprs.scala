@@ -69,6 +69,69 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product of two `array<float>` columns,
+  * ACCUMULATED IN DOUBLE (each product is computed after widening both
+  * operands, so the only precision lost vs [[DotProduct]] is the float
+  * rounding of the stored components: |Δ| ≤ Σ|aᵢbᵢ|·2⁻²³ ≈ 1e-6 for unit
+  * vectors at dim 64).
+  *
+  * Exists for the ANN rescore's too-big-to-broadcast regime: the
+  * candidate-volume join output carries one vector payload through a
+  * shuffle (join 1's output re-shuffles on the second id for join 2),
+  * and at the fourth stress decade (×243, ~10⁸ candidates) that
+  * payload's spill is what exceeded one node's local disk even after
+  * the SHUFFLE_HASH fix. A float32 copy halves the per-element payload;
+  * this kernel scores it without a per-row cast back to array<double>
+  * (which would re-materialize a double array per candidate row).
+  * Null semantics identical to [[DotProduct]].
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dotf"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `planes x tables` LSH hyperplane projections of one vector in one
   * compiled pass — the native twin of `Similarity.lshProjectionsHof`
   * (whose aggregate/zip_with fold is interpreted and cost ~1 ms/row).
@@ -251,6 +314,12 @@ object VectorF {
     * pair).
     */
   def dotp(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Codegen'd dot product over `array<float>` inputs, accumulated in
+    * double (the ANN rescore's halved-payload regime — see
+    * [[DotProductFloat]]).
+    */
+  def dotpF(a: Column, b: Column): Column = toCol(DotProductFloat(toExpr(a), toExpr(b)))
 
   /** Codegen'd LSH projections (all planes x tables sums in one pass). */
   def lshProj(vec: Column, nProj: Int): Column =

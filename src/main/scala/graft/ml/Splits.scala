@@ -21,10 +21,29 @@ object Splits {
 
   /** Double-Lehmer uniform in [0, 1) from a non-negative long id —
     * the Bootstrap draw generator normalized to a fraction.
+    *
+    * Id domain: [0, 2⁴⁶). The first Lehmer step `(id + 1) * 48271`
+    * overflows Long for ids ≳ 2⁴⁷ and Java's `%` then returns a
+    * NEGATIVE residue — every such row would silently land in the first
+    * split (`u < c` always true) and make [[batches]] ordering
+    * degenerate; a snowflake-style 64-bit id corpus would hit this on
+    * every row. The formula itself is oracle-pinned (the t_split DuckDB
+    * replay), so out-of-domain ids raise per-row instead of the formula
+    * changing: 2⁴⁶ · 48271 < 2⁶³ keeps the product exact with margin.
+    * Re-key wider ids first (e.g. `xxhash64 & ((1L << 46) - 1)` — or
+    * use [[sampleWeighted]]/[[sampleLogWeighted]], which hash the id
+    * and have no domain bound).
     */
-  def uniform01(id: Column): Column =
-    (((id + 1) * 48271L % 2147483647L * 16807L) % 2147483647L)
+  def uniform01(id: Column): Column = {
+    val guarded = when(id >= 0 && id < (1L << 46), id).otherwise(
+      raise_error(concat(
+        lit("graft.ml.Splits.uniform01: id out of domain [0, 2^46) — " +
+          "the Lehmer step would overflow and silently skew the split; " +
+          "re-key the id first (got "),
+        id.cast("string"), lit(")"))))
+    (((guarded + 1) * 48271L % 2147483647L * 16807L) % 2147483647L)
       .cast("double") / 2147483647.0
+  }
 
   /** Add a `split` column: `names(i)` where the id-hash falls in the
     * i-th cumulative fraction bucket. Pure per-row projection — at any
@@ -145,15 +164,20 @@ object Splits {
     (xxhash64(col(idCol), lit(seed)).bitwiseAND(lit(Long.MaxValue))
       .cast("double") + 0.5) / 9.223372036854776e18
 
-  /** Rows with a usable positive weight. NaN must be excluded
+  /** Rows with a usable positive FINITE weight. NaN must be excluded
     * explicitly: Spark's NaN-ordering makes `NaN > 0` TRUE and sorts
     * the resulting NaN keys above every real key, so NaN-weight rows
     * (e.g. a degenerate quality score) would otherwise monopolize the
-    * sample.
+    * sample. +∞ likewise: its key ln(u)/∞ = −0.0 ties at the top and
+    * such rows would win in id order — and [[sampleLogWeighted]]
+    * already excludes non-finite log weights, so the two spec-pinned-
+    * identical methods must agree on the edge (round-11 ADVICE).
     */
-  private def eligible(df: DataFrame, weightCol: String): DataFrame =
-    df.where(col(weightCol).isNotNull && !isnan(col(weightCol).cast("double")) &&
-      col(weightCol) > 0)
+  private def eligible(df: DataFrame, weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    df.where(col(weightCol).isNotNull && !isnan(w) &&
+      w > 0 && w < Double.PositiveInfinity)
+  }
 
   /** [[sampleWeighted]] stratified by `groupCol`: an independent
     * weighted draw of `k` rows (without replacement) inside every group

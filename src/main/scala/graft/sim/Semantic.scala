@@ -49,10 +49,23 @@ object Semantic {
     */
   def semanticDups(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nLists: Int = 16, nProbe: Int = 1,
-                   seed: Long = 42L, maxList: Int = Int.MaxValue): DataFrame = {
-    val (pairs, _, _, _) = dupsParts(vecs, idCol, vecCol, threshold, nLists,
-      nProbe, seed, maxList)
-    pairs
+                   seed: Long = 42L, maxList: Int = Int.MaxValue): DataFrame =
+    semanticDupsWithRelease(vecs, idCol, vecCol, threshold, nLists, nProbe,
+      seed, maxList)._1
+
+  /** [[semanticDups]] plus a release handle that unpersists the two
+    * internal caches (prepped vectors, capped assignment) — the
+    * [[graft.text.NearDup.minHashDedupWithRelease]] shape (round-11
+    * ADVICE): call it after materializing the pairs; later
+    * re-evaluations stay correct, they just recompute.
+    */
+  def semanticDupsWithRelease(vecs: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, nLists: Int = 16, nProbe: Int = 1,
+                              seed: Long = 42L, maxList: Int = Int.MaxValue)
+      : (DataFrame, () => Unit) = {
+    val (pairs, _, _, _, release) = dupsParts(vecs, idCol, vecCol, threshold,
+      nLists, nProbe, seed, maxList)
+    (pairs, release)
   }
 
   /** [[semanticDups]] with the list count chosen from the corpus size
@@ -71,12 +84,13 @@ object Semantic {
     * vectors (persisted), nearest-list assignment (id, list) — one row
     * per vector, its single nearest list; maxList-capped vectors may be
     * absent at nProbe = 1, but capped vectors have no pairs and so no
-    * group membership either — and the fitted centroid frame).
+    * group membership either — the fitted centroid frame, and a release
+    * thunk unpersisting both internal caches).
     */
   private def dupsParts(vecs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nLists: Int, nProbe: Int,
                         seed: Long, maxList: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
     require(threshold >= -1.0 && threshold <= 1.0, s"cosine threshold: $threshold")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     // internal column names: "list"/"lists" key the candidate rows,
@@ -134,7 +148,12 @@ object Semantic {
     // second kernel pass); multi-probe recomputes the first element
     // (keepFarthest + nProbe > 1 only)
     val assignment = if (nProbe == 1) bounded else assignedFirst
-    (pairs, v, assignment, centroids)
+    val release = () => {
+      v.unpersist(blocking = false)
+      bounded.unpersist(blocking = false)
+      ()
+    }
+    (pairs, v, assignment, centroids, release)
   }
 
   /** Semantic dedup keep/drop decisions: connected components over the
@@ -156,10 +175,32 @@ object Semantic {
                     threshold: Double, nLists: Int = 16, nProbe: Int = 1,
                     seed: Long = 42L, maxList: Int = Int.MaxValue,
                     keepFarthest: Boolean = false): DataFrame = {
-    val (pairs, v, assignedFirst, centroids) = dupsParts(vecs, idCol, vecCol,
-      threshold, nLists, nProbe, seed, maxList)
+    val (out, release) = semanticDedupWithRelease(vecs, idCol, vecCol,
+      threshold, nLists, nProbe, seed, maxList, keepFarthest)
+    // the min-id policy's output is already cache-independent (dupGroups
+    // is eager), so release immediately — no pinned frames per call
+    // (round-11 ADVICE). keepFarthest re-reads the caches lazily in the
+    // re-pick, so THAT arm stays pinned while the frame is live; use
+    // [[semanticDedupWithRelease]] to reclaim it in long sessions.
+    if (!keepFarthest) release()
+    out
+  }
+
+  /** [[semanticDedup]] plus a release handle for the two internal
+    * caches (the [[semanticDupsWithRelease]] contract): call after
+    * materializing the result. With `keepFarthest = false` the result
+    * is already eager and the handle may be called immediately; with
+    * `keepFarthest = true` the re-pick reads the caches lazily, so
+    * release only after the result is materialized.
+    */
+  def semanticDedupWithRelease(vecs: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nLists: Int = 16, nProbe: Int = 1,
+                               seed: Long = 42L, maxList: Int = Int.MaxValue,
+                               keepFarthest: Boolean = false): (DataFrame, () => Unit) = {
+    val (pairs, v, assignedFirst, centroids, release) = dupsParts(vecs, idCol,
+      vecCol, threshold, nLists, nProbe, seed, maxList)
     val groups = graft.text.NearDup.dupGroups(pairs)
-    if (!keepFarthest) groups
+    val out = if (!keepFarthest) groups
     else {
       // distance to own centroid for the dup subset only: semi-join the
       // grouped ids, then one broadcast-centroid join. d² suffices for
@@ -180,6 +221,7 @@ object Semantic {
       groups.join(keepers, groups("keep_id") === keepers("__grp"))
         .select(col("doc_id"), col("__newkeep").as("keep_id"), col("group_size"))
     }
+    (out, release)
   }
 
   /** [[semanticDedup]] with the list count chosen from the corpus size

@@ -85,48 +85,74 @@ object Similarity {
   private def hashHinted(side: DataFrame, big: Boolean): DataFrame =
     if (big) side.hint("SHUFFLE_HASH") else side
 
+  /** The rescore joins' vector payload. Broadcast regime: the prepped
+    * `array<double>` rows unchanged — catalog/bench-scale plans AND
+    * numerics stay bit-for-bit (PLANS + oracle-hash gates). Too-big
+    * regime: a float32 copy of `__v`, cast on the corpus side BELOW the
+    * join's exchange — the candidate-volume join output re-shuffles one
+    * vector payload per candidate (join 1's output exchanges on the
+    * second id for join 2), and at ×243 (~10⁸ candidates × dim·8 B)
+    * that spill is what exceeded one node's 74 GB local disk even with
+    * the SHUFFLE_HASH build-side fix. float32 halves the per-element
+    * bytes; [[graft.functions.DotProductFloat]] scores it widening to
+    * double per element (no per-row cast back to array<double>), so
+    * |Δcos| ≲ dim·2⁻²³ ≈ 1e-6 at dim 64 — far inside the 6dp catalog
+    * rounding (Float32RescoreSpec pins 6dp + pair-set equality against
+    * the float64 path on the catalog slice). `__n` stays the exact
+    * double norm (8 B/row — not worth drift).
+    */
+  private def vecPayload(v: DataFrame, idCol: String, big: Boolean): DataFrame =
+    if (big) v.select(col(idCol), col("__v").cast("array<float>").as("__v"), col("__n"))
+    else v
+
+  private def pairDot(big: Boolean): (Column, Column) => Column =
+    if (big) VectorF.dotpF else VectorF.dotp
+
   /** Exact-cosine rescore shared by the near-dup candidate paths
     * ([[cosineDups]], [[Semantic.semanticDups]]): re-join the prepped
     * vectors onto id-only (id_a, id_b) candidates — AFTER candidate
     * dedup, so only id pairs shuffle — and keep pairs with cosine ≥
     * `threshold`. Returns (id_a, id_b, cos). Vector side join strategy
-    * per [[vectorSideTooBig]].
+    * per [[vectorSideTooBig]]; payload per [[vecPayload]].
     */
   private[sim] def rescorePairs(cands: DataFrame, v: DataFrame, idCol: String,
                                 threshold: Double): DataFrame = {
     val big = vectorSideTooBig(v) // one estimate; both sides are v
+    val vp = vecPayload(v, idCol, big)
     cands
       .join(hashHinted(
-        v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), big), "id_a")
+        vp.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), big), "id_a")
       .join(hashHinted(
-        v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), big), "id_b")
+        vp.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), big), "id_b")
       .select(col("id_a"), col("id_b"),
-        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (pairDot(big)(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 
   /** Vector re-join + exact-cosine top-k shared by the ANN paths
     * ([[ivfTopK]], [[ivfTopKFixed]], [[lshTopK]]): join the prepped
     * vectors onto id-only (query_id, neighbor_id) candidates and rank.
-    * Vector side join strategy per [[vectorSideTooBig]].
+    * Vector side join strategy per [[vectorSideTooBig]]; payload per
+    * [[vecPayload]].
     */
   private def rescoreTopK(cands: DataFrame, v: DataFrame, idCol: String,
                           k: Int): DataFrame = {
     val big = vectorSideTooBig(v) // one estimate; both sides are v
+    val vp = vecPayload(v, idCol, big)
     val pairs = cands
       .join(hashHinted(
-        v.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")), big),
+        vp.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")), big),
         "query_id")
       .join(hashHinted(
-        v.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")), big),
+        vp.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")), big),
         "neighbor_id")
-    topK(pairs, k)
+    topK(pairs, k, floatVecs = big)
   }
 
   /** Exact cosine top-k from a prepped pair frame (va/na vs vb/nb). */
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+  private def topK(pairs: DataFrame, k: Int, floatVecs: Boolean = false): DataFrame = {
     val scored = pairs.select(col("query_id"), col("neighbor_id"),
-      round(VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      round(pairDot(floatVecs)(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
     // bounded top-k AGGREGATE, not a window: row_number().over(partitionBy
     // (query).orderBy(cos desc, id)) shuffles and sorts EVERY rescored
     // candidate row (queries × probed-list-size — the bulk of the ANN

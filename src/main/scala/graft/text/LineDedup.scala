@@ -46,9 +46,15 @@ object LineDedup {
     * EXPLICIT char set, because Spark's one-arg `trim` strips spaces
     * only: a CRLF corpus leaves '\r' on every split line, and a
     * tab-indented copy of a banner must still match its space-indented
-    * twin.
+    * twin. The set is the full ASCII \s family minus '\n' (the line
+    * separator itself, already consumed by split) — the same whitespace
+    * convention the Chunk/NgramLm/WsShingle kernels standardized on,
+    * vertical tab included.
     */
-  private val TrimChars = " \t\r\f"
+  // \u000B spelled as an escape: Scala has no \v, and a raw VT byte in
+  // the literal is invisible to review (round-11 ADVICE asked for VT
+  // here — it was present but unreadable)
+  private val TrimChars = " \t\r\u000B\f"
 
   private def candidateKey(minLineChars: Int): Column = {
     val t = trim(col("__line"), TrimChars)

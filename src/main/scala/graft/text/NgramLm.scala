@@ -65,6 +65,18 @@ object NgramLm {
   def fit(docs: DataFrame, textCol: String, n: Int = 2,
           buckets: Int = 1 << 16, alpha: Double = 0.1): Model = {
     require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    // the fitted table is driver-collected and then ships INSIDE the
+    // scoring expression to every task (that locality is what lets the
+    // score ride the fused pipeline Project with zero shuffle): 2^22
+    // buckets = a 32 MB double table, the same order as Spark's default
+    // broadcast budget — beyond that the "bounded collect" stops being
+    // bounded in any useful sense (a 2^24+ caller would get a
+    // multi-hundred-MB driver array and per-task serialization with no
+    // warning). Hashed-ngram curation models use 2^16..2^20 in practice
+    // (DSIR's paper setting is 2^16).
+    require(buckets >= 1 && buckets <= (1 << 22),
+      s"buckets must be in [1, 2^22] (the model table is driver-collected " +
+        s"and ships with the scoring expression); got $buckets")
     val counts = docs
       .select(explode(ngramBuckets(col(textCol), n, buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
@@ -96,8 +108,12 @@ object NgramLm {
 
   /** [[bits]] over a frame: `docs` plus the score as `outCol`. */
   def crossEntropy(docs: DataFrame, textCol: String, model: Model,
-                   outCol: String = "bits"): DataFrame =
+                   outCol: String = "bits"): DataFrame = {
+    require(!docs.columns.contains(outCol),
+      s"crossEntropy output column '$outCol' already exists — " +
+        "drop it or pass a different outCol")
     docs.withColumn(outCol, bits(col(textCol), model))
+  }
 
   /** DSIR log importance weight of every document: `outCol` =
     * Σ_grams (ln p_target(b) − ln p_raw(b)) — the paper's importance
@@ -115,6 +131,14 @@ object NgramLm {
     require(target.n == raw.n && target.buckets == raw.buckets,
       s"models disagree on the feature space: n ${target.n}/${raw.n}, " +
         s"buckets ${target.buckets}/${raw.buckets}")
+    // withColumn silently REPLACES an existing column of the same name —
+    // reject reserved/output collisions up front (the LineDedup/Packing/
+    // Semantic convention; round-11 ADVICE)
+    require(!docs.columns.contains("__lm"),
+      "column name '__lm' is reserved by importanceWeights — rename it first")
+    require(!docs.columns.contains(outCol),
+      s"importanceWeights output column '$outCol' already exists — " +
+        "drop it or pass a different outCol")
     val ln2 = math.log(2.0)
     val diff = Array.tabulate(target.buckets)(b =>
       (target.logProbs(b) - raw.logProbs(b)) * ln2)

@@ -255,4 +255,79 @@ class CorpusPipelineSpec extends SparkSpec {
       projects.head.projectList.mkString.contains("graft_redact_pii"),
       s"lm_bits must fuse with the kernel Project: $plan")
   }
+
+  test("chunkAndPack: chunk and pack budgets hold end-to-end; no corpus re-scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val maxTok = 40; val overlap = 8; val budget = 120L
+    val out = CorpusPipeline.chunkAndPack(cleaned, "doc_id", "text",
+      maxTok, overlap, budget)
+    val rows = out.select("doc_id", "chunk_id", "text", "ntok", "pack")
+      .as[(Long, Int, String, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    // every pipeline survivor is represented, with contiguous window ids
+    val survivors = cleaned.select("doc_id").as[Long].collect().toSet
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.keySet == survivors)
+    perDoc.foreach { case (_, cs) =>
+      assert(cs.map(_._2).sorted.toSeq == (0 until cs.length))
+    }
+    // (a) chunk budgets hold on the POST-REDACTION text: every window
+    // is <= maxTok whitespace tokens, and long docs really did window
+    rows.foreach { case (id, cid, text, _, _) =>
+      assert(text.split("\\s+").count(_.nonEmpty) <= maxTok, s"doc $id chunk $cid")
+    }
+    assert(perDoc.values.exists(_.length > 1), "fixture docs should exceed one window")
+    // consecutive windows share exactly `overlap` tokens of context
+    perDoc.values.foreach { cs =>
+      cs.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, a, _, _), (_, _, b, _, _)) =>
+          val at = a.split("\\s+").filter(_.nonEmpty)
+          val bt = b.split("\\s+").filter(_.nonEmpty)
+          assert(at.takeRight(overlap).sameElements(bt.take(overlap)))
+        case _ =>
+      }
+    }
+    // (b) ntok is the RE-DERIVED per-chunk count (not the doc-level one),
+    // and pack budgets hold on it
+    assert(out.where(col("ntok") =!=
+      TextOps.bpeishTokenCount(col("text"))).isEmpty)
+    rows.groupBy(_._5).foreach { case (pack, members) =>
+      val total = members.map(_._4.toLong).sum
+      assert(total <= budget || members.length == 1,
+        s"pack $pack over budget: $total from ${members.length} chunks")
+    }
+    // (c) the composed tail adds NO corpus re-scan beyond clean()'s own
+    // plan (chunking+recount fuse over the survivors; packing adds only
+    // its one hash shuffle), and the persisted survivors are reused
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      root.collect { case s: FileSourceScanExec => s }.size
+    }
+    val freshClean = CorpusPipeline.clean(corpus, "doc_id", "text", benchmark, "q")
+    val composed = CorpusPipeline.chunkAndPack(freshClean, "doc_id", "text",
+      maxTok, overlap, budget)
+    assert(scans(composed) == scans(freshClean),
+      "chunk->recount->pack must not re-scan the corpus")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("cleanWithRelease: release unpersists the survivor cache; the frame stays correct") {
+    spark.sharedState.cacheManager.clearCache() // isolate from earlier tests
+    val (out, release) = CorpusPipeline.cleanWithRelease(
+      corpus, "doc_id", "text", benchmark, "q")
+    val before = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "scored-survivor persist should be live")
+    release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must drop the internal survivor cache")
+    // re-evaluation after release recomputes and agrees
+    assert(out.select("doc_id", "text").as[(Long, String)].collect().toMap == before)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -54,6 +54,21 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1L) == "own words one" && out(2L) == "own words two")
   }
 
+  test("vertical-tab / form-feed indentation matches space/tab twins (full ASCII ws set)") {
+    // every copy of the banner carries a different whitespace dressing —
+    // all five trim chars must collapse to one frequency key
+    val d = Seq(
+      (1L, s"\u000B$banner\u000B\nvt doc body"),
+      (2L, s"\t$banner \r\ntab doc body"),
+      (3L, s"\f$banner\f\nff doc body")).toDF("doc_id", "text")
+    val freq = LineDedup.frequentLines(d, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(freq == Map(banner -> 3L))
+    val out = LineDedup.dedupLines(d, "doc_id", "text")
+      .select("doc_id", "lines_removed").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("lines shorter than minLineChars are exempt even when ubiquitous") {
     val d = Seq(
       (1L, "---\nfirst real content here"),

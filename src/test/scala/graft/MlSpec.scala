@@ -298,6 +298,45 @@ class SplitsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("sampleWeighted: +Infinity weights are excluded, matching sampleLogWeighted") {
+    // an infinite weight's key ln(u)/∞ = -0.0 ties at the very top and
+    // such rows would win in id order; sampleLogWeighted already
+    // excludes non-finite log weights, and the two methods are pinned
+    // to select identical rows — the edge must agree too (r11 ADVICE)
+    val df = (0L until 50L).map(i => (i, 1.0 + (i % 5))).toDF("id", "w")
+      .union(Seq((100L, Double.PositiveInfinity), (101L, Double.PositiveInfinity))
+        .toDF("id", "w"))
+    val lin = Splits.sampleWeighted(df, "id", "w", 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(!lin.contains(100L) && !lin.contains(101L), s"infinite weight won: $lin")
+    val logd = Splits.sampleLogWeighted(df.withColumn("lw", log(col("w"))),
+        "id", "lw", 10).select("id").as[Long].collect().toSet
+    assert(lin == logd, s"linear $lin vs log $logd")
+  }
+
+  test("uniform01: ids outside [0, 2^46) raise instead of silently skewing the split") {
+    // the Lehmer step overflows Long at |id| ~ 2^47 and Java's % then
+    // goes negative — every such row would land in the FIRST split;
+    // the guard turns the silent skew into a per-row error
+    val ok = Splits.assign(Seq(0L, 1L, (1L << 46) - 1).map(Tuple1(_)).toDF("id"),
+      "id", Seq(0.5, 0.5), Seq("a", "b")).collect()
+    assert(ok.length == 3)
+    for (bad <- Seq(1L << 46, 1L << 47, Long.MaxValue / 48271L + 10, -1L)) {
+      val e = intercept[Exception] {
+        Splits.assign(Seq(bad).map(Tuple1(_)).toDF("id"),
+          "id", Seq(0.5, 0.5), Seq("a", "b")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("out of domain")), s"$bad: $e")
+    }
+    // in-domain values are untouched (the t_split oracle formula)
+    val u = Splits.uniform01(lit(42L))
+    val want = (((42L + 1) * 48271L % 2147483647L * 16807L) % 2147483647L)
+      .toDouble / 2147483647.0
+    assert(spark.range(1).select(u.as("u")).as[Double].head() == want)
+  }
 }
 
 /** Token-budget sequence packing: budget safety, assignment totality,

@@ -137,6 +137,19 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.fit(docsDf, "text", alpha = 0.0))
     intercept[IllegalArgumentException](
       NgramLm.fit(docsDf, "text", n = 0))
+    // the fitted table is driver-collected and ships inside the scoring
+    // expression — beyond 2^22 the "bounded collect" stops being bounded
+    intercept[IllegalArgumentException](
+      NgramLm.fit(docsDf, "text", buckets = 1 << 23))
+    // withColumn silently replaces same-named columns — collisions with
+    // the temp/output names are rejected up front (r11 ADVICE)
+    val m = NgramLm.fit(docsDf, "text", n = 2, buckets = 1 << 12)
+    intercept[IllegalArgumentException](
+      NgramLm.importanceWeights(docsDf.withColumn("__lm", lit(1)), "text", m, m))
+    intercept[IllegalArgumentException](
+      NgramLm.importanceWeights(docsDf.withColumn("log_w", lit(1.0)), "text", m, m))
+    intercept[IllegalArgumentException](
+      NgramLm.crossEntropy(docsDf.withColumn("bits", lit(1.0)), "text", m))
   }
 
   test("sampleLogWeighted selects the same rows as sampleWeighted at the same seed") {

@@ -224,6 +224,17 @@ object ProfileNewOps {
         .agg(count(lit(1)), sum(length(col("text")))).collect(): Unit
     }
 
+    def chunkpack(dir: String): Unit = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val bench = spark.read.parquet(s"$base/documents.parquet")
+        .orderBy("doc_id").limit(200).select(col("text").as("q"))
+      graft.text.CorpusPipeline.chunkAndPack(
+          graft.text.CorpusPipeline.clean(d, "doc_id", "text", bench, "q"),
+          "doc_id", "text", maxChunkTokens = 64, overlap = 8, packBudget = 2048L)
+        .agg(countDistinct(col("pack")), sum(col("ntok"))).collect(): Unit
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     def wsampleGrp(dir: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
@@ -239,7 +250,8 @@ object ProfileNewOps {
       "pipeline_full" -> pipelineFull, "linededup" -> linededup,
       "packing" -> packing, "wsample" -> wsample,
       "wsample_grp" -> wsampleGrp, "semdedup" -> semdedup,
-      "lmscore" -> lmscore, "dsir" -> dsir, "chunk" -> chunk)
+      "lmscore" -> lmscore, "dsir" -> dsir, "chunk" -> chunk,
+      "chunkpack" -> chunkpack)
     // SPARK_GRAFT_PROFILE_ONLY=a,b — measure a subset (blank = all)
     val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet

@@ -162,6 +162,33 @@ class SemanticSpec extends SparkSpec {
       Semantic.semanticDups(clustered, "vec_id", "embedding", 0.9, nProbe = 0))
   }
 
+  test("release handles drop the internal caches; frames stay correct after release") {
+    spark.sharedState.cacheManager.clearCache() // isolate from earlier tests
+    val (pairs, release) = Semantic.semanticDupsWithRelease(
+      clustered, "vec_id", "embedding", 0.95, nLists = 10, seed = 7L)
+    val before = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!spark.sharedState.cacheManager.isEmpty, "vector/assignment caches live")
+    release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist both internal caches")
+    // re-evaluation after release recomputes and agrees
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet == before)
+    // the default min-id dedup is eager and releases its caches itself
+    Semantic.semanticDedup(clustered, "vec_id", "embedding", 0.95,
+      nLists = 10, seed = 7L).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "semanticDedup (min-id policy) must not pin caches after returning")
+    // keepFarthest reads the caches lazily — its WithRelease twin hands
+    // the caller the same handle
+    val (far, releaseFar) = Semantic.semanticDedupWithRelease(
+      clustered, "vec_id", "embedding", 0.95, nLists = 10, seed = 7L,
+      keepFarthest = true)
+    val want = far.select("doc_id", "keep_id").as[(Long, Long)].collect().toSet
+    releaseFar()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(far.select("doc_id", "keep_id").as[(Long, Long)].collect().toSet == want)
+  }
+
   test("plan: no cartesian; every nested-loop join is a 1-row identity broadcast") {
     val plan = Semantic.semanticDups(clustered, "vec_id", "embedding", 0.9,
       nLists = 10).queryExecution.executedPlan.toString
