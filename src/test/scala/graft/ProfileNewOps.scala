@@ -46,6 +46,14 @@ import graft.text.{Decontaminate, TextOps}
   * like t_minhash/t_dupgroups, the per-doc kernel stages are
   * overhead-bound.
   *
+  * Chunk→pack composite (round 12; chunkAndPack = clean → chunkDocs →
+  * per-chunk token recount → Packing.pack, maxChunkTokens 64 overlap 8
+  * budget 2048): base 2.39 s, ×30 10.74 s ratio 4.49 (gate 36) — in
+  * the SAME session plain clean() read 2.20 / 8.98 / 4.09, so the
+  * whole chunk + recount + pack tail adds ~+0.2 s base / +1.8 s at
+  * ×30 on top of the pipeline: kernel-stage cost, dominated as always
+  * by clean()'s near-dup banding.
+  *
   * pinWidth A/B on the composite (round 11, same JVM, interleaved
   * min-of-2): unpinned clean() base 2.54 s / ×30 9.93 s vs pre-pinned
   * corpus 2.14 s / 8.99 s — the fused kernel head IS the serial head
