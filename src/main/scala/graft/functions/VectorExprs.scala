@@ -299,6 +299,138 @@ case class NearestListsExpr(left: Expression, right: Expression, nProbe: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** int8 symmetric quantization of an embedding vector, one compiled
+  * pass — the payload for the ANN prefilter's LOSSLESS cosine upper
+  * bound ([[graft.sim.Similarity]] big-regime near-dup path).
+  *
+  * For scale `s = max|vᵢ|/127` each component is stored as
+  * `qᵢ = round(vᵢ/s) ∈ [-127, 127]` (one signed byte), so
+  * `|vᵢ − qᵢ·s| ≤ s/2` and for two quantized vectors the exact dot is
+  * bracketed by
+  *
+  *   |v·w − s_v·s_w·(q_v·q_w)| ≤ (s_w/2)·‖v‖₁ + (s_v/2)·‖w‖₁ + n·s_v·s_w/4
+  *
+  * (substitute v = s_v·q_v + e, w = s_w·q_w + f with |eᵢ| ≤ s_v/2,
+  * |fᵢ| ≤ s_w/2 and expand — the three terms bound Σ|vᵢfᵢ|, Σ|wᵢeᵢ|,
+  * Σ|eᵢfᵢ|; the first two use the ORIGINAL components' L1 norms, which
+  * is why `l1` ships with the struct). The q·q dot is exact integer
+  * arithmetic ([[DotProductI8]]), so the only floating-point slop in
+  * the bound is a handful of double roundings — callers inflate by
+  * 1e-9 relative, nine orders of magnitude more than needed.
+  *
+  * Degenerate inputs quantize to states whose bound check can never
+  * wrongly DROP a pair the exact rescore would keep: an all-zero (or
+  * empty) vector gets s = 0, q = 0, l1 = 0 (bound check degenerates to
+  * 0 ≥ 0 — kept, and the exact stage decides); a vector with a NaN or
+  * ±Inf component propagates NaN/Inf into s/l1, the bound comparison
+  * is false or vacuous, and the exact path's cosine for such a vector
+  * is NaN — never a kept pair — either way. Null array or null element
+  * → null (the [[DotProduct]] convention).
+  */
+object QuantKernel {
+  val schema: StructType = StructType(Seq(
+    StructField("q", BinaryType, nullable = false),
+    StructField("s", DoubleType, nullable = false),
+    StructField("l1", DoubleType, nullable = false)))
+
+  /** Quantize one vector; null for a null element (caller handles a
+    * null array). Two tight passes: absmax+L1, then the byte row.
+    */
+  def quantize(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var amax = 0.0
+    var l1 = 0.0
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      val a = math.abs(vec.getDouble(i))
+      if (a > amax) amax = a // NaN compares false: s stays finite, l1 goes NaN
+      l1 += a
+      i += 1
+    }
+    val s = amax / 127.0
+    val bytes = new Array[Byte](n)
+    if (s != 0.0) { // s == 0: all components are ±0 → bytes stay 0
+      i = 0
+      while (i < n) {
+        val q = Math.round(vec.getDouble(i) / s) // NaN/s or x/Inf → rounds to 0
+        bytes(i) = (if (q > 127L) 127L else if (q < -127L) -127L else q).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bytes, s, l1))
+  }
+}
+
+/** [[QuantKernel.quantize]] as a codegen'd expression:
+  * `array<double>` → `struct<q: binary, s: double, l1: double>`.
+  */
+case class QuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = QuantKernel.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quant_i8"
+
+  override def nullSafeEval(vec: Any): Any =
+    QuantKernel.quantize(vec.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.QuantKernel.quantize($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two int8-quantized vectors (`binary` ×
+  * `binary` → `long`; |Σ qᵢrᵢ| ≤ n·127² never overflows). Null if
+  * either side is null or lengths differ — the [[DotProduct]]
+  * convention transposed to bytes.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_i8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < x.length) {
+      acc += x(i).toLong * y(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += ((long) $a[$i]) * ((long) $b[$i]);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for graft's native expressions.
   *
   * Built on the public `ExpressionUtils.column/expression` bridge so the
@@ -320,6 +452,14 @@ object VectorF {
     * [[DotProductFloat]]).
     */
   def dotpF(a: Column, b: Column): Column = toCol(DotProductFloat(toExpr(a), toExpr(b)))
+
+  /** Codegen'd int8 quantizer: `array<double>` → `struct<q, s, l1>`
+    * (see [[QuantKernel]] for the lossless-bound contract).
+    */
+  def quantI8(vec: Column): Column = toCol(QuantizeI8(toExpr(vec)))
+
+  /** Codegen'd exact integer dot of two int8-quantized vectors. */
+  def dotpI8(a: Column, b: Column): Column = toCol(DotProductI8(toExpr(a), toExpr(b)))
 
   /** Codegen'd LSH projections (all planes x tables sums in one pass). */
   def lshProj(vec: Column, nProj: Int): Column =

@@ -262,24 +262,100 @@ object Similarity {
     * pair generation. Recall rises with `tables` and falls with
     * `planes`; for true near-dups (cos ≥ 0.9) the default is spec-pinned
     * ≥ 0.9 recall.
+    *
+    * Two physical regimes, one output (QuantPrefilterSpec pins pair-set
+    * + cosine equality across them): when the vector side fits the
+    * broadcast threshold the plan is the oracle-audited catalog shape
+    * (id-only candidates → distinct → broadcast rescore); when it does
+    * not, an int8-quantized LOSSLESS cosine upper bound is fused into
+    * the bucket self-join so failing pairs never leave the join's
+    * stage — shuffle payload stays corpus-proportional instead of
+    * candidate-proportional (see the branch comment for the ×243
+    * byte measurements).
     */
   def cosineDups(vecs: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, planes: Int = 8, tables: Int = 8,
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val v = prepped(vecs, idCol, vecCol)
-    val sigs = v.select(col(idCol), lshProjections(col("__v"), planes, tables).as("__p"))
+    if (!vectorSideTooBig(v)) {
+      // catalog/bench regime — UNCHANGED plan (PLANS + oracle gates):
+      // id-only candidate dedup, vectors re-join after the distinct
+      val sigs = sigRows(v, idCol, planes, tables)
+      val bounded = capGroups(sigs, maxBucket, "tbl", "sig")
+      val a = bounded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
+      val b = bounded.select(col(idCol).as("id_b"), col("tbl"), col("sig"))
+      val cands = a.join(b, Seq("tbl", "sig"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      rescorePairs(cands, v, idCol, threshold)
+    } else {
+      // Corpus-scale regime: fuse a LOSSLESS int8 cosine upper-bound
+      // prefilter INTO the bucket self-join, so candidate pairs that
+      // cannot reach `threshold` die inside the join's stage — they
+      // never shuffle into the distinct and never join vectors again.
+      // Payload economics at the fourth stress decade (×243): the
+      // candidate stream is ~10⁸ pairs while the corpus is ~2.4×10⁷
+      // sig rows, so moving the payload from the candidate-volume
+      // rescore exchanges (measured 22.0 GB even after the float32
+      // halving) to the corpus-volume signature exchange (~90 B/row
+      // int8 struct, reused by BOTH join sides via ReusedExchange)
+      // replaces candidate-proportional shuffle bytes with
+      // corpus-proportional ones — the quantity a 1000-executor
+      // cluster actually provisions for. Survivors (a superset of the
+      // true pairs — [[graft.functions.QuantKernel]] proves the bound)
+      // still go through the EXACT rescore below, so output semantics
+      // are identical to the catalog branch; QuantPrefilterSpec pins
+      // pair-set + cosine equality across regimes and the lossless
+      // property on adversarial vectors.
+      val q = v.select(col(idCol),
+          lshProjections(col("__v"), planes, tables).as("__p"),
+          VectorF.quantI8(col("__v")).as("__q"), col("__n"))
+        .select(col(idCol), col("__q"), col("__n"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
+        .select(col(idCol), col("s.tbl"), col("s.sig"), col("__q"), col("__n"))
+      val bounded = capGroups(q, maxBucket, "tbl", "sig")
+      val a = bounded.select(col(idCol).as("id_a"), col("tbl"), col("sig"),
+        col("__q").as("qa"), col("__n").as("na"))
+      val b = bounded.select(col(idCol).as("id_b"), col("tbl"), col("sig"),
+        col("__q").as("qb"), col("__n").as("nb"))
+      val cands = a.join(hashHinted(b, big = true), Seq("tbl", "sig"))
+        .where(col("id_a") < col("id_b"))
+        .where(quantUpper(col("qa"), col("qb")) >= lit(threshold) * col("na") * col("nb"))
+        .select("id_a", "id_b").distinct()
+      rescorePairs(cands, v, idCol, threshold)
+    }
+  }
+
+  /** Upper bound on the EXACT dot v·w of two int8-quantized vectors
+    * (`struct<q, s, l1>` per [[graft.functions.QuantKernel]]):
+    *
+    *   v·w ≤ s_a·s_b·(q_a·q_b) + (s_b/2)‖a‖₁ + (s_a/2)‖b‖₁ + n·s_a·s_b/4
+    *
+    * with the integer dot exact, kept in PRODUCT form (compare against
+    * threshold·‖a‖·‖b‖ — no division) and inflated 1e-9 relative —
+    * absolute in (|est|+slack), so a negative est inflates upward
+    * too — to dominate the handful of double roundings here.
+    * QuantPrefilterSpec hammers the ≥-exact-dot property on
+    * adversarial vectors.
+    */
+  private[sim] def quantUpper(qa: Column, qb: Column): Column = {
+    val dotq = VectorF.dotpI8(qa.getField("q"), qb.getField("q")).cast("double")
+    val est = qa.getField("s") * qb.getField("s") * dotq
+    val slack = qb.getField("s") / 2 * qa.getField("l1") +
+      qa.getField("s") / 2 * qb.getField("l1") +
+      length(qa.getField("q")).cast("double") * qa.getField("s") * qb.getField("s") / 4
+    est + slack + (abs(est) + slack) * 1e-9
+  }
+
+  /** (id, tbl, sig) signature rows shared by [[cosineDups]]'s catalog
+    * branch — one projection kernel pass, one explode.
+    */
+  private def sigRows(v: DataFrame, idCol: String, planes: Int, tables: Int): DataFrame =
+    v.select(col(idCol), lshProjections(col("__v"), planes, tables).as("__p"))
       .select(col(idCol), explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
       .select(col(idCol), col("s.tbl"), col("s.sig"))
-    val bounded = capGroups(sigs, maxBucket, "tbl", "sig")
-    // id-only candidate dedup; vectors re-join after the distinct
-    val a = bounded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
-    val b = bounded.select(col(idCol).as("id_b"), col("tbl"), col("sig"))
-    val cands = a.join(b, Seq("tbl", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    rescorePairs(cands, v, idCol, threshold)
-  }
 
   /** [[cosineDups]] with the LSH plane count chosen from the corpus
     * size by the documented capacity-∝-corpus rule ([[Capacity]]), so

@@ -6,38 +6,67 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.VectorF
 
-/** Round-12 verdict #1 evidence: the float32 rescore payload's
-  * measured byte reduction on the ×243 t_embdup shape.
+/** Round-12 verdict #1 evidence: shuffle/spill bytes of the big-regime
+  * near-dup rescore, measured per arm over the ×243 t_embdup shape.
   *
-  * Arm f64 replicates the ROUND-11 rescore exactly (SHUFFLE_HASH
-  * hints, `array<double>` payload, graft_dot) over the same candidate
-  * generation; arm f32 is the production [[Similarity.cosineDups]]
-  * (whose too-big regime casts the payload to float32 below the
-  * exchange and scores with graft_dotf). A stage-metrics listener
-  * accumulates shuffle write bytes and disk/memory spill bytes per
-  * arm — bytes are structural, so one rep per arm suffices (wall
-  * times are printed but the BYTES are the claim).
+  * Three arms, one JVM, shared candidate generation parameters:
+  *   f64   — the ROUND-11 shape verbatim: id-only candidates →
+  *           distinct → SHUFFLE_HASH rescore joins dragging
+  *           `array<double>` payloads (graft_dot);
+  *   f32   — the first round-12 fix: same shape, payload cast to
+  *           `array<float>` below the exchange (graft_dotf);
+  *   pre   — the PRODUCTION [[Similarity.cosineDups]]: int8-quantized
+  *           lossless cosine upper bound fused into the bucket
+  *           self-join (graft_quant_i8/graft_dot_i8), so failing
+  *           candidates never leave the join's stage; survivors
+  *           through the exact f32 rescore.
+  * A stage-metrics listener accumulates shuffle write and spill bytes
+  * per arm — bytes are structural, so one rep per arm suffices (wall
+  * times are corroboration). Each arm's output COUNT is printed too:
+  * at ×243 the three must agree (the f32/f64 pair sets are 6dp-pinned
+  * by Float32RescoreSpec; the prefilter is lossless by
+  * QuantPrefilterSpec) — a cardinality cross-check of the prefilter at
+  * a scale the specs can't reach.
   *
-  * MEASURED (round 12, ×243 /tmp/graft_sf24 v3, one JVM, f32 first):
-  *   f32  wall 217.2 s  shuffleWrite 51.22 GB  diskSpill 5.32 GB
-  *   f64  wall 414.4 s  shuffleWrite 73.26 GB  diskSpill 5.32 GB
-  * Disk/mem spill identical across arms (the candidate-generation
-  * sort they share verbatim); subtracting the shared write (29.2 GB)
-  * isolates the rescore-join payload: 44.06 → 22.02 GB = 2.001×, the
-  * structural halving the f32 cast predicted; same-JVM wall 1.91×.
+  * MEASURED (round 12, ×243 /tmp/graft_sf24 v3, one JVM, pre→f32→f64,
+  * threshold 0.9 = the t_embdup stress shape):
+  *   pre  wall  16.4 s  shuffleWrite  0.50 GB  diskSpill 0      memSpill 0
+  *   f32  wall 209.6 s  shuffleWrite 50.30 GB  diskSpill 5.3 GB  memSpill 52.4 GB
+  *   f64  wall 342.8 s  shuffleWrite 72.33 GB  diskSpill 5.3 GB  memSpill 52.3 GB
+  * (the f32/f64 arms repeat the pre-prefilter session's readings —
+  * 51.22/73.26 GB, walls 217/414 s — within run-to-run noise; `pre`'s
+  * wall carries this arm-order's plan compile, the committed stress
+  * min is 9.68 s.) The prefilter moves the payload from the
+  * candidate-volume rescore exchanges to the corpus-volume signature
+  * exchange and kills failing candidates inside the join's stage:
+  * 72.33 → 0.50 GB total shuffle write (146×), spills eliminated. At
+  * threshold 0.9 this corpus has NO true pairs (all arms rows=0 — the
+  * byte cost measured is pure candidate volume), so the cardinality
+  * cross-check ran separately at the catalog threshold 0.4
+  * (SPARK_GRAFT_RESCORE_T=0.4), where ALL THREE ARMS COUNTED EXACTLY
+  * 1 500 184 PAIRS (pre 41.8 s / 1.17 GB shuffle write / 0 spill;
+  * f32 337.7 s / 50.30 GB; f64 399.0 s / 72.33 GB) — prefilter +
+  * exact-f32 rescore is pair-for-pair the f32 arm by construction,
+  * and no f64/f32 pair straddled the 0.4 boundary at this scale.
   *
   * Usage: SPARK_GRAFT_SCALED_DIR=/tmp/graft_sf24 \
   *   sbt "Test/runMain graft.sim.ProfileRescoreBytes"
   *
   * Lives in package graft.sim to reach the private[sim] candidate
-  * pipeline so the f64 arm shares it verbatim (the arms differ ONLY in
-  * the rescore payload).
+  * pipeline so the replica arms share it verbatim (the arms differ
+  * ONLY in candidate pruning / rescore payload).
   */
 object ProfileRescoreBytes {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR", "/tmp/graft_sf24")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "243").toInt
+    // 0.9 = the t_embdup stress shape (output empty on this corpus —
+    // the bytes are the claim); 0.4 = the catalog threshold, used for
+    // the NON-vacuous cardinality cross-check (prefilter + exact f32
+    // rescore must equal the plain f32 arm pair-for-pair, so counts
+    // match exactly)
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_RESCORE_T", "0.9").toDouble
     val spark = Tables.tune(org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").appName("rescoreBytes")
       .config("spark.sql.shuffle.partitions", 32).getOrCreate())
@@ -60,10 +89,13 @@ object ProfileRescoreBytes {
     val planes = Capacity.lshPlanes(copies.toLong * Capacity.RefEmbeddingRows, basePlanes = 8)
     val vecs = Tables.embeddings(spark, dir)
 
-    // the r11 form: double payload + SHUFFLE_HASH hints, same candidate
-    // generation as cosineDups (threshold/planes/tables/maxBucket match
-    // the t_embdup stress override)
-    def dupsF64(): DataFrame = {
+    /** The r11/r12.1 shape: id-only candidates → distinct → hinted
+      * rescore joins with a float64 (r11) or float32 (r12.1) payload.
+      * Candidate generation matches cosineDups' parameters exactly
+      * (threshold/planes/tables/maxBucket = the t_embdup stress
+      * override).
+      */
+    def dupsNoPrefilter(f32: Boolean): DataFrame = {
       val v = Similarity.prepped(vecs, "vec_id", "embedding")
       val tables = 8
       val sigs = v.select(col("vec_id"), Similarity.lshProjections(col("__v"), planes, tables).as("__p"))
@@ -76,33 +108,39 @@ object ProfileRescoreBytes {
       val cands = a.join(b, Seq("tbl", "sig"))
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
+      val vp = if (f32)
+        v.select(col("vec_id"), col("__v").cast("array<float>").as("__v"), col("__n"))
+      else v
+      val dot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        if (f32) VectorF.dotpF else VectorF.dotp
       cands
-        .join(v.select(col("vec_id").as("id_a"), col("__v").as("va"), col("__n").as("na"))
+        .join(vp.select(col("vec_id").as("id_a"), col("__v").as("va"), col("__n").as("na"))
           .hint("SHUFFLE_HASH"), "id_a")
-        .join(v.select(col("vec_id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+        .join(vp.select(col("vec_id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
           .hint("SHUFFLE_HASH"), "id_b")
         .select(col("id_a"), col("id_b"),
-          (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-        .where(col("cos") >= 0.9)
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .where(col("cos") >= threshold)
     }
 
-    def dupsF32(): DataFrame =
-      Similarity.cosineDups(vecs, "vec_id", "embedding", threshold = 0.9,
+    def dupsProduction(): DataFrame =
+      Similarity.cosineDups(vecs, "vec_id", "embedding", threshold = threshold,
         planes = planes, tables = 8, maxBucket = 10000)
 
     def run(label: String, f: () => DataFrame): Unit = {
       shuffleW.set(0); diskSpill.set(0); memSpill.set(0)
       val t0 = System.nanoTime()
-      f().write.format("noop").mode("overwrite").save()
+      val n = f().count()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      println(f"BYTES $label%-4s wall=$wall%8.1f s  shuffleWrite=${shuffleW.get / 1e9}%8.3f GB" +
+      println(f"BYTES $label%-4s wall=$wall%8.1f s  rows=$n%10d  shuffleWrite=${shuffleW.get / 1e9}%8.3f GB" +
         f"  diskSpill=${diskSpill.get / 1e9}%8.3f GB  memSpill=${memSpill.get / 1e9}%8.3f GB")
     }
 
-    // f32 first, then f64 (if the f64 arm exhausts disk it dies last)
-    run("f32", dupsF32 _)
-    run("f64", dupsF64 _)
+    // cheapest first; if a heavy arm exhausts disk it dies last
+    run("pre", dupsProduction _)
+    run("f32", () => dupsNoPrefilter(f32 = true))
+    run("f64", () => dupsNoPrefilter(f32 = false))
     spark.stop()
   }
 }

@@ -1,0 +1,161 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorF
+
+/** The big-regime near-dup candidate prefilter (round 12): cosineDups
+  * fuses an int8-quantized cosine UPPER BOUND into the LSH bucket
+  * self-join, so candidate pairs that cannot reach the threshold die
+  * inside the join's stage — they never shuffle into the distinct and
+  * never re-join vectors. Correctness rests on one inequality
+  * ([[graft.functions.QuantKernel]]): the bound never reads BELOW the
+  * exact dot, so prefilter survivors are a superset of the true pairs
+  * and the exact rescore downstream makes the output identical to the
+  * catalog branch.
+  *
+  * Lives in package graft.sim to reach the private[sim] quantUpper so
+  * the property test exercises the PRODUCTION formula, not a replica.
+  */
+class QuantPrefilterSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  // lazy val: Tables.table runs tune(), which (re)sets the broadcast
+  // threshold — evaluating it inside inBigRegime would undo the -1
+  private lazy val vecs = graft.core.Tables.embeddings(spark, dir)
+
+  private def inBigRegime[A](f: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try f finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("quantI8: layout, zero vector, null semantics; dotpI8 exactness") {
+    val out = Seq(
+      (1L, Array(1.0, -1.0, 0.5, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(127.0, -127.0, 63.5, 1.0))
+    ).toDF("id", "v")
+      .select(col("id"), VectorF.quantI8(col("v").cast("array<double>")).as("q"))
+      .select(col("id"), col("q.q"), col("q.s"), col("q.l1"))
+      .as[(Long, Array[Byte], Double, Double)].collect().sortBy(_._1)
+    // id 1: s = 1/127; components quantize to ±127, ±64 (0.5/(1/127) = 63.5
+    // rounds half-UP to 64), 0
+    assert(out(0)._2.toSeq == Seq[Byte](127, -127, 64, 0))
+    assert(out(0)._3 == 1.0 / 127.0 && out(0)._4 == 2.5)
+    // id 2: all-zero vector → s = 0, q = 0, l1 = 0 (bound check 0 ≥ 0
+    // keeps the pair; the exact stage's NaN cosine drops it)
+    assert(out(1)._2.forall(_ == 0) && out(1)._3 == 0.0 && out(1)._4 == 0.0)
+    // id 3: s = 1 exactly, components round to themselves
+    assert(out(2)._2.toSeq == Seq[Byte](127, -127, 64, 1) && out(2)._3 == 1.0)
+
+    // dotpI8 is exact integer arithmetic
+    val d = Seq((Array[Byte](127, -127, 64, 1), Array[Byte](1, 2, 3, 4)))
+      .toDF("a", "b").select(VectorF.dotpI8(col("a"), col("b"))).as[Long].head()
+    assert(d == 127L - 254L + 192L + 4L)
+
+    // null array / null element / length mismatch → null (DotProduct
+    // convention)
+    val nulls = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v, CAST(NULL AS BINARY) AS x, CAST('ab' AS BINARY) AS y
+         UNION ALL SELECT ARRAY(1.0, CAST(NULL AS DOUBLE)), CAST('a' AS BINARY), CAST('ab' AS BINARY)""")
+      .select(VectorF.quantI8(col("v")).as("q"), VectorF.dotpI8(col("x"), col("y")).as("d"))
+      .collect()
+    assert(nulls.forall(r => r.isNullAt(0) && r.isNullAt(1)), nulls.mkString(","))
+  }
+
+  test("quantUpper never reads below the exact dot (adversarial + random)") {
+    val rnd = new scala.util.Random(42)
+    def vec(dim: Int, gen: Int => Double): Array[Double] = Array.tabulate(dim)(gen)
+    val shapes: Seq[Array[Double]] =
+      Seq(
+        vec(64, _ => rnd.nextDouble() * 2 - 1),            // uniform
+        vec(64, _ => rnd.nextGaussian()),                  // gaussian
+        vec(64, i => if (i == 7) 1e30 else 1e-30),         // spike + tiny
+        vec(64, i => if (i % 2 == 0) 1e-300 else -1e-300), // subnormal-adjacent
+        vec(64, _ => 0.0),                                 // zero
+        vec(64, _ => -3.25),                               // constant negative
+        vec(1, _ => 0.7), vec(1, _ => -0.7),               // dim 1
+        vec(128, i => math.sin(i.toDouble)),               // smooth
+        vec(64, i => if (i < 32) 1.0 else -1.0)            // sign blocks
+      ) ++
+        // near-duplicate pairs land adjacent so crossJoin pairs them too
+        (0 until 40).map(k => vec(64, i => rnd.nextGaussian() * (1 + k * 0.1))) ++
+        (0 until 40).map(k => vec(64, i => math.cos(i * (k + 1) / 7.0) + rnd.nextDouble() * 1e-6))
+    val df = shapes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val q = df.select(col("id"), col("v"), VectorF.quantI8(col("v")).as("q"))
+    val a = q.select(col("id").as("ia"), col("v").as("va"), col("q").as("qa"))
+    val b = q.select(col("id").as("ib"), col("v").as("vb"), col("q").as("qb"))
+    val checked = a.crossJoin(b).where(col("ia") <= col("ib"))
+      .select(col("ia"), col("ib"),
+        VectorF.dotp(col("va"), col("vb")).as("dot"),
+        Similarity.quantUpper(col("qa"), col("qb")).as("upper"))
+      .collect()
+    assert(checked.length == shapes.length * (shapes.length + 1) / 2)
+    var verified = 0
+    checked.foreach { r =>
+      val (ia, ib) = (r.getLong(0), r.getLong(1))
+      // dimension-mismatched pairs: BOTH the exact dot and the bound go
+      // null (same length-mismatch convention) — filters drop the pair
+      // in both paths; assert the consistency rather than skip silently
+      if (r.isNullAt(2) || r.isNullAt(3)) {
+        assert(r.isNullAt(2) && r.isNullAt(3), s"($ia,$ib): null asymmetry $r")
+      } else {
+        val (dot, upper) = (r.getDouble(2), r.getDouble(3))
+        // a non-finite exact dot never yields a kept pair in the exact
+        // path (cos is NaN/±Inf → filter false), so the bound owes
+        // nothing there; everywhere finite it must dominate
+        if (!dot.isNaN && !dot.isInfinite) {
+          assert(upper >= dot, s"($ia,$ib): upper $upper < dot $dot")
+          verified += 1
+        }
+      }
+    }
+    // 4095 pairs total; dim-1/dim-128 mismatches and the spike/Inf
+    // shapes account for the non-finite remainder
+    assert(verified > 3500, s"only $verified finite pairs — test is vacuous")
+  }
+
+  test("big-regime cosineDups output is identical to the catalog branch") {
+    for (threshold <- Seq(0.4, 0.9)) {
+      def run() = Similarity.cosineDups(vecs, "vec_id", "embedding",
+          threshold = threshold, planes = 8, tables = 8, maxBucket = 10000)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val cat = run()
+      val big = inBigRegime(run())
+      assert(threshold > 0.5 || cat.nonEmpty, "no pairs at the loose threshold — vacuous")
+      assert(cat.keySet == big.keySet,
+        s"t=$threshold pair sets differ: onlyCat=${(cat.keySet -- big.keySet).take(5)} " +
+          s"onlyBig=${(big.keySet -- cat.keySet).take(5)}")
+      cat.foreach { case (k, c) =>
+        assert(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) ==
+          BigDecimal(big(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          s"t=$threshold $k: $c vs ${big(k)}")
+      }
+    }
+  }
+
+  test("plan gates: prefilter only in the big regime; payload off the distinct") {
+    def pairs = Similarity.cosineDups(vecs, "vec_id", "embedding",
+      threshold = 0.9, planes = 8, tables = 8)
+    val big = inBigRegime(pairs.queryExecution.executedPlan.toString)
+    // quantized prefilter inside the bucket join's stage, exact rescore
+    // (float32 big-regime payload) downstream
+    assert(big.contains("graft_quant_i8") && big.contains("graft_dot_i8"), big.take(3000))
+    assert(big.contains("graft_dotf"), big.take(3000))
+    // the distinct's input is id pairs only — no vector payload column
+    // survives past the prefilter (the HashAggregate for the distinct
+    // groups exactly [id_a, id_b])
+    val aggKeys = "HashAggregate\\(keys=\\[id_a[^\\]]*id_b[^\\]]*\\]".r
+    assert(aggKeys.findFirstIn(big).isDefined, big.take(3000))
+    assert(!aggKeys.findFirstIn(big).get.contains("__v"), aggKeys.findFirstIn(big).get)
+    // catalog regime: no quantization anywhere, broadcast joins, exact
+    // float64 dot — bit-for-bit the pre-round-12 plan
+    val small = pairs.queryExecution.executedPlan.toString
+    assert(!small.contains("graft_quant_i8") && !small.contains("graft_dot_i8"),
+      small.take(3000))
+    assert(small.contains("BroadcastHashJoin") && small.contains("graft_dot("),
+      small.take(3000))
+  }
+}
