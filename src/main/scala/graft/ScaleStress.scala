@@ -144,7 +144,10 @@ object ScaleStress {
     // single-alphabet bijection made copy 9 byte-identical to copy 0
     // v3: third text alphabet (period 405) + affine embedding
     // permutation (period dim²/2) — v2 wrapped embeddings at copy 64
-    val genTag = s"v3-copies$copies"
+    // the v4 fourth rotation set is IDENTITY below copy 405, so v4
+    // output is byte-identical to v3 there — cached v3 dirs stay valid
+    // and the tag only advances where the generators actually diverge
+    val genTag = s"${if (copies > 405) "v4" else "v3"}-copies$copies"
     val marker = new java.io.File(s"$outDir/_GEN")
     val cached = marker.isFile &&
       scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim).toOption
@@ -315,10 +318,20 @@ object ScaleStress {
         .localCheckpoint()
       graft.graph.GraphOps.linkPrediction(edges, "supp", "cust", maxNeighborDegree = 500).count()
     }
-    val pairsBase = linkpredPairs(baseDir)
-    val pairsScaled = linkpredPairs(outDir)
-    val pairRatio = pairsScaled.toDouble / math.max(pairsBase, 1L)
-    println(f"[stress] g_linkpred candidate pairs: base=$pairsBase x$copies=$pairsScaled ratio=$pairRatio%.3f (gate ${copies * 1.01})")
+    // SPARK_GRAFT_STRESS_SKIP_PAIRGATE=1 skips the count for dev runs
+    // of OTHER families (at ×729 the count itself is a ~10-minute job
+    // whose shuffle competes for the same disk as the family under
+    // test); committed g_linkpred rows always come from gated runs
+    val skipPairGate = sys.env.get("SPARK_GRAFT_STRESS_SKIP_PAIRGATE").contains("1")
+    val (pairsBase, pairsScaled) =
+      if (skipPairGate) (0L, 0L)
+      else (linkpredPairs(baseDir), linkpredPairs(outDir))
+    val pairRatio = if (skipPairGate) 0.0
+      else pairsScaled.toDouble / math.max(pairsBase, 1L)
+    if (skipPairGate)
+      println("[stress] g_linkpred pair gate SKIPPED (SPARK_GRAFT_STRESS_SKIP_PAIRGATE=1)")
+    else
+      println(f"[stress] g_linkpred candidate pairs: base=$pairsBase x$copies=$pairsScaled ratio=$pairRatio%.3f (gate ${copies * 1.01})")
 
     val js = rows.map { case QRow(q, b, s, r, reps, stFloor) =>
       f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"stFloor":$stFloor%.3f,"nreps":${reps.length},"reps":{""" +
@@ -327,8 +340,12 @@ object ScaleStress {
         "],\"base\":[" + reps.map(t => f"${t._3}%.3f").mkString(",") +
         "],\"scaled\":[" + reps.map(t => f"${t._4}%.3f").mkString(",") + "]}}"
     }.mkString("{", ",", "}")
+    // a skipped pair gate is marked in the machine-readable line too —
+    // a {base:0, ratio:0} row must never read as a measured pass
+    val pairsJson = if (skipPairGate) """{"skipped":true}"""
+      else f"""{"base":$pairsBase,"scaled":$pairsScaled,"ratio":$pairRatio%.3f}"""
     println(f"""{"stress":"sf0.1 x$copies","maxRatio":$maxRatio,"scaledParts":$scaledParts,""" +
-      f""""linkpredPairs":{"base":$pairsBase,"scaled":$pairsScaled,"ratio":$pairRatio%.3f},""" +
+      f""""linkpredPairs":$pairsJson,""" +
       f""""queries":$js}""")
     spark.stop()
 
@@ -358,18 +375,29 @@ object ScaleStress {
     val rot1 = "etaoinsrh"
     val rot2 = "dlcumwfgy"
     val rot3 = "bpvkx"
-    require((rot1 ++ rot2 ++ rot3).distinct.length ==
-      rot1.length + rot2.length + rot3.length,
+    // v4 (round 12): a FOURTH disjoint set takes the period to
+    // 9·9·5·3 = 1215, unblocking the fifth decade (×729). Its rotation
+    // index is c/405 mod 3 — IDENTITY for every copy < 405, so v4
+    // output is byte-identical to v3 wherever v3 was defined (the
+    // mixed-radix digits (c mod 9, c/9 mod 9, c/81 mod 5, c/405 mod 3)
+    // are unique per c < 1215, so distinct copies still get distinct
+    // bijections; each rotation maps its own set onto itself and the
+    // sets are disjoint, so the composition stays a character
+    // bijection — within-copy shingle equality exactly preserved).
+    val rot4 = "qjz"
+    require((rot1 ++ rot2 ++ rot3 ++ rot4).distinct.length ==
+      rot1.length + rot2.length + rot3.length + rot4.length,
       "rotation alphabets must be disjoint")
-    require(copies <= rot1.length * rot2.length * rot3.length,
-      s"per-copy bijection period is ${rot1.length * rot2.length * rot3.length}; got copies=$copies")
+    require(copies <= rot1.length * rot2.length * rot3.length * rot4.length,
+      s"per-copy bijection period is ${rot1.length * rot2.length * rot3.length * rot4.length}; got copies=$copies")
     def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
     def scrambled(c: Int) =
       if (c == 0) col("text")
-      else translate(translate(translate(
+      else translate(translate(translate(translate(
         col("text"), rot1, rotated(rot1, c % rot1.length)),
         rot2, rotated(rot2, (c / rot1.length) % rot2.length)),
-        rot3, rotated(rot3, (c / (rot1.length * rot2.length)) % rot3.length))
+        rot3, rotated(rot3, (c / (rot1.length * rot2.length)) % rot3.length)),
+        rot4, rotated(rot4, (c / (rot1.length * rot2.length * rot3.length)) % rot4.length))
 
     val docs = Tables.documents(spark, baseDir)
     (0 until copies).map { c =>

@@ -339,14 +339,103 @@ object Similarity {
     * QuantPrefilterSpec hammers the ≥-exact-dot property on
     * adversarial vectors.
     */
-  private[sim] def quantUpper(qa: Column, qb: Column): Column = {
+  /** The shared (est, slack) pair BOTH bound directions are built
+    * from — one definition, so the lb ≤ v·w ≤ ub sandwich cannot drift
+    * asymmetric under a future edit to either formula.
+    */
+  private def estSlack(qa: Column, qb: Column): (Column, Column) = {
     val dotq = VectorF.dotpI8(qa.getField("q"), qb.getField("q")).cast("double")
     val est = qa.getField("s") * qb.getField("s") * dotq
     val slack = qb.getField("s") / 2 * qa.getField("l1") +
       qa.getField("s") / 2 * qb.getField("l1") +
       length(qa.getField("q")).cast("double") * qa.getField("s") * qb.getField("s") / 4
+    (est, slack)
+  }
+
+  private[sim] def quantUpper(qa: Column, qb: Column): Column = {
+    val (est, slack) = estSlack(qa, qb)
     est + slack + (abs(est) + slack) * 1e-9
   }
+
+  /** Lower-bound mirror of [[quantUpper]] (same inequality, minus the
+    * slack): v·w ≥ est − slack, deflated by the same 1e-9 relative
+    * margin. The top-k prefilter needs BOTH sides — upper bounds decide
+    * survival, the k-th largest lower bound per query is the bar a
+    * candidate's upper must clear. QuantPrefilterSpec pins ≤-exact-dot
+    * on the same adversarial vectors as the upper bound.
+    */
+  private[sim] def quantLower(qa: Column, qb: Column): Column = {
+    val (est, slack) = estSlack(qa, qb)
+    est - slack - (abs(est) + slack) * 1e-9
+  }
+
+  /** Lossless top-k candidate prefilter (two-phase bounded top-k): from
+    * a (query_id, neighbor_id, __ub, __lb) COSINE-bounds frame, compute
+    * each query's bar = the `thresholdRank`-th largest LOWER bound (no
+    * bar if a query has fewer finite lowers), keep candidates whose
+    * UPPER bound clears it, and exact-rescore only the survivors.
+    *
+    * Why the output is identical to exact top-k over ALL candidates: a
+    * dropped candidate d has exact(d) ≤ ub(d) < bar − 1.1e-6 ≤
+    * lb(cᵢ) − 1.1e-6 ≤ exact(cᵢ) − 1.1e-6 for ≥ k distinct candidates
+    * cᵢ (rank semantics below), all of which survive (ub ≥ lb always).
+    * The 1.1e-6 deflation matters because [[topK]] ranks cosines
+    * ROUNDED to 6dp with an id tie-break: two exact cosines separated
+    * by less than one rounding quantum can round EQUAL, and then the
+    * id tie-break could promote a pruned candidate in the exact-on-all
+    * ordering. Values separated by MORE than 1e-6 can never round
+    * 6dp-equal, so deflating the bar by 1.1e-6 (one quantum + FP
+    * headroom) restores strict post-rounding dominance: every dropped
+    * candidate rounds strictly below k survivors and loses under any
+    * tie-break. Degenerate pairs (NaN bounds from NaN/∞/zero-norm
+    * vectors) SURVIVE the filter — Spark orders NaN above every double,
+    * so NaN ub ≥ bar holds — and are then excluded by [[topK]] itself
+    * (their exact cosine is NaN); correctness never depends on pruning
+    * them.
+    *
+    * `thresholdRank` = k when each (query, candidate) appears once
+    * (IVF: MLlib assigns each neighbor to exactly one list). When a
+    * candidate can appear up to `m` times (LSH: one occurrence per
+    * colliding table), pass k·m: among the top k·m multiset entries at
+    * most (k−1)·m can come from candidates strictly above the k-th
+    * distinct lower L_k, so the k·m-th multiset lower ≤ L_k — a valid,
+    * slightly looser bar (and per-occurrence filtering stays
+    * deterministic per pair, so the post-filter distinct is unchanged
+    * semantics). The threshold aggregate is the map-side-bounded
+    * [[graft.functions.AggF.topKNeighbors]] — ≤ thresholdRank entries
+    * shuffle per (query, partition), never the candidate volume.
+    */
+  private def topKViaBounds(bounds: DataFrame, v: DataFrame, idCol: String,
+                            k: Int, thresholdRank: Int, dedup: Boolean): DataFrame = {
+    val thr = bounds.groupBy("query_id")
+      .agg(graft.functions.AggF.topKNeighbors(col("neighbor_id"), col("__lb"),
+        thresholdRank).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) < thresholdRank, lit(Double.NegativeInfinity))
+          // bar deflated one 6dp rounding quantum (+ headroom): see the
+          // post-rounding dominance argument in the scaladoc
+          .otherwise(element_at(col("__tk"), thresholdRank).getField("cos") - 1.1e-6)
+          .as("__thr"))
+    // thr is corpus-proportional (one scalar per query) while bounds is
+    // candidate-volume: hint the build side so the only regime this
+    // code runs in (broadcast unavailable) never SORTS the candidate
+    // stream — the hashHinted discipline of every join in this file
+    val kept = bounds.join(hashHinted(thr, big = true), "query_id")
+      .where(col("__ub") >= col("__thr"))
+      .select("query_id", "neighbor_id")
+    val surv = if (dedup) kept.distinct() else kept
+    rescoreTopK(surv, v, idCol, k)
+  }
+
+  /** Cosine bounds for a joined candidate row carrying two quantized
+    * payloads and both norms: ([[quantUpper]], [[quantLower]]) divided
+    * by the norm product (norms ≥ 0, so division preserves both
+    * inequalities; a zero norm yields NaN bounds — such pairs pass the
+    * NaN-greatest filter and are excluded by [[topK]]'s NaN handling,
+    * exactly like their NaN exact cosine).
+    */
+  private def cosBounds(qa: Column, qb: Column, na: Column, nb: Column): (Column, Column) =
+    (quantUpper(qa, qb) / (na * nb), quantLower(qa, qb) / (na * nb))
 
   /** (id, tbl, sig) signature rows shared by [[cosineDups]]'s catalog
     * branch — one projection kernel pass, one explode.
@@ -395,8 +484,9 @@ object Similarity {
     * nProbe nearest list ids, nearest first).
     */
   private[graft] def nearestLists(v: DataFrame, idCol: String,
-                                  centroids: DataFrame, nProbe: Int): DataFrame =
-    nearestListsImpl(v, idCol, centroids, nProbe, useKernel = true)
+                                  centroids: DataFrame, nProbe: Int,
+                                  extra: Seq[String] = Nil): DataFrame =
+    nearestListsImpl(v, idCol, centroids, nProbe, useKernel = true, extra)
 
   /** `useKernel = false` runs the interpreted HOF formulation (transform →
     * array_sort → slice) — spec-only twin pinning the native kernel
@@ -406,23 +496,29 @@ object Similarity {
     */
   private[graft] def nearestListsImpl(v: DataFrame, idCol: String,
                                       centroids: DataFrame, nProbe: Int,
-                                      useKernel: Boolean): DataFrame = {
+                                      useKernel: Boolean,
+                                      extra: Seq[String] = Nil): DataFrame = {
     val centArr = centroids.agg(
       array_sort(collect_list(struct(col("list"), col("centroid"),
         VectorF.dotp(col("centroid"), col("centroid")).as("cc")))).as("__cents"))
-    val joined = v.select(col(idCol), col("__v")).crossJoin(broadcast(centArr))
+    // `extra` columns of v ride along unchanged (the big-regime top-k
+    // prefilter carries the quantized payload through probing); the
+    // default Nil keeps the catalog projection — and plan — as-was
+    val joined = v.select((col(idCol) +: extra.map(col) :+ col("__v")): _*)
+      .crossJoin(broadcast(centArr))
     if (useKernel)
-      joined.select(col(idCol),
-        VectorF.nearestLists(col("__v"), col("__cents"), nProbe).as("lists"))
+      joined.select(col(idCol) +: extra.map(col) :+
+        VectorF.nearestLists(col("__v"), col("__cents"), nProbe).as("lists"): _*)
     else
       joined
         .withColumn("__vv", VectorF.dotp(col("__v"), col("__v")))
-        .select(col(idCol),
+        .select(col(idCol) +: extra.map(col) :+
           slice(array_sort(transform(col("__cents"), c =>
             struct((col("__vv") + c.getField("cc")
               - lit(2.0) * VectorF.dotp(col("__v"), c.getField("centroid"))).as("d"),
-              c.getField("list").as("list")))), 1, nProbe).as("__near"))
-        .select(col(idCol), transform(col("__near"), x => x.getField("list")).as("lists"))
+              c.getField("list").as("list")))), 1, nProbe).as("__near"): _*)
+        .select(col(idCol) +: extra.map(col) :+
+          transform(col("__near"), x => x.getField("list")).as("lists"): _*)
   }
 
   /** Bounded-sample k-means coarse quantizer shared by [[ivfTopK]] and
@@ -475,19 +571,47 @@ object Similarity {
     val assigned = model.transform(feats)
       .select(col(idCol), col("prediction").as("list"))
     val centroids = centroidFrame(v.sparkSession, model)
-    // probe the nProbe nearest centroids per query: per-row ranking over
-    // the broadcast centroid array (see nearestLists) — the N·nLists
-    // distance arithmetic runs inside one projection instead of
-    // materializing and window-shuffling N×nLists rows
-    val probes = nearestLists(v, idCol, centroids, nProbe)
-      .select(col(idCol).as("query_id"), explode(col("lists")).as("list"))
-    // candidates: members of the probed lists. MLlib assigns each
-    // neighbor to exactly one list and probed lists are distinct, so
-    // the pairs are unique by construction — no dedup shuffle.
-    val cands = probes.join(assigned.select(col(idCol).as("neighbor_id"), col("list")), "list")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-    rescoreTopK(cands, v, idCol, k)
+    if (!vectorSideTooBig(v)) {
+      // catalog/bench regime — UNCHANGED plan. Probe the nProbe nearest
+      // centroids per query: per-row ranking over the broadcast
+      // centroid array (see nearestLists) — the N·nLists distance
+      // arithmetic runs inside one projection instead of materializing
+      // and window-shuffling N×nLists rows.
+      val probes = nearestLists(v, idCol, centroids, nProbe)
+        .select(col(idCol).as("query_id"), explode(col("lists")).as("list"))
+      // candidates: members of the probed lists. MLlib assigns each
+      // neighbor to exactly one list and probed lists are distinct, so
+      // the pairs are unique by construction — no dedup shuffle.
+      val cands = probes.join(assigned.select(col(idCol).as("neighbor_id"), col("list")), "list")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      rescoreTopK(cands, v, idCol, k)
+    } else {
+      // Corpus-scale regime: the probe join carries int8-quantized
+      // payloads (~90 B/row, CORPUS-proportional exchanges), cosine
+      // bounds are computed INSIDE the join's stage, and only
+      // bar-clearing survivors (≈ k per query) reach the exact rescore
+      // — the float32 vector payload never ships per candidate. See
+      // [[topKViaBounds]] for the losslessness argument; the ×729
+      // stress is the byte evidence (s_ivf2's f32 rescore payload —
+      // ~100 GB of candidate-volume shuffle — exceeded one node's disk
+      // at the fifth decade, the exact boundary this removes).
+      val vq = v.withColumn("__q", VectorF.quantI8(col("__v")))
+      val probesQ = nearestLists(vq, idCol, centroids, nProbe, extra = Seq("__q", "__n"))
+        .select(col(idCol).as("query_id"), col("__q").as("qa"), col("__n").as("na"),
+          explode(col("lists")).as("list"))
+      val assignedQ = assigned
+        .join(vq.select(col(idCol), col("__q"), col("__n")), idCol)
+        .select(col(idCol).as("neighbor_id"), col("list"),
+          col("__q").as("qb"), col("__n").as("nb"))
+      val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
+      val bounds = probesQ.join(hashHinted(assignedQ, big = true), "list")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
+      // pairs unique by construction (one list per neighbor) → rank k,
+      // no dedup
+      topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
+    }
   }
 
   /** [[ivfTopK]] with the inverted-list count chosen from the corpus
@@ -517,23 +641,48 @@ object Similarity {
       .select(row_number().over(Window.partitionBy(lit(1)).orderBy(idCol)).as("__rn"),
         col("__v").as("centroid"))
       .select((col("__rn") - 1).as("list"), col("centroid"))
-    // per-row nearest-nProbe (see nearestLists — no N×nLists shuffle);
-    // persisted because two consumers (assignment, probing) derive from
-    // it and the frame is tiny (id + nProbe ints per row)
-    val near = nearestLists(v, idCol, centroids, nProbe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = near.select(col(idCol).as("neighbor_id"),
-      element_at(col("lists"), 1).as("list"))
-    val probes = near.select(col(idCol).as("query_id"),
-      explode(col("lists")).as("list"))
-    // every neighbor lives in EXACTLY one list and a query's probed lists
-    // are distinct, so (query, neighbor) candidates are unique by
-    // construction — the former .distinct() shuffled the full candidate
-    // set (the largest frame in the query) to dedup a set with no dups
-    val cands = probes.join(assigned, "list")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-    rescoreTopK(cands, v, idCol, k)
+    if (!vectorSideTooBig(v)) {
+      // catalog/bench regime — UNCHANGED plan (this variant is the
+      // DuckDB-oracle-checked one; its audited plan must stay
+      // byte-identical). Per-row nearest-nProbe (see nearestLists — no
+      // N×nLists shuffle); persisted because two consumers (assignment,
+      // probing) derive from it and the frame is tiny (id + nProbe ints
+      // per row).
+      val near = nearestLists(v, idCol, centroids, nProbe)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = near.select(col(idCol).as("neighbor_id"),
+        element_at(col("lists"), 1).as("list"))
+      val probes = near.select(col(idCol).as("query_id"),
+        explode(col("lists")).as("list"))
+      // every neighbor lives in EXACTLY one list and a query's probed lists
+      // are distinct, so (query, neighbor) candidates are unique by
+      // construction — the former .distinct() shuffled the full candidate
+      // set (the largest frame in the query) to dedup a set with no dups
+      val cands = probes.join(assigned, "list")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      rescoreTopK(cands, v, idCol, k)
+    } else {
+      // corpus-scale regime: identical structure, but the persisted
+      // probe frame carries the int8 payload (~90 B/row — still
+      // corpus-proportional) so bounds compute inside the probe join
+      // and only bar-clearing survivors reach the exact rescore
+      // (see ivfTopK's big branch / topKViaBounds)
+      val vq = v.withColumn("__q", VectorF.quantI8(col("__v")))
+      val near = nearestLists(vq, idCol, centroids, nProbe, extra = Seq("__q", "__n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assignedQ = near.select(col(idCol).as("neighbor_id"),
+        element_at(col("lists"), 1).as("list"),
+        col("__q").as("qb"), col("__n").as("nb"))
+      val probesQ = near.select(col(idCol).as("query_id"),
+        col("__q").as("qa"), col("__n").as("na"),
+        explode(col("lists")).as("list"))
+      val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
+      val bounds = probesQ.join(hashHinted(assignedQ, big = true), "list")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
+      topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
+    }
   }
 
   /** ANN via LSH buckets: candidates share the exact signature in at least
@@ -550,19 +699,44 @@ object Similarity {
               k: Int, planes: Int = 12, tables: Int = 4,
               maxBucket: Int = Int.MaxValue): DataFrame = {
     val v = prepped(vecs, idCol, vecCol)
-    val sigs = v.select(col(idCol), lshProjections(col("__v"), planes, tables).as("__p"))
-      .select(col(idCol), explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
-      .select(col(idCol), col("s.tbl"), col("s.sig"))
-    val bounded = capGroups(sigs, maxBucket, "tbl", "sig")
-    // id-only candidate pairs: the distinct shuffles 16 bytes per pair,
-    // not two embedding vectors
-    val a = bounded.select(col(idCol).as("query_id"), col("tbl"), col("sig"))
-    val b = bounded.select(col(idCol).as("neighbor_id"), col("tbl"), col("sig"))
-    val cands = a.join(b, Seq("tbl", "sig"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-    rescoreTopK(cands, v, idCol, k)
+    if (!vectorSideTooBig(v)) {
+      // catalog/bench regime — UNCHANGED plan. id-only candidate pairs:
+      // the distinct shuffles 16 bytes per pair, not two embedding
+      // vectors.
+      val sigs = sigRows(v, idCol, planes, tables)
+      val bounded = capGroups(sigs, maxBucket, "tbl", "sig")
+      val a = bounded.select(col(idCol).as("query_id"), col("tbl"), col("sig"))
+      val b = bounded.select(col(idCol).as("neighbor_id"), col("tbl"), col("sig"))
+      val cands = a.join(b, Seq("tbl", "sig"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      rescoreTopK(cands, v, idCol, k)
+    } else {
+      // corpus-scale regime: the cosineDups fusion transposed to top-k —
+      // quantized payloads ride the (reused) signature exchange, bounds
+      // compute inside the bucket self-join, and the bar is the
+      // (k·tables)-th largest multiset lower bound (a candidate appears
+      // once per colliding table; see topKViaBounds for why that rank
+      // stays lossless). Survivor occurrences — not all collisions —
+      // feed the distinct, then the exact rescore.
+      val q = v.select(col(idCol),
+          lshProjections(col("__v"), planes, tables).as("__p"),
+          VectorF.quantI8(col("__v")).as("__q"), col("__n"))
+        .select(col(idCol), col("__q"), col("__n"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
+        .select(col(idCol), col("s.tbl"), col("s.sig"), col("__q"), col("__n"))
+      val bounded = capGroups(q, maxBucket, "tbl", "sig")
+      val a = bounded.select(col(idCol).as("query_id"), col("tbl"), col("sig"),
+        col("__q").as("qa"), col("__n").as("na"))
+      val b = bounded.select(col(idCol).as("neighbor_id"), col("tbl"), col("sig"),
+        col("__q").as("qb"), col("__n").as("nb"))
+      val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
+      val bounds = a.join(hashHinted(b, big = true), Seq("tbl", "sig"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
+      topKViaBounds(bounds, v, idCol, k, thresholdRank = k * tables, dedup = true)
+    }
   }
 
   /** [[lshTopK]] with the per-table plane count chosen from the corpus

@@ -116,6 +116,93 @@ class QuantPrefilterSpec extends graft.SparkSpec {
     assert(verified > 3500, s"only $verified finite pairs — test is vacuous")
   }
 
+  test("quantLower never reads above the exact dot (same adversarial set)") {
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[Array[Double]] =
+      Seq(Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(0.0),
+        Array.tabulate(64)(i => if (i == 3) 1e30 else 1e-30),
+        Array.fill(64)(-2.5), Array.tabulate(64)(i => math.sin(i * 0.7))) ++
+        (0 until 30).map(_ => Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val df = shapes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val q = df.select(col("id"), col("v"), VectorF.quantI8(col("v")).as("q"))
+    val a = q.select(col("id").as("ia"), col("v").as("va"), col("q").as("qa"))
+    val b = q.select(col("id").as("ib"), col("v").as("vb"), col("q").as("qb"))
+    val checked = a.crossJoin(b).where(col("ia") <= col("ib"))
+      .select(VectorF.dotp(col("va"), col("vb")).as("dot"),
+        Similarity.quantLower(col("qa"), col("qb")).as("lower"),
+        Similarity.quantUpper(col("qa"), col("qb")).as("upper"))
+      .collect()
+    var verified = 0
+    checked.foreach { r =>
+      val dot = r.getDouble(0)
+      if (!dot.isNaN && !dot.isInfinite) {
+        val (lo, up) = (r.getDouble(1), r.getDouble(2))
+        assert(lo <= dot && dot <= up, s"violated: $lo <= $dot <= $up")
+        assert(lo <= up)
+        verified += 1
+      }
+    }
+    assert(verified > 400, s"only $verified finite pairs — vacuous")
+  }
+
+  test("big-regime top-k (ivfTopK / ivfTopKFixed / lshTopK) matches the catalog branch") {
+    def runs: Seq[() => Map[(Long, Long), (Long, Double)]] = Seq(
+      () => Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 5,
+        nLists = 16, nProbe = 4, seed = 42L),
+      () => Similarity.ivfTopKFixed(vecs, "vec_id", "embedding", k = 5,
+        nLists = 16, nProbe = 4),
+      () => Similarity.lshTopK(vecs, "vec_id", "embedding", k = 5,
+        planes = 12, tables = 4)
+    ).map(f => () => f().select(col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap)
+    for ((run, name) <- runs.zip(Seq("ivfTopK", "ivfTopKFixed", "lshTopK"))) {
+      val cat = run()
+      val big = inBigRegime(run())
+      assert(cat.nonEmpty, s"$name produced nothing — vacuous")
+      assert(cat.keySet == big.keySet, s"$name (query,rank) sets differ")
+      cat.foreach { case (key, (n, c)) =>
+        val (n2, c2) = big(key)
+        assert(n == n2, s"$name $key: neighbor $n vs $n2 (cos $c vs $c2)")
+        assert(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) ==
+          BigDecimal(c2).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          s"$name $key: $c vs $c2")
+      }
+    }
+  }
+
+  test("top-k prefilter: k larger than any query's candidate count keeps everything") {
+    // 6 clustered vectors, k = 50 — every query has < k candidates, so
+    // the bar degenerates to -Inf and the prefilter must keep all;
+    // output must equal the catalog branch exactly
+    val vs = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (if (i % 2 == 0) 1.0 else -1.0) * (j + 1) + i * 0.01)))
+    val df = vs.toDF("vec_id", "embedding")
+    def run() = Similarity.lshTopK(df, "vec_id", "embedding", k = 50,
+        planes = 2, tables = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 9).as("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val cat = run()
+    val big = inBigRegime(run())
+    assert(cat.nonEmpty && cat == big,
+      s"onlyCat=${(cat -- big).take(3)} onlyBig=${(big -- cat).take(3)}")
+  }
+
+  test("top-k plan gates: quantized bounds big-regime only") {
+    def topk = Similarity.ivfTopKFixed(vecs, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 4)
+    val big = inBigRegime(topk.queryExecution.executedPlan.toString)
+    assert(big.contains("graft_quant_i8") && big.contains("graft_dot_i8"), big.take(3000))
+    assert(big.contains("graft_dotf"), big.take(3000)) // exact rescore on survivors
+    val small = topk.queryExecution.executedPlan.toString
+    assert(!small.contains("graft_quant_i8") && !small.contains("graft_dot_i8"),
+      small.take(3000))
+    assert(small.contains("graft_dot("), small.take(3000))
+  }
+
   test("big-regime cosineDups output is identical to the catalog branch") {
     for (threshold <- Seq(0.4, 0.9)) {
       def run() = Similarity.cosineDups(vecs, "vec_id", "embedding",
