@@ -122,32 +122,62 @@ object Semantic {
       Similarity.centroidFrame(v.sparkSession,
         Similarity.fitQuantizer(feats, nLists, seed))
     }
+    // Corpus-scale regime switch (the cosineDups convention): when the
+    // vector side exceeds the broadcast threshold, the per-list pair
+    // join carries the int8-quantized payload ([[graft.functions
+    // .QuantKernel]]) and the LOSSLESS cosine upper bound kills
+    // below-threshold pairs inside the join's stage — at ×729 the
+    // rescore otherwise shuffles ~25 GB of candidate-volume float32
+    // payload for pairs that mostly fail the threshold. Catalog plans
+    // stay byte-identical (the extra columns exist only in this
+    // branch); SemanticSpec pins cross-regime pair equality.
+    val big = Similarity.vectorSideTooBig(v)
+    val vq = if (big) v.withColumn("__q", VectorF.quantI8(col("__v"))) else v
+    val extraQ = if (big) Seq("__q", "__n") else Nil
     // soft assignment: each vector's nProbe nearest lists from ONE
     // broadcast-kernel projection (no shuffle, no MLlib transform pass)
-    val near = Similarity.nearestLists(v, idCol, centroids, nProbe)
+    val near = Similarity.nearestLists(vq, idCol, centroids, nProbe, extra = extraQ)
     def assignedFirst = near.select(col(idCol), element_at(col("lists"), 1).as("list"))
-    val member = if (nProbe == 1) assignedFirst
-      else near.select(col(idCol), explode(col("lists")).as("list"))
+    val member = if (nProbe == 1)
+      near.select(col(idCol) +: extraQ.map(col) :+ element_at(col("lists"), 1).as("list"): _*)
+    else near.select(col(idCol) +: extraQ.map(col) :+ explode(col("lists")).as("list"): _*)
     val bounded0 = Similarity.capGroups(member, maxList, "list")
     // persisted: the self-join below references the assignment twice
     // (once per side) and Catalyst duplicates lineage — uncached, the
     // N·nLists nearest-centroid arithmetic (the job's inherent CPU at
-    // corpus scale) would run twice. The cached frame is (id, int) rows.
+    // corpus scale) would run twice. The cached frame is (id, int) rows
+    // in the catalog regime, ~90 B/row (+ int8 struct) in the big one —
+    // corpus-proportional either way.
     val bounded = bounded0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bounded.select(col(idCol).as("id_a"), col("list"))
-    val b = bounded.select(col(idCol).as("id_b"), col("list"))
-    val joined = a.join(b, "list").where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val joined = if (!big) {
+      val a = bounded.select(col(idCol).as("id_a"), col("list"))
+      val b = bounded.select(col(idCol).as("id_b"), col("list"))
+      a.join(b, "list").where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    } else {
+      val a = bounded.select(col(idCol).as("id_a"), col("list"),
+        col("__q").as("qa"), col("__n").as("na"))
+      val b = bounded.select(col(idCol).as("id_b"), col("list"),
+        col("__q").as("qb"), col("__n").as("nb"))
+      a.join(Similarity.hashHinted(b, big = true), "list")
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.quantUpper(col("qa"), col("qb")) >=
+          lit(threshold) * col("na") * col("nb"))
+        .select("id_a", "id_b")
+    }
     // nProbe = 1: each id is in exactly one list, pairs unique by
-    // construction — no dedup shuffle (the ivfTopK argument)
+    // construction — no dedup shuffle (the ivfTopK argument); the
+    // prefilter is deterministic per pair, so multi-probe dedup
+    // semantics are unchanged too
     val cands = if (nProbe == 1) joined else joined.distinct()
     val pairs = Similarity.rescorePairs(cands, v, idCol, threshold)
     // assignment frame for the keep-policy re-pick: at nProbe = 1 the
     // cached member frame IS the nearest-list assignment (reused — no
-    // second kernel pass); multi-probe recomputes the first element
-    // (keepFarthest + nProbe > 1 only)
-    val assignment = if (nProbe == 1) bounded else assignedFirst
+    // second kernel pass, normalized to (id, list)); multi-probe
+    // recomputes the first element (keepFarthest + nProbe > 1 only)
+    val assignment = if (nProbe == 1) bounded.select(col(idCol), col("list"))
+      else assignedFirst
     val release = () => {
       v.unpersist(blocking = false)
       bounded.unpersist(blocking = false)

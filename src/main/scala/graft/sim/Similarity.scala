@@ -75,14 +75,14 @@ object Similarity {
     * scale keeps its broadcast plans bit-for-bit (PLANS gate) and the
     * hint engages exactly where broadcast stops being available.
     */
-  private def vectorSideTooBig(v: DataFrame): Boolean = {
+  private[sim] def vectorSideTooBig(v: DataFrame): Boolean = {
     val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(v.sparkSession)
     // threshold < 0 = auto-broadcast disabled: broadcast is never
     // available, which IS the regime the hint exists for
     thresh < 0 || org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) > thresh
   }
 
-  private def hashHinted(side: DataFrame, big: Boolean): DataFrame =
+  private[sim] def hashHinted(side: DataFrame, big: Boolean): DataFrame =
     if (big) side.hint("SHUFFLE_HASH") else side
 
   /** The rescore joins' vector payload. Broadcast regime: the prepped

@@ -21,6 +21,32 @@ class SemanticSpec extends SparkSpec {
     (i.toLong, v)
   }.toDF("vec_id", "embedding")
 
+  test("big-regime semanticDups (int8 prefilter in the list join) equals the catalog branch") {
+    // the real catalog embeddings, both thresholds the near-dup family
+    // uses: the big regime fuses the lossless int8 upper bound into the
+    // per-list pair join (round 12) — outputs must match pair-for-pair
+    val vecs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    for (threshold <- Seq(0.4, 0.9)) {
+      def run() = Semantic.semanticDups(vecs, "vec_id", "embedding",
+          threshold = threshold, nLists = 8, nProbe = 2, maxList = 10000)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val cat = run()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val big = try run() finally
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(threshold > 0.5 || cat.nonEmpty, "no pairs at the loose threshold — vacuous")
+      assert(cat.keySet == big.keySet,
+        s"t=$threshold: onlyCat=${(cat.keySet -- big.keySet).take(5)} " +
+          s"onlyBig=${(big.keySet -- cat.keySet).take(5)}")
+      cat.foreach { case (k, c) =>
+        assert(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) ==
+          BigDecimal(big(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          s"t=$threshold $k: $c vs ${big(k)}")
+      }
+    }
+  }
+
   test("nLists=1 degenerates to the exact all-pairs twin") {
     // one cluster holds everything, so the candidate scope is total:
     // semanticDups must equal cosineDupsExact value-for-value
