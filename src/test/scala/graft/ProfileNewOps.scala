@@ -52,7 +52,9 @@ import graft.text.{Decontaminate, TextOps}
   * the SAME session plain clean() read 2.20 / 8.98 / 4.09, so the
   * whole chunk + recount + pack tail adds ~+0.2 s base / +1.8 s at
   * ×30 on top of the pipeline: kernel-stage cost, dominated as always
-  * by clean()'s near-dup banding.
+  * by clean()'s near-dup banding. Third decade: base 2.47 s, ×81
+  * 26.40 s ratio 10.67 (gate 97) — tracks clean()'s ×81 8.9 plus the
+  * same constant-per-doc tail.
   *
   * pinWidth A/B on the composite (round 11, same JVM, interleaved
   * min-of-2): unpinned clean() base 2.54 s / ×30 9.93 s vs pre-pinned
