@@ -95,10 +95,11 @@ object Semantic {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     // internal column names: "list"/"lists" key the candidate rows,
     // "cos" is the output score, "centroid" joins back on the
-    // keepFarthest re-pick — an id column with any of these names would
-    // surface as an ambiguous-reference AnalysisException deep in the
-    // plan instead of here
-    require(!Set("list", "lists", "cos", "centroid").contains(idCol),
+    // keepFarthest re-pick, "__v"/"__n" are the prepped vector/norm and
+    // "__q" the big-regime quantized payload — an id column with any of
+    // these names would surface as an ambiguous-reference
+    // AnalysisException deep in the plan instead of here
+    require(!Set("list", "lists", "cos", "centroid", "__v", "__n", "__q").contains(idCol),
       s"id column name '$idCol' is reserved by semanticDups — rename it first")
     import org.apache.spark.ml.functions.array_to_vector
     // persisted: feeds the quantizer sample, the assignment pass, and
@@ -155,17 +156,7 @@ object Semantic {
       val b = bounded.select(col(idCol).as("id_b"), col("list"))
       a.join(b, "list").where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
-    } else {
-      val a = bounded.select(col(idCol).as("id_a"), col("list"),
-        col("__q").as("qa"), col("__n").as("na"))
-      val b = bounded.select(col(idCol).as("id_b"), col("list"),
-        col("__q").as("qb"), col("__n").as("nb"))
-      a.join(Similarity.hashHinted(b, big = true), "list")
-        .where(col("id_a") < col("id_b"))
-        .where(Similarity.quantUpper(col("qa"), col("qb")) >=
-          lit(threshold) * col("na") * col("nb"))
-        .select("id_a", "id_b")
-    }
+    } else Similarity.boundedPairJoin(bounded, idCol, Seq("list"), threshold)
     // nProbe = 1: each id is in exactly one list, pairs unique by
     // construction — no dedup shuffle (the ivfTopK argument); the
     // prefilter is deterministic per pair, so multi-probe dedup

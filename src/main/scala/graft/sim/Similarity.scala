@@ -315,14 +315,8 @@ object Similarity {
             struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
         .select(col(idCol), col("s.tbl"), col("s.sig"), col("__q"), col("__n"))
       val bounded = capGroups(q, maxBucket, "tbl", "sig")
-      val a = bounded.select(col(idCol).as("id_a"), col("tbl"), col("sig"),
-        col("__q").as("qa"), col("__n").as("na"))
-      val b = bounded.select(col(idCol).as("id_b"), col("tbl"), col("sig"),
-        col("__q").as("qb"), col("__n").as("nb"))
-      val cands = a.join(hashHinted(b, big = true), Seq("tbl", "sig"))
-        .where(col("id_a") < col("id_b"))
-        .where(quantUpper(col("qa"), col("qb")) >= lit(threshold) * col("na") * col("nb"))
-        .select("id_a", "id_b").distinct()
+      val cands = boundedPairJoin(bounded, idCol, Seq("tbl", "sig"), threshold)
+        .distinct()
       rescorePairs(cands, v, idCol, threshold)
     }
   }
@@ -367,6 +361,27 @@ object Similarity {
   private[sim] def quantLower(qa: Column, qb: Column): Column = {
     val (est, slack) = estSlack(qa, qb)
     est - slack - (abs(est) + slack) * 1e-9
+  }
+
+  /** Bound-checked candidate pair self-join shared by the big-regime
+    * near-dup paths ([[cosineDups]]' signature buckets,
+    * [[Semantic.semanticDups]]' lists): self-join `bounded` —
+    * (idCol, keyCols..., __q, __n) rows — on `keyCols`, keep
+    * (id_a < id_b) pairs whose int8 cosine upper bound can reach
+    * `threshold` (in product form, [[quantUpper]] ≥ t·‖a‖·‖b‖), and
+    * project id pairs. ONE definition of the prefilter comparison, so
+    * the bound semantics can never drift between callers.
+    */
+  private[sim] def boundedPairJoin(bounded: DataFrame, idCol: String,
+                                   keyCols: Seq[String], threshold: Double): DataFrame = {
+    val a = bounded.select(col(idCol).as("id_a") +: keyCols.map(col) :+
+      col("__q").as("qa") :+ col("__n").as("na"): _*)
+    val b = bounded.select(col(idCol).as("id_b") +: keyCols.map(col) :+
+      col("__q").as("qb") :+ col("__n").as("nb"): _*)
+    a.join(hashHinted(b, big = true), keyCols)
+      .where(col("id_a") < col("id_b"))
+      .where(quantUpper(col("qa"), col("qb")) >= lit(threshold) * col("na") * col("nb"))
+      .select("id_a", "id_b")
   }
 
   /** Lossless top-k candidate prefilter (two-phase bounded top-k): from

@@ -22,20 +22,34 @@ class SemanticSpec extends SparkSpec {
   }.toDF("vec_id", "embedding")
 
   test("big-regime semanticDups (int8 prefilter in the list join) equals the catalog branch") {
-    // the real catalog embeddings, both thresholds the near-dup family
-    // uses: the big regime fuses the lossless int8 upper bound into the
-    // per-list pair join (round 12) — outputs must match pair-for-pair
-    val vecs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // the real catalog embeddings PLUS 20 planted exact copies, so the
+    // tight-threshold arm can never pass vacuously (this corpus has no
+    // natural cos ≥ 0.9 pairs — the ProfileRescoreBytes lesson); the
+    // big regime fuses the lossless int8 upper bound into the per-list
+    // pair join (round 12) — outputs must match pair-for-pair
+    val base = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val vecs = base.union(base.orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
     for (threshold <- Seq(0.4, 0.9)) {
-      def run() = Semantic.semanticDups(vecs, "vec_id", "embedding",
-          threshold = threshold, nLists = 8, nProbe = 2, maxList = 10000)
-        .select(col("id_a"), col("id_b"), col("cos"))
-        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      def run() = {
+        val (pairs, release) = Semantic.semanticDupsWithRelease(vecs, "vec_id",
+          "embedding", threshold = threshold, nLists = 8, nProbe = 2, maxList = 10000)
+        val out = pairs.select(col("id_a"), col("id_b"), col("cos"))
+          .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        release() // don't pin 8 MEMORY_AND_DISK caches in the shared session
+        out
+      }
       val cat = run()
+      // restore the PRIOR threshold (tune()'s 64 MB), never the 10 MB
+      // default — unset would silently shrink the later arms' catalog
+      // regime and leak into every suite sharing this session
+      val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      val big = try run() finally
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      assert(threshold > 0.5 || cat.nonEmpty, "no pairs at the loose threshold — vacuous")
+      val big = try run() finally prior match {
+        case Some(p) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", p)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      assert(cat.nonEmpty, s"t=$threshold produced no pairs — vacuous despite planted dups")
       assert(cat.keySet == big.keySet,
         s"t=$threshold: onlyCat=${(cat.keySet -- big.keySet).take(5)} " +
           s"onlyBig=${(big.keySet -- cat.keySet).take(5)}")

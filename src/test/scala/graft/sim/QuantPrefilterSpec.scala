@@ -24,9 +24,17 @@ class QuantPrefilterSpec extends graft.SparkSpec {
   // threshold — evaluating it inside inBigRegime would undo the -1
   private lazy val vecs = graft.core.Tables.embeddings(spark, dir)
 
+  /** Restore the PRIOR threshold (tune()'s 64 MB), never unset-to-
+    * default — the 10 MB default could silently flip a later "catalog"
+    * arm into the big regime and leak into suites sharing the session.
+    */
   private def inBigRegime[A](f: => A): A = {
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-    try f finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    try f finally prior match {
+      case Some(p) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", p)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("quantI8: layout, zero vector, null semantics; dotpI8 exactness") {
@@ -204,14 +212,18 @@ class QuantPrefilterSpec extends graft.SparkSpec {
   }
 
   test("big-regime cosineDups output is identical to the catalog branch") {
+    // 20 planted exact copies keep the tight-threshold arm non-vacuous
+    // (this corpus has no natural cos ≥ 0.9 pairs)
+    val withDups = vecs.union(vecs.orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
     for (threshold <- Seq(0.4, 0.9)) {
-      def run() = Similarity.cosineDups(vecs, "vec_id", "embedding",
+      def run() = Similarity.cosineDups(withDups, "vec_id", "embedding",
           threshold = threshold, planes = 8, tables = 8, maxBucket = 10000)
         .select(col("id_a"), col("id_b"), col("cos"))
         .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
       val cat = run()
       val big = inBigRegime(run())
-      assert(threshold > 0.5 || cat.nonEmpty, "no pairs at the loose threshold — vacuous")
+      assert(cat.nonEmpty, s"t=$threshold: no pairs — vacuous despite planted dups")
       assert(cat.keySet == big.keySet,
         s"t=$threshold pair sets differ: onlyCat=${(cat.keySet -- big.keySet).take(5)} " +
           s"onlyBig=${(big.keySet -- cat.keySet).take(5)}")
