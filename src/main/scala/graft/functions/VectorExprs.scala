@@ -72,8 +72,10 @@ case class DotProduct(left: Expression, right: Expression)
 /** Native codegen'd dot product of two `array<float>` columns,
   * ACCUMULATED IN DOUBLE (each product is computed after widening both
   * operands, so the only precision lost vs [[DotProduct]] is the float
-  * rounding of the stored components: |Δ| ≤ Σ|aᵢbᵢ|·2⁻²³ ≈ 1e-6 for unit
-  * vectors at dim 64).
+  * rounding of the stored components: with a32ᵢ = aᵢ(1+εᵢ), |εᵢ| ≤ 2⁻²⁴,
+  * |Δ| ≤ (2⁻²³ + 2⁻⁴⁸)·Σ|aᵢbᵢ| ≤ ~2⁻²³·‖a‖‖b‖ by Cauchy-Schwarz —
+  * i.e. |Δcos| ≤ ~2⁻²³ ≈ 1.2e-7 after dividing by the exact norms,
+  * INDEPENDENT of dim).
   *
   * Exists for the ANN rescore's too-big-to-broadcast regime: the
   * candidate-volume join output carries one vector payload through a
@@ -322,10 +324,16 @@ case class NearestListsExpr(left: Expression, right: Expression, nProbe: Int)
   * wrongly DROP a pair the exact rescore would keep: an all-zero (or
   * empty) vector gets s = 0, q = 0, l1 = 0 (bound check degenerates to
   * 0 ≥ 0 — kept, and the exact stage decides); a vector with a NaN or
-  * ±Inf component propagates NaN/Inf into s/l1, the bound comparison
-  * is false or vacuous, and the exact path's cosine for such a vector
-  * is NaN — never a kept pair — either way. Null array or null element
-  * → null (the [[DotProduct]] convention).
+  * ±Inf component propagates NaN/Inf into s/l1, and Spark's comparison
+  * semantics order NaN ABOVE every double, so the NaN bound PASSES the
+  * prefilter — such pairs reach the exact stage, whose cosine is also
+  * NaN and ALSO passes a `cos >= threshold` filter under the same NaN
+  * ordering. Degenerate (zero-norm / non-finite) pairs therefore
+  * surface in the threshold paths' output with cos = NaN,
+  * CONSISTENTLY in both regimes (prefiltered and catalog — neither
+  * filters NaN); only the top-k path excludes them, inside
+  * [[graft.sim.Similarity]]'s TopKNeighbors aggregate. Null array or
+  * null element → null (the [[DotProduct]] convention).
   */
 object QuantKernel {
   val schema: StructType = StructType(Seq(

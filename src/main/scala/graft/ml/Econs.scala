@@ -19,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Econs {
 
+  /** Row guard for [[approximateFactors]]'s deliberate driver-side
+    * panel collect: 10⁷ cells (~80 MB of doubles) is ~100× FRED-QD and
+    * far below driver memory — large enough to never trip a legitimate
+    * macro panel, small enough that a mis-routed corpus table fails at
+    * the boundary with a rationale instead of a driver OOM.
+    */
+  val MaxDriverPanelCells: Long = 10L * 1000 * 1000
+
   final case class Svd(s: Array[Double], v: Array[Array[Double]], // v(col)(k)
                        u: IndexedRowMatrix)
 
@@ -132,6 +140,21 @@ object Econs {
                          tol: Double = 1e-12): Array[Array[Double]] = {
     val spark = df.sparkSession
     val n = cols.length
+    // driver-side collect is this op's DESIGN, not an accident: the EM
+    // iteration (standardize → dense SVD → rank-r reconstruct → refill
+    // missing) re-reads the whole T×N panel every iteration, and its
+    // domain is macro vintage panels (FRED-MD ~700×130, FRED-QD
+    // ~250×250) that are thousands of times below any driver limit. The
+    // guard makes the boundary explicit — the engine-wide convention
+    // for every deliberate local twin (graph locals, NgramLm.fit's
+    // bucket table): a caller with a genuinely large panel should be
+    // told at the boundary, not discover a driver OOM mid-iteration.
+    val panelRows = df.count()
+    require(panelRows * n <= MaxDriverPanelCells,
+      s"approximateFactors collects the full panel to the driver for the " +
+        s"dense SVD-EM iteration; got $panelRows x $n = ${panelRows * n} " +
+        s"cells > $MaxDriverPanelCells. This op is for small macro panels " +
+        s"(FRED-MD scale) — reduce the column set or sample dates first.")
     val raw = toIndexedRows(df, cols).collect().sortBy(_.index)
       .map(_.vector.toArray)
     val t = raw.length

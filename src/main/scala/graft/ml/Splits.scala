@@ -30,7 +30,15 @@ object Splits {
     * every row. The formula itself is oracle-pinned (the t_split DuckDB
     * replay), so out-of-domain ids raise per-row instead of the formula
     * changing: 2⁴⁶ · 48271 < 2⁶³ keeps the product exact with margin.
-    * Re-key wider ids first (e.g. `xxhash64 & ((1L << 46) - 1)` — or
+    * The TRUE overflow point is (2⁶³/48271 − 1) ≈ 2⁴⁷·⁴ — ids in
+    * [2⁴⁶, ~2⁴⁷·⁴) previously produced correct, oracle-pinned output
+    * and now raise; the 2⁴⁶ cutoff is a DELIBERATELY conservative
+    * power-of-two margin (~2.7× below the edge), chosen so the
+    * documented domain is round and the guard never sits one
+    * arithmetic slip from silent wraparound. Callers with formerly
+    * valid ids in that band must now re-key too (hard behavior change,
+    * intentional). Re-key wider ids first (e.g.
+    * `xxhash64 & ((1L << 46) - 1)` — or
     * use [[sampleWeighted]]/[[sampleLogWeighted]], which hash the id
     * and have no domain bound).
     */

@@ -96,10 +96,17 @@ object Similarity {
     * the SHUFFLE_HASH build-side fix. float32 halves the per-element
     * bytes; [[graft.functions.DotProductFloat]] scores it widening to
     * double per element (no per-row cast back to array<double>), so
-    * |Δcos| ≲ dim·2⁻²³ ≈ 1e-6 at dim 64 — far inside the 6dp catalog
-    * rounding (Float32RescoreSpec pins 6dp + pair-set equality against
-    * the float64 path on the catalog slice). `__n` stays the exact
-    * double norm (8 B/row — not worth drift).
+    * |Δcos| ≤ ~2⁻²³ ≈ 1.2e-7 independent of dim (the float rounding of
+    * each stored component is relative, so |Δdot| ≤ ~2⁻²³·Σ|aᵢbᵢ| ≤
+    * 2⁻²³·‖a‖‖b‖ by Cauchy-Schwarz, and the norms divided out are the
+    * exact doubles) — far inside the 6dp catalog rounding
+    * (Float32RescoreSpec pins 6dp + pair-set equality against the
+    * float64 path on the catalog slice). This 2⁻²³ figure is a term in
+    * [[F32CosDrift]]'s margin budget — the prefilters bracket the
+    * FLOAT64 dot while this payload rescores in float32, so every
+    * bound comparison deflates by the drift (see [[topKViaBounds]] /
+    * [[boundedPairJoin]]). `__n` stays the exact double norm (8 B/row
+    * — not worth drift).
     */
   private def vecPayload(v: DataFrame, idCol: String, big: Boolean): DataFrame =
     if (big) v.select(col(idCol), col("__v").cast("array<float>").as("__v"), col("__n"))
@@ -346,6 +353,17 @@ object Similarity {
     (est, slack)
   }
 
+  /** Upper bound on |f32cos − f64cos| for one rescored pair: the big
+    * regime's exact stage scores float32 payloads ([[vecPayload]] —
+    * |Δcos| ≤ ~2⁻²³ ≈ 1.2e-7 by Cauchy-Schwarz) while [[quantUpper]]/
+    * [[quantLower]] bracket the FLOAT64 dot, so any comparison that
+    * chains a bound against an f32-scored value must budget one drift
+    * term per scored side. 2.5e-7 = 2·2⁻²³ (the worst pruned-vs-survivor
+    * case compares two independently-scored pairs) + ~5% headroom; the
+    * callers add their own additional headroom on top.
+    */
+  private[sim] val F32CosDrift = 2.5e-7
+
   private[sim] def quantUpper(qa: Column, qb: Column): Column = {
     val (est, slack) = estSlack(qa, qb)
     est + slack + (abs(est) + slack) * 1e-9
@@ -368,9 +386,23 @@ object Similarity {
     * [[Semantic.semanticDups]]' lists): self-join `bounded` —
     * (idCol, keyCols..., __q, __n) rows — on `keyCols`, keep
     * (id_a < id_b) pairs whose int8 cosine upper bound can reach
-    * `threshold` (in product form, [[quantUpper]] ≥ t·‖a‖·‖b‖), and
+    * `threshold` (in product form, [[quantUpper]] ≥ t'·‖a‖·‖b‖), and
     * project id pairs. ONE definition of the prefilter comparison, so
     * the bound semantics can never drift between callers.
+    *
+    * t' = t − [[F32CosDrift]]: the exact stage downstream scores
+    * FLOAT32 payloads while [[quantUpper]] brackets the float64 dot, so
+    * a pair with f32cos ≥ t only guarantees f64cos ≥ t − ~1.2e-7 — at
+    * the raw threshold the prefilter could drop a knife-edge pair its
+    * own rescore would have kept. Deflating by the drift restores the
+    * clean contract: the big regime's output is EXACTLY the f32-rescored
+    * pair set (f64cos ≥ t ⇒ ub ≥ f64dot ≥ t·nanb ≥ t'·nanb survives
+    * trivially; f32cos ≥ t ⇒ f64cos ≥ t − 1.2e-7 ⇒ ub ≥ (t−1.2e-7)·nanb
+    * ≥ t'·nanb survives too — the prefilter never decides a pair, the
+    * rescore does). The deflation only ever widens the survivor
+    * superset, so cross-regime pair equality (QuantPrefilterSpec) and
+    * every committed pair count are unchanged away from the ~2.5e-7
+    * knife edge.
     */
   private[sim] def boundedPairJoin(bounded: DataFrame, idCol: String,
                                    keyCols: Seq[String], threshold: Double): DataFrame = {
@@ -380,7 +412,8 @@ object Similarity {
       col("__q").as("qb") :+ col("__n").as("nb"): _*)
     a.join(hashHinted(b, big = true), keyCols)
       .where(col("id_a") < col("id_b"))
-      .where(quantUpper(col("qa"), col("qb")) >= lit(threshold) * col("na") * col("nb"))
+      .where(quantUpper(col("qa"), col("qb")) >=
+        lit(threshold - F32CosDrift) * col("na") * col("nb"))
       .select("id_a", "id_b")
   }
 
@@ -390,19 +423,27 @@ object Similarity {
     * bar if a query has fewer finite lowers), keep candidates whose
     * UPPER bound clears it, and exact-rescore only the survivors.
     *
-    * Why the output is identical to exact top-k over ALL candidates: a
-    * dropped candidate d has exact(d) ≤ ub(d) < bar − 1.1e-6 ≤
-    * lb(cᵢ) − 1.1e-6 ≤ exact(cᵢ) − 1.1e-6 for ≥ k distinct candidates
-    * cᵢ (rank semantics below), all of which survive (ub ≥ lb always).
-    * The 1.1e-6 deflation matters because [[topK]] ranks cosines
-    * ROUNDED to 6dp with an id tie-break: two exact cosines separated
-    * by less than one rounding quantum can round EQUAL, and then the
-    * id tie-break could promote a pruned candidate in the exact-on-all
-    * ordering. Values separated by MORE than 1e-6 can never round
-    * 6dp-equal, so deflating the bar by 1.1e-6 (one quantum + FP
-    * headroom) restores strict post-rounding dominance: every dropped
-    * candidate rounds strictly below k survivors and loses under any
-    * tie-break. Degenerate pairs (NaN bounds from NaN/∞/zero-norm
+    * Why the output is identical to exact top-k over ALL candidates:
+    * the bounds bracket the FLOAT64 cosine while [[topK]] here scores
+    * the FLOAT32 payload ([[vecPayload]] — |f32cos − f64cos| ≤ ~1.2e-7
+    * per pair), so a dropped candidate d has f32(d) ≤ f64(d) + 1.2e-7 ≤
+    * ub(d) + 1.2e-7 < bar − 1.5e-6 + 1.2e-7, while ≥ k distinct
+    * surviving candidates cᵢ (rank semantics below; ub ≥ lb always)
+    * have f32(cᵢ) ≥ f64(cᵢ) − 1.2e-7 ≥ lb(cᵢ) − 1.2e-7 ≥ bar − 1.2e-7.
+    * The gap between any survivor's and any dropped candidate's scored
+    * cosine is therefore > 1.5e-6 − 2·1.2e-7 = 1.26e-6 — more than one
+    * 6dp rounding quantum. That matters because [[topK]] ranks cosines
+    * ROUNDED to 6dp with an id tie-break: two scored cosines separated
+    * by less than one quantum can round EQUAL, and then the id
+    * tie-break could promote a pruned candidate in the exact-on-all
+    * ordering; values separated by MORE than 1e-6 can never round
+    * 6dp-equal, so the deflated bar restores strict post-rounding
+    * dominance — every dropped candidate rounds strictly below k
+    * survivors and loses under any tie-break. Margin budget for the
+    * 1.5e-6: 1e-6 (one 6dp quantum) + 2.5e-7 ([[F32CosDrift]] — one
+    * ~2⁻²³ term per scored side of the comparison) + 2.5e-7 headroom
+    * (the quant bounds already carry their own 1e-9-relative FP
+    * inflation). Degenerate pairs (NaN bounds from NaN/∞/zero-norm
     * vectors) SURVIVE the filter — Spark orders NaN above every double,
     * so NaN ub ≥ bar holds — and are then excluded by [[topK]] itself
     * (their exact cosine is NaN); correctness never depends on pruning
@@ -427,9 +468,10 @@ object Similarity {
         thresholdRank).as("__tk"))
       .select(col("query_id"),
         when(size(col("__tk")) < thresholdRank, lit(Double.NegativeInfinity))
-          // bar deflated one 6dp rounding quantum (+ headroom): see the
-          // post-rounding dominance argument in the scaladoc
-          .otherwise(element_at(col("__tk"), thresholdRank).getField("cos") - 1.1e-6)
+          // bar deflated one 6dp rounding quantum + the f32-rescore
+          // drift (+ headroom): see the post-rounding dominance
+          // argument and margin budget in the scaladoc
+          .otherwise(element_at(col("__tk"), thresholdRank).getField("cos") - 1.5e-6)
           .as("__thr"))
     // thr is corpus-proportional (one scalar per query) while bounds is
     // candidate-volume: hint the build side so the only regime this

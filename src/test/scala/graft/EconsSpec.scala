@@ -57,6 +57,18 @@ class EconsSpec extends SparkSpec {
     }
   }
 
+  test("approximateFactors refuses a panel past the driver-collect guard") {
+    // the guard is rows x cols cells; a long skinny frame crosses it
+    // without materializing anything expensive (the require fires
+    // before the collect)
+    val wide = spark.range(Econs.MaxDriverPanelCells / N + 1)
+      .selectExpr((0 until N).map(c => s"cast(id as double) as c$c"): _*)
+    val e = intercept[IllegalArgumentException] {
+      Econs.approximateFactors(wide, cols)
+    }
+    assert(e.getMessage.contains("small macro panels"))
+  }
+
   test("adf stat matches numpy and integration orders resolve") {
     val eps = lcg(120)
     val rw = eps.scanLeft(0.0)(_ + _).tail

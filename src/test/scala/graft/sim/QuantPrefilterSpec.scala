@@ -110,9 +110,12 @@ class QuantPrefilterSpec extends graft.SparkSpec {
         assert(r.isNullAt(2) && r.isNullAt(3), s"($ia,$ib): null asymmetry $r")
       } else {
         val (dot, upper) = (r.getDouble(2), r.getDouble(3))
-        // a non-finite exact dot never yields a kept pair in the exact
-        // path (cos is NaN/±Inf → filter false), so the bound owes
-        // nothing there; everywhere finite it must dominate
+        // a non-finite exact dot makes BOTH the bound and the exact
+        // cosine NaN, and Spark orders NaN above every double — such
+        // pairs pass the prefilter AND the exact `cos >= t` filter, in
+        // both regimes consistently (they surface with cos = NaN), so
+        // the bound owes no ordering there; everywhere finite it must
+        // dominate
         if (!dot.isNaN && !dot.isInfinite) {
           assert(upper >= dot, s"($ia,$ib): upper $upper < dot $dot")
           verified += 1
