@@ -301,6 +301,153 @@ case class NearestListsExpr(left: Expression, right: Expression, nProbe: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Two-level (hierarchical) IVF membership kernel: the `cProbe`
+  * nearest COARSE cells of one vector, then the single nearest FINE
+  * list within each probed cell — one compiled pass, the assignment
+  * primitive of [[graft.sim.Semantic.semanticDupsTwoLevel]] /
+  * [[graft.sim.Similarity.ivfTopKTwoLevel]].
+  *
+  * Why this kernel exists (the scale law): single-level IVF assignment
+  * is N·nLists full-dimension distance evaluations, and with the
+  * capacity rule nLists ∝ N (fixed ~125 rows/list) that term is
+  * N²/125 — measured as ~430 s of t_semdedup's 484 s at the ×729
+  * stress decade, the engine's last quadratic. The two-level shape
+  * evaluates G coarse cells (G ≈ √nLists) plus the fines of the
+  * `cProbe` probed cells (≈ cProbe·nLists/G ≈ cProbe·√nLists), i.e.
+  * (1+cProbe)·√nLists per row — ~36× less arithmetic at ×729 and
+  * sub-quadratic in N for good.
+  *
+  * Why it is NOT a pruned exact search: an exact two-level (triangle-
+  * inequality cell pruning, lb = ‖v−g‖ − rmax(g)) was prototyped and
+  * MEASURED USELESS on this engine's embedding geometry — the corpus
+  * is ~isotropic unit vectors at dim 64, where distances concentrate
+  * (mean query→cell distance 1.01, mean cell radius 0.36, mean nearest-
+  * fine distance 0.93: the bound 1.01−0.36 = 0.65 < 0.93 NEVER binds;
+  * 100% of fines scanned at nProbe ∈ {1,4} over 500 probes). Exact
+  * nearest-centroid over isotropic data is Ω(N·nLists); no in-plan
+  * trick changes that law, so the scope is VERSIONED instead (a new
+  * API with its own self-defined scope + a measured recall contract)
+  * rather than silently approximated.
+  *
+  * Selection semantics (deterministic, scan-order-pinned):
+  *   - coarse: cells ranked by (d, cell index) ascending with
+  *     strictly-closer insertion over an ascending-index scan — exact
+  *     ties keep the smaller index (the [[NearestKernel]] discipline);
+  *     d = v·v + g·g − 2·(v·g), each dot accumulated left-to-right in
+  *     double.
+  *   - fine (within each probed cell, in probe order): single nearest
+  *     by the same (d, list id) rule; the builder stores fines sorted
+  *     by list id ascending, so strict `<` keeps the smaller list on
+  *     exact ties.
+  *   - degenerate vectors (NaN/±Inf components → non-finite v·v): every
+  *     distance is non-finite and no comparison displaces, so the
+  *     output degenerates to the first `cProbe` cells in index order,
+  *     each contributing its smallest fine list id — deterministic,
+  *     and such rows pair only with rows making the same degenerate
+  *     choice (their cosines are then NaN and surface as NaN exactly
+  *     like the flat op's degenerate pairs; see [[QuantKernel]]).
+  *   - a cell or fine whose centroid dimension differs from the
+  *     vector's is skipped (the builder constructs both sides from one
+  *     prepped column, so the case cannot occur); a probed cell with
+  *     no usable fines contributes nothing (output may be shorter than
+  *     `cProbe`).
+  *
+  * Fine lists are globally numbered and cells own DISJOINT fine sets
+  * (builder invariant), so the output array never repeats a list id.
+  */
+object TwoLevelKernel {
+  /** cells: array<struct<gcent: array<double>, gcc: double,
+    * fines: array<struct<list: int, centroid: array<double>, cc: double>>>>;
+    * returns array<int> of ≤ min(cProbe, nCells) fine list ids, probe
+    * order (nearest cell first).
+    */
+  def memberships(vec: ArrayData, cells: ArrayData, cProbe: Int): ArrayData = {
+    val dim = vec.numElements()
+    val nG = cells.numElements()
+    val cp = math.min(cProbe, nG)
+    var vv = 0.0
+    var j = 0
+    while (j < dim) { val x = vec.getDouble(j); vv += x * x; j += 1 }
+    // top-cp cells by (d, index): strictly-closer insertion, ascending scan
+    val bd = new Array[Double](cp)
+    val bi = new Array[Int](cp)
+    var filled = 0
+    var gi = 0
+    while (gi < nG) {
+      val cell = cells.getStruct(gi, 3)
+      val gc = cell.getArray(0)
+      if (gc.numElements() == dim) {
+        var dot = 0.0
+        var m = 0
+        while (m < dim) { dot += vec.getDouble(m) * gc.getDouble(m); m += 1 }
+        val dist = vv + cell.getDouble(1) - 2.0 * dot
+        if (filled < cp) {
+          var pos = filled
+          while (pos > 0 && dist < bd(pos - 1)) pos -= 1
+          var s = filled
+          while (s > pos) { bd(s) = bd(s - 1); bi(s) = bi(s - 1); s -= 1 }
+          bd(pos) = dist; bi(pos) = gi; filled += 1
+        } else if (cp > 0 && dist < bd(cp - 1)) {
+          var pos = cp - 1
+          while (pos > 0 && dist < bd(pos - 1)) pos -= 1
+          var s = cp - 1
+          while (s > pos) { bd(s) = bd(s - 1); bi(s) = bi(s - 1); s -= 1 }
+          bd(pos) = dist; bi(pos) = gi
+        }
+      }
+      gi += 1
+    }
+    // nearest fine within each selected cell, probe order
+    val out = new Array[Int](filled)
+    var oi = 0
+    var s = 0
+    while (s < filled) {
+      val fines = cells.getStruct(bi(s), 3).getArray(2)
+      val nF = fines.numElements()
+      var best = 0.0
+      var bestList = -1
+      var found = false
+      var fi = 0
+      while (fi < nF) {
+        val f = fines.getStruct(fi, 3)
+        val cen = f.getArray(1)
+        if (cen.numElements() == dim) {
+          var dot = 0.0
+          var m = 0
+          while (m < dim) { dot += vec.getDouble(m) * cen.getDouble(m); m += 1 }
+          val dist = vv + f.getDouble(2) - 2.0 * dot
+          if (!found || dist < best) { best = dist; bestList = f.getInt(0); found = true }
+        }
+        fi += 1
+      }
+      if (found) { out(oi) = bestList; oi += 1 }
+      s += 1
+    }
+    val trimmed = if (oi == out.length) out else java.util.Arrays.copyOf(out, oi)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(trimmed)
+  }
+}
+
+/** [[TwoLevelKernel.memberships]] as a codegen'd expression:
+  * (vec array<double>, cells array<struct<gcent,gcc,fines>>) →
+  * array<int> of the fine list memberships.
+  */
+case class TwoLevelMembershipsExpr(left: Expression, right: Expression, cProbe: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_twolevel_members"
+
+  override def nullSafeEval(vec: Any, cells: Any): Any =
+    TwoLevelKernel.memberships(vec.asInstanceOf[ArrayData], cells.asInstanceOf[ArrayData], cProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TwoLevelKernel.memberships($a, $b, $cProbe)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TwoLevelMembershipsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** int8 symmetric quantization of an embedding vector, one compiled
   * pass — the payload for the ANN prefilter's LOSSLESS cosine upper
   * bound ([[graft.sim.Similarity]] big-regime near-dup path).
@@ -368,6 +515,54 @@ object QuantKernel {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bytes, s, l1))
+  }
+
+  /** Scalar twin of [[quantize]] for stateful/streaming code
+    * ([[graft.streaming.AnnStream]]'s thresholded bucket state): same
+    * arithmetic on a dense double array (streams carry no null
+    * elements), returns (q, s, l1). QuantScalarSpec pins it equal to
+    * the expression form value-for-value.
+    */
+  def quantizeDoubles(v: Array[Double]): (Array[Byte], Double, Double) = {
+    val n = v.length
+    var amax = 0.0
+    var l1 = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v(i))
+      if (a > amax) amax = a
+      l1 += a
+      i += 1
+    }
+    val s = amax / 127.0
+    val bytes = new Array[Byte](n)
+    if (s != 0.0) {
+      i = 0
+      while (i < n) {
+        val q = Math.round(v(i) / s)
+        bytes(i) = (if (q > 127L) 127L else if (q < -127L) -127L else q).toByte
+        i += 1
+      }
+    }
+    (bytes, s, l1)
+  }
+
+  /** Scalar twin of [[graft.sim.Similarity.quantUpper]] — the SAME
+    * (est, slack) inequality and 1e-9 relative inflation, so the
+    * streaming prefilter's bound semantics can never drift from the
+    * batch one's (QuantScalarSpec pins them equal on adversarial
+    * vectors). Upper-bounds the exact double dot of the two vectors
+    * the structs were quantized from.
+    */
+  def upperBound(qa: Array[Byte], sa: Double, l1a: Double,
+                 qb: Array[Byte], sb: Double, l1b: Double): Double = {
+    var dotq = 0L
+    val n = math.min(qa.length, qb.length)
+    var i = 0
+    while (i < n) { dotq += qa(i).toLong * qb(i).toLong; i += 1 }
+    val est = sa * sb * dotq.toDouble
+    val slack = sb / 2 * l1a + sa / 2 * l1b + qa.length.toDouble * sa * sb / 4
+    est + slack + (math.abs(est) + slack) * 1e-9
   }
 }
 
@@ -478,4 +673,10 @@ object VectorF {
     */
   def nearestLists(vec: Column, cents: Column, nProbe: Int): Column =
     toCol(NearestListsExpr(toExpr(vec), toExpr(cents), nProbe))
+
+  /** Codegen'd two-level IVF memberships: nearest fine list within each
+    * of the cProbe nearest coarse cells (see [[TwoLevelKernel]]).
+    */
+  def twoLevelMemberships(vec: Column, cells: Column, cProbe: Int): Column =
+    toCol(TwoLevelMembershipsExpr(toExpr(vec), toExpr(cells), cProbe))
 }

@@ -65,19 +65,54 @@ object Capacity {
     * list SIZE (the classic IVF rule — fixed lists mean (c·N₀)²/nLists
     * probe-verify work). 125 rows/list is the catalog reference
     * (16 lists at 2 000 rows); `minLists` keeps tiny corpora at the
-    * spec-pinned configuration. `maxLists` (2²⁰ ≈ 1M, the practical
-    * ceiling of published single-level IVF deployments) bounds the
-    * quantizer: past it, list size grows linearly instead — a corpus
-    * that large wants a sharded / two-level quantizer, which is a
-    * deployment topology above this chooser. The cap also keeps the
-    * count in Int range (the un-capped rule at 10¹² rows overflowed —
-    * caught by CapacitySpec).
+    * spec-pinned configuration.
+    *
+    * SCALE CAVEAT (the round-12 verdict's "last quadratic"): growing
+    * lists ∝ corpus keeps PAIR work linear but makes the single-level
+    * ASSIGNMENT N·nLists = N²/125 full-dimension distance evaluations
+    * — measured as ~430 s of t_semdedup's 484 s at the ×729 stress
+    * decade, breaching the gate one decade later. A corpus whose rule
+    * output crosses [[TwoLevelListsCutoff]] should run the TWO-LEVEL
+    * scope instead ([[graft.sim.Semantic.semanticDupsTwoLevel]] with
+    * [[twoLevelNLists]]) — an in-engine hierarchical quantizer at
+    * (1+cProbe)·√nLists work per row, NOT a deployment topology (the
+    * pre-round-13 scaladoc adjudicated it out of engine scope; the
+    * ×729 measurements no longer support that reading, so the
+    * algorithm was built). `maxLists` (2²⁰) stays as the single-level
+    * family's hard bound — past it list size grows linearly instead —
+    * and keeps the count in Int range (the un-capped rule at 10¹² rows
+    * overflowed — caught by CapacitySpec).
     */
   def ivfNLists(corpusRows: Long, rowsPerList: Long = 125L,
                 minLists: Int = 16, maxLists: Int = 1 << 20): Int = {
     require(corpusRows > 0 && rowsPerList > 0)
     val lists = (corpusRows + rowsPerList - 1) / rowsPerList
     math.min(maxLists.toLong, math.max(minLists.toLong, lists)).toInt
+  }
+
+  /** Above this single-level list count the N·nLists assignment
+    * arithmetic dominates the job (at the 125 rows/list rule this is a
+    * ~256 k-row corpus — the third stress decade) and the two-level
+    * scope is the configuration a deployment should run. Below it the
+    * flat op's exact scope is affordable and stays the default.
+    */
+  val TwoLevelListsCutoff = 2048
+
+  /** List count for the TWO-LEVEL scope: the [[ivfNLists]] rule at
+    * rowsPerList ≈ 125/cProbe. Each vector holds `cProbe` memberships,
+    * so cProbe× the lists at 1/cProbe the size keeps per-list occupancy
+    * — and with it the per-list candidate-pair work — at the flat
+    * rule's 125-row target; measured on the seeded isotropic corpus
+    * this ALSO improves planted-pair recall (0.969 at cProbe = 2 vs
+    * the flat scope's 0.879 — the recall table in
+    * [[graft.sim.Semantic.semanticDupsTwoLevel]]).
+    */
+  def twoLevelNLists(corpusRows: Long, cProbe: Int = 2,
+                     minLists: Int = 16, maxLists: Int = 1 << 20): Int = {
+    require(cProbe >= 1, s"cProbe must be >= 1, got $cProbe")
+    ivfNLists(corpusRows,
+      rowsPerList = math.max(1L, (125L + cProbe - 1) / cProbe),
+      minLists = minLists, maxLists = maxLists)
   }
 
   /** Whether to run simhash near-dup at the 124-bit width

@@ -142,27 +142,12 @@ object Semantic {
     val member = if (nProbe == 1)
       near.select(col(idCol) +: extraQ.map(col) :+ element_at(col("lists"), 1).as("list"): _*)
     else near.select(col(idCol) +: extraQ.map(col) :+ explode(col("lists")).as("list"): _*)
-    val bounded0 = Similarity.capGroups(member, maxList, "list")
-    // persisted: the self-join below references the assignment twice
-    // (once per side) and Catalyst duplicates lineage — uncached, the
-    // N·nLists nearest-centroid arithmetic (the job's inherent CPU at
-    // corpus scale) would run twice. The cached frame is (id, int) rows
-    // in the catalog regime, ~90 B/row (+ int8 struct) in the big one —
-    // corpus-proportional either way.
-    val bounded = bounded0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joined = if (!big) {
-      val a = bounded.select(col(idCol).as("id_a"), col("list"))
-      val b = bounded.select(col(idCol).as("id_b"), col("list"))
-      a.join(b, "list").where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-    } else Similarity.boundedPairJoin(bounded, idCol, Seq("list"), threshold)
     // nProbe = 1: each id is in exactly one list, pairs unique by
     // construction — no dedup shuffle (the ivfTopK argument); the
     // prefilter is deterministic per pair, so multi-probe dedup
     // semantics are unchanged too
-    val cands = if (nProbe == 1) joined else joined.distinct()
-    val pairs = Similarity.rescorePairs(cands, v, idCol, threshold)
+    val (pairs, bounded) = pairsFromMembers(member, v, idCol, threshold,
+      maxList, big, dedup = nProbe > 1)
     // assignment frame for the keep-policy re-pick: at nProbe = 1 the
     // cached member frame IS the nearest-list assignment (reused — no
     // second kernel pass, normalized to (id, list)); multi-probe
@@ -175,6 +160,32 @@ object Semantic {
       ()
     }
     (pairs, v, assignment, centroids, release)
+  }
+
+  /** Shared pair-generation tail of the flat and two-level scopes: cap
+    * degenerate lists, persist the membership frame (the self-join
+    * references it twice and Catalyst duplicates lineage — uncached,
+    * the assignment arithmetic would run twice; the cached frame is
+    * (id, int) rows in the catalog regime, ~90 B/row + int8 struct in
+    * the big one — corpus-proportional either way), generate (a < b)
+    * candidate pairs within a shared list (int8-prefiltered in the big
+    * regime — [[Similarity.boundedPairJoin]]), optionally dedup
+    * multi-membership pairs, and exact-rescore. Returns (pairs, the
+    * persisted membership frame).
+    */
+  private def pairsFromMembers(member: DataFrame, v: DataFrame, idCol: String,
+                               threshold: Double, maxList: Int, big: Boolean,
+                               dedup: Boolean): (DataFrame, DataFrame) = {
+    val bounded = Similarity.capGroups(member, maxList, "list")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined = if (!big) {
+      val a = bounded.select(col(idCol).as("id_a"), col("list"))
+      val b = bounded.select(col(idCol).as("id_b"), col("list"))
+      a.join(b, "list").where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    } else Similarity.boundedPairJoin(bounded, idCol, Seq("list"), threshold)
+    val cands = if (dedup) joined.distinct() else joined
+    (Similarity.rescorePairs(cands, v, idCol, threshold), bounded)
   }
 
   /** Semantic dedup keep/drop decisions: connected components over the
@@ -217,9 +228,17 @@ object Semantic {
   def semanticDedupWithRelease(vecs: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, nLists: Int = 16, nProbe: Int = 1,
                                seed: Long = 42L, maxList: Int = Int.MaxValue,
-                               keepFarthest: Boolean = false): (DataFrame, () => Unit) = {
-    val (pairs, v, assignedFirst, centroids, release) = dupsParts(vecs, idCol,
-      vecCol, threshold, nLists, nProbe, seed, maxList)
+                               keepFarthest: Boolean = false): (DataFrame, () => Unit) =
+    dedupFromParts(dupsParts(vecs, idCol, vecCol, threshold, nLists, nProbe,
+      seed, maxList), idCol, keepFarthest)
+
+  /** Shared keep/drop tail of the flat and two-level dedups: connected
+    * components over the pair graph, then (optionally) the SemDeDup
+    * keep-farthest re-pick on the dup subset.
+    */
+  private def dedupFromParts(parts: (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit),
+                             idCol: String, keepFarthest: Boolean): (DataFrame, () => Unit) = {
+    val (pairs, v, assignedFirst, centroids, release) = parts
     val groups = graft.text.NearDup.dupGroups(pairs)
     val out = if (!keepFarthest) groups
     else {
@@ -255,4 +274,164 @@ object Semantic {
     semanticDedup(vecs, idCol, vecCol, threshold,
       nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed,
       maxList = maxList, keepFarthest = keepFarthest)
+
+  // ───────────────────────────────────────────────────────────────────
+  // Two-level (hierarchical) scope — the corpus-scale quantizer
+  // ───────────────────────────────────────────────────────────────────
+
+  /** [[semanticDups]]' corpus-scale sibling with a TWO-LEVEL
+    * (hierarchical) k-means scope: G = ⌈√nLists⌉ coarse cells are fit
+    * on the data, fine lists are fit WITHIN each cell, and every
+    * vector's memberships are the nearest fine list inside each of its
+    * `cProbe` nearest coarse cells. Pairs = (id_a < id_b) with cosine ≥
+    * `threshold` among vectors sharing ≥ 1 membership. Deterministic
+    * for a fixed seed (run-to-run AND shuffle-order independent —
+    * TwoLevelSpec pins it). Returns (id_a, id_b, cos).
+    *
+    * WHY A VERSIONED SCOPE, NOT A DROP-IN: the flat op's scope is
+    * defined by exact nearest-of-nLists assignment, whose arithmetic is
+    * N·nLists = N²/125 under the lists-∝-corpus capacity rule — the
+    * engine's one remaining quadratic (≈430 s of t_semdedup's 484 s at
+    * the ×729 stress decade). An EXACT sub-quadratic assignment does
+    * not exist for this data: triangle-inequality cell pruning was
+    * prototyped and measured to prune NOTHING on the corpus's
+    * ~isotropic unit-vector geometry (see
+    * [[graft.functions.TwoLevelKernel]] for the numbers), so the fix
+    * is a scope the assignment can define cheaply — (1+cProbe)·√nLists
+    * work per row — with the approximation made explicit in the API
+    * name and contract rather than silently swapped under the flat op.
+    *
+    * Scope contract (what SemanticSpec checks): within scope the output
+    * is EXACT — pairs ≡ brute-force cosine ≥ threshold filtered to
+    * "shares a membership". Across scope, recall is data-dependent;
+    * measured on a seeded isotropic-worst-case corpus (22k unit vectors
+    * at dim 64, 2 000 planted near-dups at cos ≈ 0.96, lists at the
+    * capacity rule):
+    *   - flat scope (nProbe = 1): 0.879 of planted pairs co-assigned;
+    *   - two-level, cProbe = 1: 0.762 (the coarse boundary's cost);
+    *   - cProbe = 2 at rowsPerList 125/2: 0.969 — BETTER recall than
+    *     the flat op, with per-list occupancy (and so pair volume per
+    *     list) unchanged and ~2× total memberships;
+    *   - cProbe = 3 at 125/3: 0.992.
+    * The [[semanticDupsTwoLevelAuto]] chooser applies exactly that
+    * rowsPerList = 125/cProbe rule, so occupancy — and with it the
+    * candidate-pair work per list — matches the flat capacity rule at
+    * every scale.
+    *
+    * Scale shape: quantizer fit is √nLists-per-row
+    * ([[Similarity.fitTwoLevelQuantizer]]), memberships are one
+    * zero-shuffle broadcast-kernel pass, candidate generation is the
+    * same one equi-join (+ big-regime int8 prefilter) as the flat op,
+    * and vectors re-join after candidate generation — only id pairs
+    * shuffle. Nothing is N·nLists.
+    */
+  def semanticDupsTwoLevel(vecs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nLists: Int = 16, cProbe: Int = 2,
+                           seed: Long = 42L, maxList: Int = Int.MaxValue): DataFrame =
+    semanticDupsTwoLevelWithRelease(vecs, idCol, vecCol, threshold, nLists,
+      cProbe, seed, maxList)._1
+
+  /** [[semanticDupsTwoLevel]] plus the release handle for the two
+    * internal caches (the [[semanticDupsWithRelease]] contract).
+    */
+  def semanticDupsTwoLevelWithRelease(vecs: DataFrame, idCol: String, vecCol: String,
+                                      threshold: Double, nLists: Int = 16, cProbe: Int = 2,
+                                      seed: Long = 42L, maxList: Int = Int.MaxValue)
+      : (DataFrame, () => Unit) = {
+    val (pairs, _, _, _, release) = dupsPartsTwoLevel(vecs, idCol, vecCol,
+      threshold, nLists, cProbe, seed, maxList)
+    (pairs, release)
+  }
+
+  /** [[semanticDupsTwoLevel]] with the list count chosen from the
+    * corpus size at rowsPerList = ~125/cProbe — the measured
+    * occupancy-preserving rule (see the recall table in
+    * [[semanticDupsTwoLevel]]): cProbe memberships per vector over
+    * cProbe× the lists keeps rows/list — and so per-list pair work —
+    * at the flat op's 125-row target. `corpusRows` is an explicit
+    * caller estimate — no hidden `count()`.
+    */
+  def semanticDupsTwoLevelAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, corpusRows: Long, cProbe: Int = 2,
+                               seed: Long = 42L, maxList: Int = Int.MaxValue): DataFrame =
+    semanticDupsTwoLevel(vecs, idCol, vecCol, threshold,
+      nLists = Capacity.twoLevelNLists(corpusRows, cProbe), cProbe = cProbe,
+      seed = seed, maxList = maxList)
+
+  /** [[semanticDedup]]'s two-level twin: keep/drop decisions over the
+    * [[semanticDupsTwoLevel]] pair graph — same keep policies (min-id
+    * default, `keepFarthest` = the SemDeDup paper's re-pick, where "its
+    * cluster centroid" is the vector's FIRST membership's fine
+    * centroid).
+    */
+  def semanticDedupTwoLevel(vecs: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nLists: Int = 16, cProbe: Int = 2,
+                            seed: Long = 42L, maxList: Int = Int.MaxValue,
+                            keepFarthest: Boolean = false): DataFrame = {
+    val (out, release) = semanticDedupTwoLevelWithRelease(vecs, idCol, vecCol,
+      threshold, nLists, cProbe, seed, maxList, keepFarthest)
+    // min-id output is eager (dupGroups) — release immediately, the
+    // semanticDedup convention; keepFarthest reads the caches lazily
+    if (!keepFarthest) release()
+    out
+  }
+
+  /** [[semanticDedupTwoLevel]] plus the release handle (the
+    * [[semanticDedupWithRelease]] contract).
+    */
+  def semanticDedupTwoLevelWithRelease(vecs: DataFrame, idCol: String, vecCol: String,
+                                       threshold: Double, nLists: Int = 16, cProbe: Int = 2,
+                                       seed: Long = 42L, maxList: Int = Int.MaxValue,
+                                       keepFarthest: Boolean = false): (DataFrame, () => Unit) =
+    dedupFromParts(dupsPartsTwoLevel(vecs, idCol, vecCol, threshold, nLists,
+      cProbe, seed, maxList), idCol, keepFarthest)
+
+  /** [[semanticDedupTwoLevel]] with the [[Capacity.twoLevelNLists]]
+    * occupancy-preserving chooser, like [[semanticDupsTwoLevelAuto]].
+    */
+  def semanticDedupTwoLevelAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, corpusRows: Long, cProbe: Int = 2,
+                                seed: Long = 42L, maxList: Int = Int.MaxValue,
+                                keepFarthest: Boolean = false): DataFrame =
+    semanticDedupTwoLevel(vecs, idCol, vecCol, threshold,
+      nLists = Capacity.twoLevelNLists(corpusRows, cProbe), cProbe = cProbe,
+      seed = seed, maxList = maxList, keepFarthest = keepFarthest)
+
+  /** Two-level pairs + the frames the keep-policy re-pick needs — the
+    * [[dupsParts]] tuple shape: (pairs, prepped vectors (persisted),
+    * first-membership assignment (id, list), flat fine-centroid frame,
+    * release thunk).
+    */
+  private def dupsPartsTwoLevel(vecs: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, nLists: Int, cProbe: Int,
+                                seed: Long, maxList: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
+    require(threshold >= -1.0 && threshold <= 1.0, s"cosine threshold: $threshold")
+    require(cProbe >= 1, s"cProbe must be >= 1, got $cProbe")
+    require(!Set("list", "lists", "cos", "centroid", "__v", "__n", "__q").contains(idCol),
+      s"id column name '$idCol' is reserved by semanticDupsTwoLevel — rename it first")
+    val v = Similarity.prepped(vecs, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tl = Similarity.fitTwoLevelQuantizer(v, nLists, seed)
+    val big = Similarity.vectorSideTooBig(v)
+    val vq = if (big) v.withColumn("__q", VectorF.quantI8(col("__v"))) else v
+    val extraQ = if (big) Seq("__q", "__n") else Nil
+    val mem = Similarity.twoLevelMemberships(vq, idCol, tl.structure, cProbe,
+      extra = extraQ)
+    val member = mem.select(
+      col(idCol) +: extraQ.map(col) :+ explode(col("lists")).as("list"): _*)
+    // cProbe = 1: memberships are single → pairs unique by construction,
+    // no dedup shuffle (the flat nProbe = 1 argument); multi-probe pairs
+    // can share up to cProbe lists → distinct
+    val (pairs, bounded) = pairsFromMembers(member, v, idCol, threshold,
+      maxList, big, dedup = cProbe > 1)
+    val assignment = if (cProbe == 1) bounded.select(col(idCol), col("list"))
+      else mem.select(col(idCol), element_at(col("lists"), 1).as("list"))
+    val release = () => {
+      v.unpersist(blocking = false)
+      bounded.unpersist(blocking = false)
+      ()
+    }
+    (pairs, v, assignment, tl.centroids, release)
+  }
 }

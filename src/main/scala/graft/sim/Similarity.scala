@@ -37,6 +37,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** ANSI-safe cosine division: an EXACT-ZERO norm product divides as
+    * NaN instead of raising DIVIDE_BY_ZERO (Spark 4 runs ANSI by
+    * default, and one all-zero embedding row in a corpus must not kill
+    * a dedup job). NaN is chosen over null so every degenerate vector
+    * class behaves identically: NaN-component vectors already produce
+    * NaN norms (NaN/NaN divides to NaN without tripping ANSI), and the
+    * threshold paths keep NaN-cos pairs consistently in both regimes
+    * while the top-k aggregate excludes them — the documented
+    * [[graft.functions.QuantKernel]] semantics, which this division
+    * makes true under ANSI rather than true-only-when-ANSI-is-off.
+    */
+  private[sim] def nanDiv(num: Column, den: Column): Column =
+    when(den === 0.0, lit(Double.NaN)).otherwise(num / den)
+
   /** Per-row prep shared by the exact and LSH paths: vector cast to
     * `array<double>` once, L2 norm computed once.
     */
@@ -132,7 +146,7 @@ object Similarity {
       .join(hashHinted(
         vp.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), big), "id_b")
       .select(col("id_a"), col("id_b"),
-        (pairDot(big)(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        nanDiv(pairDot(big)(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -159,7 +173,8 @@ object Similarity {
   /** Exact cosine top-k from a prepped pair frame (va/na vs vb/nb). */
   private def topK(pairs: DataFrame, k: Int, floatVecs: Boolean = false): DataFrame = {
     val scored = pairs.select(col("query_id"), col("neighbor_id"),
-      round(pairDot(floatVecs)(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      round(nanDiv(pairDot(floatVecs)(col("va"), col("vb")),
+        col("na") * col("nb")), 6).as("cos"))
     // bounded top-k AGGREGATE, not a window: row_number().over(partitionBy
     // (query).orderBy(cos desc, id)) shuffles and sorts EVERY rescored
     // candidate row (queries × probed-list-size — the bulk of the ANN
@@ -257,7 +272,7 @@ object Similarity {
     val b = v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (VectorF.dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        nanDiv(VectorF.dotp(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -487,12 +502,12 @@ object Similarity {
   /** Cosine bounds for a joined candidate row carrying two quantized
     * payloads and both norms: ([[quantUpper]], [[quantLower]]) divided
     * by the norm product (norms ≥ 0, so division preserves both
-    * inequalities; a zero norm yields NaN bounds — such pairs pass the
-    * NaN-greatest filter and are excluded by [[topK]]'s NaN handling,
-    * exactly like their NaN exact cosine).
+    * inequalities; a zero norm yields NaN bounds via [[nanDiv]] — such
+    * pairs pass the NaN-greatest filter and are excluded by [[topK]]'s
+    * NaN handling, exactly like their NaN exact cosine).
     */
   private def cosBounds(qa: Column, qb: Column, na: Column, nb: Column): (Column, Column) =
-    (quantUpper(qa, qb) / (na * nb), quantLower(qa, qb) / (na * nb))
+    (nanDiv(quantUpper(qa, qb), na * nb), nanDiv(quantLower(qa, qb), na * nb))
 
   /** (id, tbl, sig) signature rows shared by [[cosineDups]]'s catalog
     * branch — one projection kernel pass, one explode.
@@ -608,6 +623,163 @@ object Similarity {
     spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("list", "centroid")
+
+  /** A fitted two-level (hierarchical) quantizer:
+    *   - `structure`: ONE row holding the nested
+    *     `__cells: array<struct<gcent, gcc, fines: array<struct<list,
+    *     centroid, cc>>>>` the membership kernel
+    *     ([[graft.functions.TwoLevelKernel]]) walks — broadcast onto
+    *     the corpus exactly like the single-level centroid array;
+    *   - `centroids`: the flat (list, centroid) frame (global fine list
+    *     numbering), for the SemDeDup keep-farthest re-pick and specs;
+    *   - `nCells` / `nFineLists`: the realized counts (cells that drew
+    *     no training rows are dropped; per-cell fine counts are sample-
+    *     share-proportional, so Σ fine ≈ requested nLists ± nCells).
+    */
+  private[graft] case class TwoLevelQuantizer(structure: DataFrame,
+                                              centroids: DataFrame,
+                                              nCells: Int, nFineLists: Int)
+
+  private val tlFineSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("list",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("cc",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  private val tlCellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("gcent",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("gcc",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("fines",
+      org.apache.spark.sql.types.ArrayType(tlFineSchema, containsNull = false),
+      nullable = false)))
+
+  /** Fit the two-level quantizer: G = ⌈√nLists⌉ coarse cells via the
+    * bounded-sample MLlib fit ([[fitQuantizer]] — a coarse quantizer
+    * needs balance, not convergence), then per-cell fine centroids via
+    * ONE distributed pass — the bounded training sample is coarse-
+    * assigned with the broadcast kernel (zero shuffle) and each cell's
+    * rows run a local deterministic Lloyd inside `flatMapGroups` (one
+    * bounded exchange, cells fit in parallel on executors; rows are
+    * sorted by value inside the group so the fit is independent of
+    * shuffle arrival order — TwoLevelSpec pins run-to-run determinism).
+    * Fine-list counts are allocated ∝ the cell's sample share, so the
+    * corpus-wide rows/list target is preserved cell by cell.
+    *
+    * Every term is √nLists-scale per row: the coarse fit touches
+    * ≤ 3000·G sampled rows, the sample's coarse assignment is G dots
+    * per row, and each cell's Lloyd is (cellRows · cellFines · dim ·
+    * iters) ≈ rows·√nLists·dim·5 summed over cells. Nothing is
+    * N·nLists — the single-level quadratic this replaces (see
+    * [[graft.functions.TwoLevelKernel]] for the measured law and the
+    * measured infeasibility of an exact pruned variant on this
+    * geometry).
+    *
+    * `v` is the prepped (persisted) vector frame; the training sample
+    * is unpersisted before returning (both fits are eager).
+    */
+  private[graft] def fitTwoLevelQuantizer(v: DataFrame, nLists: Int,
+                                          seed: Long): TwoLevelQuantizer = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    val spark = v.sparkSession
+    val g = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val n = v.count()
+    require(n > 0, "fitTwoLevelQuantizer: empty corpus")
+    // one bounded sample serves both levels: >= 3000·G rows for the
+    // coarse fit (the fitQuantizer budget) and ~192 rows per requested
+    // fine list for the per-cell fits (under the ~125 rows/list
+    // capacity rule that is the whole corpus — the fine fit's WORK is
+    // still √nLists per row; only tiny-nLists callers sample down)
+    val sampleTarget = math.max(3000L * g, 192L * nLists)
+    // degenerate vectors (NaN/±Inf components) carry no geometry and
+    // MLlib's KMeans rejects them — exclude them from the FIT only;
+    // at assignment time the membership kernel gives such rows the
+    // documented deterministic memberships ([[graft.functions
+    // .TwoLevelKernel]]), so they still flow through the pair paths
+    val finite = v.select(col("__v")).where(!exists(col("__v"),
+      x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+    val train = (if (n > sampleTarget)
+      finite.sample(withReplacement = false, sampleTarget.toDouble / n, seed)
+    else finite)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trainCnt = train.count()
+      require(trainCnt > 0,
+        "fitTwoLevelQuantizer: no finite training vectors (empty or all-degenerate corpus)")
+      val coarseModel = fitQuantizer(
+        train.select(array_to_vector(col("__v")).as("features")), g, seed)
+      val coarseCents = coarseModel.clusterCenters.map(_.toArray)
+      val coarseFrame = centroidFrame(spark, coarseModel)
+      // coarse-assign the sample with the broadcast single-level kernel
+      // (G centroids — this pass is the cheap level) and fit each
+      // cell's fines locally on its rows, in parallel
+      val centArr = coarseFrame.agg(
+        array_sort(collect_list(struct(col("list"), col("centroid"),
+          VectorF.dotp(col("centroid"), col("centroid")).as("cc")))).as("__cents"))
+      val assigned = train.crossJoin(broadcast(centArr))
+        .select(element_at(VectorF.nearestLists(col("__v"), col("__cents"), 1), 1)
+          .as("cell"), col("__v"))
+      import spark.implicits._
+      val fineRows: Array[(Int, Int, Array[Double])] = assigned
+        .as[(Int, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (cell: Int, it: Iterator[(Int, Array[Double])]) =>
+          val pts = it.map(_._2).toArray
+          TwoLevelFit.sortLex(pts)
+          val k = math.min(pts.length,
+            math.max(1, math.round(pts.length.toDouble / trainCnt * nLists).toInt))
+          val cents = TwoLevelFit.localLloyd(pts, k, iters = 5,
+            seed = seed ^ (cell.toLong * 0x9E3779B97F4A7C15L))
+          cents.iterator.zipWithIndex.map { case (c, i) => (cell, i, c) }
+        }
+        .collect()
+      // global fine-list numbering: (cell, within-cell index) ascending
+      val byCell = fineRows.groupBy(_._1).toSeq.sortBy(_._1)
+      var nextList = 0
+      val cellRows = byCell.map { case (cell, rows) =>
+        val gcent = coarseCents(cell)
+        val fines = rows.sortBy(_._2).map { case (_, _, cen) =>
+          val r = org.apache.spark.sql.Row(nextList, cen.toSeq, TwoLevelFit.dotLR(cen, cen))
+          nextList += 1
+          r
+        }
+        org.apache.spark.sql.Row(gcent.toSeq, TwoLevelFit.dotLR(gcent, gcent),
+          fines.toSeq)
+      }
+      val structure = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(cellRows)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cells",
+            org.apache.spark.sql.types.ArrayType(tlCellSchema, containsNull = false),
+            nullable = false))))
+      var li = -1
+      val flat = byCell.flatMap { case (_, rows) =>
+        rows.sortBy(_._2).map { case (_, _, cen) => li += 1; (li, cen.toSeq) }
+      }
+      val centroids = spark.createDataFrame(flat).toDF("list", "centroid")
+      TwoLevelQuantizer(structure, centroids, byCell.size, nextList)
+    } finally train.unpersist(blocking = false)
+  }
+
+  /** Two-level membership projection: each row of `v` (prepped; `extra`
+    * columns ride along) gets `lists` = its fine-list memberships from
+    * ONE broadcast-kernel pass ([[graft.functions.TwoLevelKernel]] —
+    * (G + cProbe·√nLists)·dim work per row, zero shuffle; the same
+    * 1-row broadcast-cross shape as [[nearestLists]]).
+    */
+  private[graft] def twoLevelMemberships(v: DataFrame, idCol: String,
+                                         structure: DataFrame, cProbe: Int,
+                                         extra: Seq[String] = Nil): DataFrame =
+    v.select((col(idCol) +: extra.map(col) :+ col("__v")): _*)
+      .crossJoin(broadcast(structure))
+      .select(col(idCol) +: extra.map(col) :+
+        VectorF.twoLevelMemberships(col("__v"), col("__cells"), cProbe).as("lists"): _*)
 
   /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (the inverted
@@ -807,4 +979,114 @@ object Similarity {
     lshTopK(vecs, idCol, vecCol, k,
       planes = Capacity.lshPlanes(corpusRows), tables = tables,
       maxBucket = maxBucket)
+}
+
+/** Executor-side helpers for the two-level quantizer's per-cell fine
+  * fit ([[Similarity.fitTwoLevelQuantizer]]'s `flatMapGroups`) — a
+  * dedicated Serializable object so the closure never drags the
+  * enclosing module graph into the task serializer.
+  */
+private[sim] object TwoLevelFit extends Serializable {
+
+  /** Total-order lexicographic sort of the cell's rows by VALUE
+    * (java.lang.Double.compare — NaN ordered), so the fit is
+    * deterministic regardless of shuffle arrival order without needing
+    * an id column; equal vectors are interchangeable for Lloyd (the
+    * init picks indices, and swapping equal values changes nothing).
+    */
+  def sortLex(pts: Array[Array[Double]]): Unit =
+    java.util.Arrays.sort(pts, new java.util.Comparator[Array[Double]] {
+      override def compare(a: Array[Double], b: Array[Double]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Double.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a.length, b.length)
+      }
+    })
+
+  /** Plain seeded Lloyd on a local point set: Fisher-Yates index init,
+    * `iters` assign/mean rounds (assignment ties → smaller centroid
+    * index; empty clusters keep their previous centroid), means
+    * accumulated in input order — fully deterministic for a fixed
+    * (sorted) input and seed. A coarse-structure fit needs balance,
+    * not convergence (the [[Similarity.fitQuantizer]] argument), and
+    * per-cell point sets are sample-bounded, so this runs in
+    * milliseconds per cell. Requires 1 ≤ k ≤ pts.length.
+    */
+  def localLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                 seed: Long): Array[Array[Double]] = {
+    val n = pts.length
+    require(k >= 1 && k <= n, s"localLloyd: k=$k n=$n")
+    val dim = pts(0).length
+    val rnd = new java.util.Random(seed)
+    val idx = Array.tabulate(n)(identity)
+    var i = 0
+    while (i < k) {
+      val j = i + rnd.nextInt(n - i)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      i += 1
+    }
+    val cents = Array.tabulate(k)(c => pts(idx(c)).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < n) {
+        val pt = pts(p)
+        var best = Double.PositiveInfinity
+        var bi = 0
+        var c = 0
+        while (c < k) {
+          val ce = cents(c)
+          var d = 0.0
+          var m = 0
+          while (m < dim) { val df = pt(m) - ce(m); d += df * df; m += 1 }
+          if (d < best) { best = d; bi = c }
+          c += 1
+        }
+        assign(p) = bi
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Int](k)
+      var p2 = 0
+      while (p2 < n) {
+        val s = sums(assign(p2))
+        val pt = pts(p2)
+        var m = 0
+        while (m < dim) { s(m) += pt(m); m += 1 }
+        cnt(assign(p2)) += 1
+        p2 += 1
+      }
+      var c2 = 0
+      while (c2 < k) {
+        if (cnt(c2) > 0) {
+          val s = sums(c2)
+          var m = 0
+          while (m < dim) { s(m) /= cnt(c2); m += 1 }
+          cents(c2) = s
+        }
+        c2 += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Left-to-right double dot of an array with itself — the same
+    * accumulation order as [[graft.functions.DotProduct]], so the cc
+    * values the kernel reads match what a Spark-side dotp would
+    * produce on the same doubles.
+    */
+  def dotLR(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 }
