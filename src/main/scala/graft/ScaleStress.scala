@@ -59,11 +59,16 @@ object ScaleStress {
       // the rescore shape whose spill payload the float32 fix halved,
       // and round 11 left it with no stress row of its own (the
       // t_embdup watch item named it explicitly)
-      "t_semdedup")
+      "t_semdedup",
+      // round 13: the two-level (hierarchical) scope that replaces the
+      // flat op's N·nLists assignment quadratic — t_semdedup's row
+      // stays as the measured boundary of the flat op, this row is the
+      // configuration a corpus past Capacity.TwoLevelListsCutoff runs
+      "t_semdedup2")
 
   /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
-    * the catalog query; five ops override (s_ivf2, s_lsh, t_simhash,
-    * t_embdup, e_annstream) because their catalog
+    * the catalog query; the ANN/near-dup ops override (s_ivf2, s_lsh,
+    * t_simhash, t_embdup, e_annstream, t_semdedup2) because their catalog
     * configurations hold a capacity parameter FIXED that corpus-scale
     * practice grows with the data — at fixed capacity their candidate
     * work is ~N²/capacity, quadratic by construction (each was measured
@@ -110,10 +115,20 @@ object ScaleStress {
           planes = graft.sim.Capacity.lshPlanes(copies * graft.sim.Capacity.RefEmbeddingRows, basePlanes = 8),
           tables = 8, maxBucket = 10000)
       case "e_annstream" => (s, dir, copies) =>
+        // round 13: the THRESHOLDED op (threshold = Some(0.9), matching
+        // t_embdup/t_semdedup's stress threshold) at every scale
+        // including the base, so the ratio stays apples-to-apples (the
+        // t_simhash precedent). What a corpus actually runs is the
+        // near-dup question "is this ≥ t of anything recent", and the
+        // thresholded loop is where the int8 in-state prefilter lives —
+        // the unthresholded op's ×729 slope was its full-f64 dot volume
+        // plus the candidate-volume output. NOT comparable row-to-row
+        // with pre-round-13 committed e_annstream decades (those
+        // measured the unthresholded op; disclosed in the README table).
         graft.streaming.AnnStream.cosineCandidates(Tables.embeddings(s, dir),
             "vec_id", "embedding",
             planes = graft.sim.Capacity.lshPlanes(copies * graft.sim.Capacity.RefEmbeddingRows),
-            tables = 4, maxBucketSize = 100000)
+            tables = 4, maxBucketSize = 100000, threshold = Some(0.9))
           .toDF().distinct()
       case "t_semdedup" => (s, dir, copies) =>
         // clustered semantic dedup's pair generation at the standard
@@ -124,6 +139,20 @@ object ScaleStress {
           "vec_id", "embedding", threshold = 0.9,
           nLists = graft.sim.Capacity.ivfNLists(copies * graft.sim.Capacity.RefEmbeddingRows),
           maxList = 10000)
+      case "t_semdedup2" => (s, dir, copies) =>
+        // the two-level scope at the occupancy-preserving chooser rule
+        // (Capacity.twoLevelNLists: cProbe× the lists at ~1/cProbe the
+        // size — per-list pair volume matches t_semdedup's). Same op at
+        // every scale, so the ratio is apples-to-apples (the t_simhash
+        // precedent); its scope differs from t_semdedup's BY DESIGN
+        // (versioned API — see Semantic.semanticDupsTwoLevel's recall
+        // contract), so the two rows are complementary, not comparable
+        // row-to-row
+        graft.sim.Semantic.semanticDupsTwoLevel(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.9,
+          nLists = graft.sim.Capacity.twoLevelNLists(
+            copies * graft.sim.Capacity.RefEmbeddingRows, cProbe = 2),
+          cProbe = 2, maxList = 10000)
       case other => (s, dir, _) => SparkEntry.queries(other)(s, dir)
     }
 

@@ -260,4 +260,43 @@ class QuantPrefilterSpec extends graft.SparkSpec {
     assert(small.contains("BroadcastHashJoin") && small.contains("graft_dot("),
       small.take(3000))
   }
+
+  test("scalar quant twins equal the Catalyst expressions (the streaming prefilter's single-definition guarantee)") {
+    // the thresholded AnnStream state loop runs QuantKernel
+    // .quantizeDoubles / .upperBound per stored doc; both must be
+    // value-identical to the batch expressions (QuantizeI8 / quantUpper)
+    // on the adversarial set or the stream's bound semantics drift
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[Array[Double]] =
+      Seq(Array.fill(16)(rnd.nextGaussian()), Array.fill(16)(0.0),
+        Array.tabulate(16)(i => if (i == 3) 1e30 else 1e-30),
+        Array.fill(16)(-2.5), Array.tabulate(16)(i => math.sin(i * 0.7))) ++
+        (0 until 20).map(_ => Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val df = shapes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+      .withColumn("q", VectorF.quantI8(col("v")))
+    val cols = df.select(col("id"), col("q.q"), col("q.s"), col("q.l1"))
+      .as[(Long, Array[Byte], Double, Double)].collect()
+      .map(r => r._1 -> (r._2.toSeq, r._3, r._4)).toMap
+    shapes.zipWithIndex.foreach { case (v, i) =>
+      val (q, s, l1) = graft.functions.QuantKernel.quantizeDoubles(v)
+      val (ce, cs, cl1) = cols(i.toLong)
+      assert(q.toSeq == ce && (s == cs || (s.isNaN && cs.isNaN)) &&
+        (l1 == cl1 || (l1.isNaN && cl1.isNaN)), s"row $i: ($s,$l1) vs ($cs,$cl1)")
+    }
+    val a = df.select(col("id").as("ia"), col("q").as("qa"))
+    val b = df.select(col("id").as("ib"), col("q").as("qb"))
+    val ub = a.crossJoin(b).where(col("ia") <= col("ib"))
+      .select(col("ia"), col("ib"),
+        Similarity.quantUpper(col("qa"), col("qb")).as("ub"))
+      .as[(Long, Long, Double)].collect()
+    assert(ub.length == shapes.length * (shapes.length + 1) / 2)
+    ub.foreach { case (ia, ib, colUb) =>
+      val (qa, sa, l1a) = graft.functions.QuantKernel.quantizeDoubles(shapes(ia.toInt))
+      val (qb, sb, l1b) = graft.functions.QuantKernel.quantizeDoubles(shapes(ib.toInt))
+      val scalUb = graft.functions.QuantKernel.upperBound(qa, sa, l1a, qb, sb, l1b)
+      assert(scalUb == colUb || (scalUb.isNaN && colUb.isNaN),
+        s"($ia,$ib): scalar $scalUb vs column $colUb")
+    }
+  }
 }
