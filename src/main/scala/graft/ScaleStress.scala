@@ -85,8 +85,12 @@ object ScaleStress {
     *    vs linear 81); base and scaled run the same op so the ratio is
     *    apples-to-apples. The 64-bit catalog op stays oracle-checked at
     *    catalog scale.
-    * All three overrides degenerate to the catalog configuration at
-    * copies = 1 except t_simhash's width (disclosed above).
+    * The overrides degenerate to the catalog configuration at copies = 1
+    * except: t_simhash's width (disclosed above), e_annstream's
+    * threshold (the round-13 thresholded op at every scale — comment at
+    * its case), and t_semdedup2 (a round-13 stress-only row for the
+    * two-level scope; no catalog twin by design — the catalog stays
+    * frozen at 88).
     */
   private def stressFn(q: String): (SparkSession, String, Int) => org.apache.spark.sql.DataFrame =
     q match {

@@ -426,6 +426,95 @@ object TwoLevelKernel {
     val trimmed = if (oi == out.length) out else java.util.Arrays.copyOf(out, oi)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(trimmed)
   }
+
+  /** Top-k variant for the ANN side ([[graft.sim.Similarity.ivfTopKTwoLevel]]):
+    * the `fineK` (d, list)-lexicographically nearest fine lists over the
+    * UNION of the `cProbe` nearest cells' fines (vs [[memberships]]'
+    * nearest-fine-PER-cell, the dedup scope) — nearest first, so the
+    * FIRST element is the vector's assignment (the closest fine list it
+    * can see) and the whole array is its probe set, one kernel pass
+    * serving both roles (the ivfTopKFixed `lists` shape). Same
+    * arithmetic, tie, and degenerate semantics as [[memberships]]; the
+    * top-k insertion is the [[NearestKernel]] discipline with an
+    * explicit (d, list) tie-break, so the result is scan-order
+    * independent for finite inputs.
+    */
+  def probeLists(vec: ArrayData, cells: ArrayData, cProbe: Int, fineK: Int): ArrayData = {
+    val dim = vec.numElements()
+    val nG = cells.numElements()
+    val cp = math.min(cProbe, nG)
+    var vv = 0.0
+    var j = 0
+    while (j < dim) { val x = vec.getDouble(j); vv += x * x; j += 1 }
+    val bd = new Array[Double](cp)
+    val bi = new Array[Int](cp)
+    var filled = 0
+    var gi = 0
+    while (gi < nG) {
+      val cell = cells.getStruct(gi, 3)
+      val gc = cell.getArray(0)
+      if (gc.numElements() == dim) {
+        var dot = 0.0
+        var m = 0
+        while (m < dim) { dot += vec.getDouble(m) * gc.getDouble(m); m += 1 }
+        val dist = vv + cell.getDouble(1) - 2.0 * dot
+        if (filled < cp) {
+          var pos = filled
+          while (pos > 0 && dist < bd(pos - 1)) pos -= 1
+          var s = filled
+          while (s > pos) { bd(s) = bd(s - 1); bi(s) = bi(s - 1); s -= 1 }
+          bd(pos) = dist; bi(pos) = gi; filled += 1
+        } else if (cp > 0 && dist < bd(cp - 1)) {
+          var pos = cp - 1
+          while (pos > 0 && dist < bd(pos - 1)) pos -= 1
+          var s = cp - 1
+          while (s > pos) { bd(s) = bd(s - 1); bi(s) = bi(s - 1); s -= 1 }
+          bd(pos) = dist; bi(pos) = gi
+        }
+      }
+      gi += 1
+    }
+    // lexicographic (d, list) top-fineK over the selected cells' fines
+    val fd = new Array[Double](fineK)
+    val fl = new Array[Int](fineK)
+    var ffill = 0
+    def less(d1: Double, l1: Int, d2: Double, l2: Int): Boolean =
+      d1 < d2 || (d1 == d2 && l1 < l2)
+    var s = 0
+    while (s < filled) {
+      val fines = cells.getStruct(bi(s), 3).getArray(2)
+      val nF = fines.numElements()
+      var fi = 0
+      while (fi < nF) {
+        val f = fines.getStruct(fi, 3)
+        val cen = f.getArray(1)
+        if (cen.numElements() == dim) {
+          var dot = 0.0
+          var m = 0
+          while (m < dim) { dot += vec.getDouble(m) * cen.getDouble(m); m += 1 }
+          val dist = vv + f.getDouble(2) - 2.0 * dot
+          val li = f.getInt(0)
+          if (ffill < fineK) {
+            var pos = ffill
+            while (pos > 0 && less(dist, li, fd(pos - 1), fl(pos - 1))) pos -= 1
+            var t = ffill
+            while (t > pos) { fd(t) = fd(t - 1); fl(t) = fl(t - 1); t -= 1 }
+            fd(pos) = dist; fl(pos) = li; ffill += 1
+          } else if (fineK > 0 && less(dist, li, fd(fineK - 1), fl(fineK - 1))) {
+            var pos = fineK - 1
+            while (pos > 0 && less(dist, li, fd(pos - 1), fl(pos - 1))) pos -= 1
+            var t = fineK - 1
+            while (t > pos) { fd(t) = fd(t - 1); fl(t) = fl(t - 1); t -= 1 }
+            fd(pos) = dist; fl(pos) = li
+          }
+        }
+        fi += 1
+      }
+      s += 1
+    }
+    val out = if (ffill == fineK) fl else java.util.Arrays.copyOf(fl, ffill)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** [[TwoLevelKernel.memberships]] as a codegen'd expression:
@@ -445,6 +534,29 @@ case class TwoLevelMembershipsExpr(left: Expression, right: Expression, cProbe: 
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TwoLevelMembershipsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[TwoLevelKernel.probeLists]] as a codegen'd expression — the ANN
+  * probe set (top-fineK fines over the cProbe nearest cells' union),
+  * nearest first.
+  */
+case class TwoLevelProbesExpr(left: Expression, right: Expression,
+                              cProbe: Int, fineK: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_twolevel_probes"
+
+  override def nullSafeEval(vec: Any, cells: Any): Any =
+    TwoLevelKernel.probeLists(vec.asInstanceOf[ArrayData], cells.asInstanceOf[ArrayData],
+      cProbe, fineK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TwoLevelKernel.probeLists($a, $b, $cProbe, $fineK)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TwoLevelProbesExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -679,4 +791,11 @@ object VectorF {
     */
   def twoLevelMemberships(vec: Column, cells: Column, cProbe: Int): Column =
     toCol(TwoLevelMembershipsExpr(toExpr(vec), toExpr(cells), cProbe))
+
+  /** Codegen'd two-level ANN probes: top-fineK fine lists over the
+    * cProbe nearest cells' union, nearest first (see
+    * [[TwoLevelKernel.probeLists]]).
+    */
+  def twoLevelProbes(vec: Column, cells: Column, cProbe: Int, fineK: Int): Column =
+    toCol(TwoLevelProbesExpr(toExpr(vec), toExpr(cells), cProbe, fineK))
 }

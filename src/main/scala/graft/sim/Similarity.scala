@@ -853,6 +853,94 @@ object Similarity {
     ivfTopK(vecs, idCol, vecCol, k,
       nLists = Capacity.ivfNLists(corpusRows), nProbe = nProbe, seed = seed)
 
+  /** [[ivfTopK]]'s TWO-LEVEL sibling — the versioned-scope fix for the
+    * flat quantizer's N·nLists assignment arithmetic (~34 s of s_ivf2's
+    * 122.8 s at the ×729 stress decade; the full argument and the
+    * measured infeasibility of an exact pruned assignment live on
+    * [[graft.functions.TwoLevelKernel]] / [[Semantic.semanticDupsTwoLevel]]):
+    * a hierarchical quantizer ([[fitTwoLevelQuantizer]]) gives every
+    * row, in ONE kernel pass, its nProbe (d, list)-lexicographically
+    * nearest fine lists over the UNION of its (nProbe + 2) nearest
+    * cells' fines ([[graft.functions.TwoLevelKernel.probeLists]] — the
+    * +2 cell slack buys union quality at √nLists cost): the array's
+    * FIRST element is the row's assignment and the whole array its
+    * probe set — the [[ivfTopKFixed]] `lists` shape. Candidates are
+    * unique by construction (one list per neighbor, probed lists
+    * distinct), exact cosine rescoring on candidates only; the big
+    * regime rides the int8 bounds + [[topKViaBounds]] bar exactly like
+    * [[ivfTopK]]. Deterministic for a fixed seed. Recall differs from
+    * the flat op's (both assignment and probing see only the nearby
+    * cells' fines) — TwoLevelSpec pins the measured contract RELATIVE
+    * to the flat op on the same seeded isotropic-worst-case corpus:
+    * mean recall@5 = 0.693 vs the flat op's 0.703 at the catalog shape
+    * (nLists 16, nProbe 4, 1700 rows) — within one point, at
+    * (1+cProbe)·√nLists assignment work instead of N·nLists. (A first
+    * design probing the nearest fine PER cell measured 0.552 — the
+    * union top-k composition is what closes the gap; the dedup scope
+    * keeps per-cell-nearest because its measured PAIR recall there is
+    * 0.969, better than flat.)
+    */
+  def ivfTopKTwoLevel(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                      nLists: Int = 16, nProbe: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cProbe = nProbe + 2
+    val v = prepped(vecs, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tl = fitTwoLevelQuantizer(v, nLists, seed)
+    def probeFrame(vIn: DataFrame, extra: Seq[String]): DataFrame =
+      vIn.select((col(idCol) +: extra.map(col) :+ col("__v")): _*)
+        .crossJoin(broadcast(tl.structure))
+        .select(col(idCol) +: extra.map(col) :+
+          VectorF.twoLevelProbes(col("__v"), col("__cells"), cProbe, nProbe).as("lists"): _*)
+    if (!vectorSideTooBig(v)) {
+      val near = probeFrame(v, Nil)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = near.select(col(idCol).as("neighbor_id"),
+        element_at(col("lists"), 1).as("list"))
+      val probes = near.select(col(idCol).as("query_id"),
+        explode(col("lists")).as("list"))
+      val cands = probes.join(assigned, "list")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      rescoreTopK(cands, v, idCol, k)
+    } else {
+      // big regime: the ivfTopKFixed shape — int8 payload rides the
+      // persisted probe frame, bounds compute inside the probe join,
+      // bar-clearing survivors only reach the exact f32 rescore
+      val vq = v.withColumn("__q", VectorF.quantI8(col("__v")))
+      val near = probeFrame(vq, Seq("__q", "__n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assignedQ = near.select(col(idCol).as("neighbor_id"),
+        element_at(col("lists"), 1).as("list"),
+        col("__q").as("qb"), col("__n").as("nb"))
+      val probesQ = near.select(col(idCol).as("query_id"),
+        col("__q").as("qa"), col("__n").as("na"),
+        explode(col("lists")).as("list"))
+      val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
+      val bounds = probesQ.join(hashHinted(assignedQ, big = true), "list")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
+      topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
+    }
+  }
+
+  /** [[ivfTopKTwoLevel]] with the list count from the FLAT capacity
+    * rule ([[Capacity.ivfNLists]], ~125 rows/list — NOT the dedup
+    * family's occupancy-halving [[Capacity.twoLevelNLists]]: top-k
+    * probe-verify work is candidates-per-query = nProbe·rowsPerList
+    * regardless of how lists are selected, so the flat rule's list
+    * geometry is the right one; only the assignment/probing MECHANISM
+    * changes, N·nLists → (1+nProbe)·√nLists per row). `corpusRows` is
+    * an explicit caller estimate — no hidden `count()`.
+    */
+  def ivfTopKTwoLevelAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                          k: Int, corpusRows: Long, nProbe: Int = 4,
+                          seed: Long = 42L): DataFrame =
+    ivfTopKTwoLevel(vecs, idCol, vecCol, k,
+      nLists = Capacity.ivfNLists(corpusRows),
+      nProbe = nProbe, seed = seed)
+
   /** IVF with a FIXED deterministic coarse quantizer: the centroids are
     * the `nLists` lowest-id vectors (no k-means fit — pure relational
     * plan), assignment is argmin L2 over the broadcast centroids (ties →

@@ -95,6 +95,28 @@ object ProfileTwoLevelAssign {
           threshold = threshold, nLists = nTwo, cProbe = 2, maxList = 10000)))
     ).filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // SPARK_GRAFT_TL_OVERLAP=1: instead of timing, count the PAIR-SET
+    // overlap of the two scopes at the given threshold — the at-scale
+    // recall disclosure (what fraction of the flat scope's pairs the
+    // two-level scope reproduces, and vice versa). Not a timing mode.
+    if (sys.env.get("SPARK_GRAFT_TL_OVERLAP").contains("1")) {
+      val (fp, fRel) = Semantic.semanticDupsWithRelease(vecs, "vec_id", "embedding",
+        threshold = threshold, nLists = nFlat, maxList = 10000)
+      val (tp, tRel) = Semantic.semanticDupsTwoLevelWithRelease(vecs, "vec_id", "embedding",
+        threshold = threshold, nLists = nTwo, cProbe = 2, maxList = 10000)
+      val f = fp.select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t2 = tp.select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nF = f.count(); val nT = t2.count()
+      val both = f.join(t2, Seq("id_a", "id_b")).count()
+      println(f"TLOVERLAP t=$threshold flat=$nF two=$nT both=$both " +
+        f"two-covers-flat=${both.toDouble / nF}%.4f flat-covers-two=${both.toDouble / nT}%.4f")
+      fRel(); tRel(); f.unpersist(); t2.unpersist()
+      spark.stop()
+      return
+    }
+
     case class Rep(st: Double, wall: Double, rows: Long)
     val results = collection.mutable.Map.empty[String, Vector[Rep]].withDefaultValue(Vector())
     (1 to reps).foreach { r =>
