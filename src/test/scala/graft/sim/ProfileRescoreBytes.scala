@@ -49,6 +49,16 @@ import graft.functions.VectorF
   * exact-f32 rescore is pair-for-pair the f32 arm by construction,
   * and no f64/f32 pair straddled the 0.4 boundary at this scale.
   *
+  * ROUND-13: re-run on the SIGN-FLIPPED ×243 corpus (exact-isometry
+  * sign flips kill cross-copy byte redundancy): pre 0.497 GB /
+  * f32 50.328 GB — identical to the unflipped 0.50/50.30, refuting the
+  * permuted-copy compressibility caveat (the compression is the
+  * candidate stream's repeated per-neighbor payloads — generic to any
+  * corpus; full resolution note on ProfileTopKBytes). The f64 replica
+  * arm exhausted that session's remaining free disk (54 GB with two
+  * ×243 corpora on disk vs its 72.33 GB on-record write) — consistent
+  * with the flip not shrinking its bytes; its unflipped reading stands.
+  *
   * Usage: SPARK_GRAFT_SCALED_DIR=/tmp/graft_sf24 \
   *   sbt "Test/runMain graft.sim.ProfileRescoreBytes"
   *

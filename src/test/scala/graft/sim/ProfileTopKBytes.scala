@@ -36,6 +36,19 @@ import graft.functions.VectorF
   * the fifth decade: the f32 arm's first ×729 warm-up EXHAUSTED one
   * node's disk, the production arm reads 122.8 s ratio 108.6 (README).
   *
+  * ROUND-13 RESOLUTION of the caveat above: re-run on the SIGN-FLIPPED
+  * ×243 corpus (SPARK_GRAFT_STRESS_SIGNFLIP=1 — per-copy random sign
+  * flips are an exact FP isometry that destroys cross-copy byte
+  * redundancy): pre 6.515 GB / f32 10.615 GB — IDENTICAL to the
+  * unflipped 6.51/10.61. The ~6:1 compression is therefore NOT a
+  * permuted-copy artifact: it is the candidate stream repeating each
+  * neighbor's ~256 B payload ~listSize times (identical rows adjacent
+  * after the second rescore join's hash exchange) — generic to ANY
+  * corpus, real embeddings included. The structural claim is
+  * unchanged: the payload is candidate-VOLUME (raw bytes, spill
+  * pressure, and the ×729 disk death are the facts), the prefilter's
+  * is corpus-proportional.
+  *
   * Usage: SPARK_GRAFT_SCALED_DIR=/tmp/graft_sf24 SPARK_GRAFT_COPIES=243 \
   *   sbt "Test/runMain graft.sim.ProfileTopKBytes"
   */
