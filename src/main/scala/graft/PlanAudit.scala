@@ -30,7 +30,9 @@ object PlanAudit {
     "g_info__distributed" -> "crossJoins of 1-row summary aggregates (edge count, component count)",
     "g_community" -> "crossJoins of 1-row modularity/coverage aggregates",
     "a10_kpp__bydate" -> "rel-window expansion: events × 13-row broadcast range cross",
-    "t_semdedup__full" -> "crossJoin of the 1-row broadcast centroid-array frame: per-row quantizer assignment (the s_ivf2 shape)"
+    "t_semdedup__full" -> "crossJoin of the 1-row broadcast centroid-array frame: per-row quantizer assignment (the s_ivf2 shape)",
+    "t_semdedup2__full" -> "crossJoins of 1-row broadcast frames: the two-level cell structure (membership kernel) and the coarse centroid array inside the fit's sample assignment — the same s_ivf2 shape at √nLists width",
+    "s_ivf2l__full" -> "crossJoins of 1-row broadcast frames: the two-level cell structure (probe kernel) and the fit-internal coarse assignment"
   )
 
   /** Audit-only frames for plan shapes the catalog queries hide from the
@@ -83,6 +85,20 @@ object PlanAudit {
       val raw = graft.text.NgramLm.fit(docs, "text")
       graft.text.NgramLm.dsirSelect(docs, "doc_id", "text", target, raw, 100)
     }),
+    // round 13: the two-level (hierarchical) scope twins — audit the
+    // membership/probe pair generation (one broadcast-structure kernel
+    // pass, candidate equi-join, rescore joins); the quantizer FIT runs
+    // at frame construction (bounded sample + per-cell local Lloyd, the
+    // t_dsir__full pattern), so the audited plan is the corpus-pass
+    // remainder
+    "t_semdedup2__full" -> ((s: SparkSession, dir: String) =>
+      graft.sim.Semantic.semanticDupsTwoLevel(
+        graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
+        0.9, nLists = 8, cProbe = 2)),
+    "s_ivf2l__full" -> ((s: SparkSession, dir: String) =>
+      graft.sim.Similarity.ivfTopKTwoLevel(
+        graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4)),
     // the full training-prep sequence (round-12 verdict #2): clean →
     // chunk → per-chunk recount → pack. The chunk/recount stages fuse
     // over the pipeline's persisted survivors (no corpus re-scan —
@@ -188,7 +204,12 @@ object PlanAudit {
     md ++= "per-chunk token recount → pack): chunking + recount fuse over the\n"
     md ++= "pipeline's persisted survivors, so its row must read exactly like\n"
     md ++= "t_pipeline__full plus ONE shuffle (packing's deterministic hash\n"
-    md ++= "exchange) and NO extra corpus scan.\n\n"
+    md ++= "exchange) and NO extra corpus scan.\n"
+    md ++= "t_semdedup2__full / s_ivf2l__full (round 13) audit the TWO-LEVEL\n"
+    md ++= "scope twins: one broadcast-structure kernel pass (membership/probe),\n"
+    md ++= "the candidate equi-join, and the rescore joins — the quantizer fit\n"
+    md ++= "(bounded sample + per-cell local Lloyd) runs at frame construction\n"
+    md ++= "(the t_dsir__full pattern), so nothing N·nLists appears in any plan.\n\n"
     md ++= "Allowlisted: " + allowlist.map { case (k, v) => s"`$k` ($v)" }.mkString("; ") + "\n\n"
     md ++= "| query | BHJ | SMJ | SHJ | BNLJ | cart | shuffle | bcast | scans | pushed | cached | flag |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
