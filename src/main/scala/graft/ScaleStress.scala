@@ -64,7 +64,10 @@ object ScaleStress {
       // flat op's N·nLists assignment quadratic — t_semdedup's row
       // stays as the measured boundary of the flat op, this row is the
       // configuration a corpus past Capacity.TwoLevelListsCutoff runs
-      "t_semdedup2")
+      "t_semdedup2",
+      // and its ANN top-k sibling (s_ivf2's row keeps the flat op +
+      // its documented assignment term; this is the past-cutoff path)
+      "s_ivf2l")
 
   /** Per-query stress runner: (spark, dir, copies) => plan. Defaults to
     * the catalog query; the ANN/near-dup ops override (s_ivf2, s_lsh,
@@ -143,6 +146,13 @@ object ScaleStress {
           "vec_id", "embedding", threshold = 0.9,
           nLists = graft.sim.Capacity.ivfNLists(copies * graft.sim.Capacity.RefEmbeddingRows),
           maxList = 10000)
+      case "s_ivf2l" => (s, dir, copies) =>
+        // the two-level ANN top-k at the FLAT list rule (see
+        // ivfTopKTwoLevelAuto's scaladoc for why top-k keeps 125/list)
+        graft.sim.Similarity.ivfTopKTwoLevel(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5,
+          nLists = graft.sim.Capacity.ivfNLists(copies * graft.sim.Capacity.RefEmbeddingRows),
+          nProbe = 4)
       case "t_semdedup2" => (s, dir, copies) =>
         // the two-level scope at the occupancy-preserving chooser rule
         // (Capacity.twoLevelNLists: cProbe× the lists at ~1/cProbe the
@@ -193,7 +203,19 @@ object ScaleStress {
     // measurement that retires that caveat. Tag suffix keeps flipped
     // and unflipped caches apart.
     val signFlip = sys.env.get("SPARK_GRAFT_STRESS_SIGNFLIP").contains("1")
-    val genTag = s"${if (copies > 405) "v4" else "v3"}${if (signFlip) "s" else ""}-copies$copies"
+    // SPARK_GRAFT_STRESS_EMBONLY=1 (round 13): generate ONLY the
+    // embeddings table — the sixth decade (×2187) outgrows the text
+    // bijection's period (1215), but the embedding-family queries
+    // (t_semdedup2, e_annstream, t_embdup, s_lsh, s_ivf2) need nothing
+    // else, and signFlip extends the embedding isometry family past the
+    // affine period (2048). The caller must restrict
+    // SPARK_GRAFT_STRESS_ONLY to embedding queries and skip the pair
+    // gate; non-embedding queries fail on the missing tables by design.
+    val embOnly = sys.env.get("SPARK_GRAFT_STRESS_EMBONLY").contains("1")
+    require(!embOnly || signFlip || copies <= 2048,
+      "embeddings-only generation past the affine period needs SPARK_GRAFT_STRESS_SIGNFLIP=1")
+    val genTag = s"${if (copies > 405) "v4" else "v3"}${if (signFlip) "s" else ""}" +
+      s"${if (embOnly) "e" else ""}-copies$copies"
     val marker = new java.io.File(s"$outDir/_GEN")
     val cached = marker.isFile &&
       scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim).toOption
@@ -201,7 +223,7 @@ object ScaleStress {
     if (!cached) {
       System.err.println(s"[stress] generating ${copies}x of $baseDir -> $outDir" +
         (if (signFlip) " (sign-flipped embeddings)" else ""))
-      generate(spark, baseDir, outDir, copies, signFlip)
+      generate(spark, baseDir, outDir, copies, signFlip, embOnly)
       val w = new java.io.PrintWriter(marker)
       try w.println(genTag) finally w.close()
     } else System.err.println(s"[stress] reusing $outDir ($genTag)")
@@ -422,7 +444,8 @@ object ScaleStress {
   }
 
   private def generate(spark: SparkSession, baseDir: String, outDir: String,
-                       copies: Int, signFlip: Boolean = false): Unit = {
+                       copies: Int, signFlip: Boolean = false,
+                       embOnly: Boolean = false): Unit = {
     // THREE disjoint alphabets (9, 9, 5 letters), rotated independently
     // (set 1 by c mod 9, set 2 by c/9 mod 9, set 3 by c/81 mod 5), give
     // the per-copy bijection period 9·9·5 = 405: the original single
@@ -448,8 +471,10 @@ object ScaleStress {
     require((rot1 ++ rot2 ++ rot3 ++ rot4).distinct.length ==
       rot1.length + rot2.length + rot3.length + rot4.length,
       "rotation alphabets must be disjoint")
-    require(copies <= rot1.length * rot2.length * rot3.length * rot4.length,
-      s"per-copy bijection period is ${rot1.length * rot2.length * rot3.length * rot4.length}; got copies=$copies")
+    require(embOnly ||
+      copies <= rot1.length * rot2.length * rot3.length * rot4.length,
+      s"per-copy bijection period is ${rot1.length * rot2.length * rot3.length * rot4.length}; got copies=$copies" +
+        " — past it only the embeddings-only mode is defined (SPARK_GRAFT_STRESS_EMBONLY=1)")
     def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
     def scrambled(c: Int) =
       if (c == 0) col("text")
@@ -459,14 +484,16 @@ object ScaleStress {
         rot3, rotated(rot3, (c / (rot1.length * rot2.length)) % rot3.length)),
         rot4, rotated(rot4, (c / (rot1.length * rot2.length * rot3.length)) % rot4.length))
 
-    val docs = Tables.documents(spark, baseDir)
-    (0 until copies).map { c =>
-      docs.select(
-        (col("doc_id") + c * 1000000L).as("doc_id"),
-        scrambled(c).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (!embOnly) {
+      val docs = Tables.documents(spark, baseDir)
+      (0 until copies).map { c =>
+        docs.select(
+          (col("doc_id") + c * 1000000L).as("doc_id"),
+          scrambled(c).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
     val emb = Tables.embeddings(spark, baseDir)
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
@@ -485,8 +512,16 @@ object ScaleStress {
     // silently breaking the isometry). Guard rather than assume.
     require(Integer.bitCount(dim) == 1,
       s"affine embedding permutation needs a power-of-two dim, got $dim")
-    require(copies <= dim * dim / 2,
-      s"embedding permutation period is ${dim * dim / 2}; got copies=$copies")
+    // signFlip EXTENDS the isometry family past the affine period: the
+    // per-copy map is (affine permutation, sign pattern) and the Lehmer
+    // sign patterns are pairwise distinct per copy (two copies agreeing
+    // on every destination's mix parity across 64 dims do not occur in
+    // any realistic copy range), so distinct copies stay distinct
+    // isometries even where the affine component wraps — the sixth
+    // decade's enabling fact.
+    require(copies <= dim * dim / 2 || signFlip,
+      s"embedding permutation period is ${dim * dim / 2}; got copies=$copies" +
+        " — use SPARK_GRAFT_STRESS_SIGNFLIP=1 to extend the isometry family")
     // signFlip: deterministic per-(copy, destination index) sign via
     // the cross-engine Lehmer mix (the planeComponent recipe); copy 0
     // stays the identity either way, so the base slice is always
@@ -516,26 +551,28 @@ object ScaleStress {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    val ev = Tables.events(spark, baseDir)
-    (0 until copies).map { c =>
-      ev.select((col("event_id") + c * 10000000L).as("event_id"), col("ts"),
-        (col("user_id") + c * 1000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (!embOnly) {
+      val ev = Tables.events(spark, baseDir)
+      (0 until copies).map { c =>
+        ev.select((col("event_id") + c * 10000000L).as("event_id"), col("ts"),
+          (col("user_id") + c * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    val ord = Tables.orders(spark, baseDir)
-    (0 until copies).map { c =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + c * 100000000L)
-        .withColumn("o_custkey", col("o_custkey") + c * 1000000L)
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      val ord = Tables.orders(spark, baseDir)
+      (0 until copies).map { c =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + c * 100000000L)
+          .withColumn("o_custkey", col("o_custkey") + c * 1000000L)
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
-    val li = Tables.lineitem(spark, baseDir)
-    (0 until copies).map { c =>
-      li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
-        .withColumn("l_suppkey", col("l_suppkey") + c * 1000000L)
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      val li = Tables.lineitem(spark, baseDir)
+      (0 until copies).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
+          .withColumn("l_suppkey", col("l_suppkey") + c * 1000000L)
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
   }
 }
