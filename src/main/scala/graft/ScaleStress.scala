@@ -14,15 +14,16 @@ import graft.core.Tables
   * plant every document/vector as a 10-way cross-copy near-duplicate and
   * the dedup queries would go quadratic BY CONSTRUCTION, measuring the
   * generator rather than the engine. Instead each copy applies
-  *   - documents: a per-copy character bijection (`translate` over two
-  *     DISJOINT 9-letter alphabets rotated independently — period 81, so
-  *     no copy c > 0 is the identity) — shingle equality WITHIN a copy is
-  *     exactly preserved (bijections preserve string equality), so each
-  *     copy carries the original's planted near-dup structure, while
-  *     cross-copy shingles almost surely differ;
-  *   - embeddings: a cyclic shift of the 64 dimensions by 7·copy — norms
-  *     and within-copy cosines are exactly preserved, cross-copy cosines
-  *     decorrelate;
+  *   - documents: a per-copy character bijection (`translate` over FOUR
+  *     disjoint alphabets rotated independently — period 9·9·5·3 = 1215,
+  *     see the v3/v4 notes in `generate`) — shingle equality WITHIN a
+  *     copy is exactly preserved (bijections preserve string equality),
+  *     so each copy carries the original's planted near-dup structure,
+  *     while cross-copy shingles almost surely differ;
+  *   - embeddings: a per-copy AFFINE coordinate permutation (period
+  *     dim²/2 = 2048 at dim 64; optional sign flips extend the family —
+  *     exact FP isometries, so norms and within-copy cosines are
+  *     preserved BIT-FOR-BIT while cross-copy cosines decorrelate);
   *   - events: key-space shift of user/event ids — 10× as-of key groups
   *     of the original series lengths;
   *   - orders/lineitem: key-space shift of order/customer/supplier ids —

@@ -1011,6 +1011,25 @@ object Similarity {
     * embeddings — common in crawl data) can dominate the whole job. Buckets
     * larger than the cap are dropped from candidate generation (their
     * members still pair via their other `tables−1` signatures).
+    *
+    * MEASURED SCALE BOUNDARY (round 13, the ×2187 stress decade): on a
+    * corpus with Θ(N²) MODERATE-cosine pairs, LSH top-k's candidate
+    * mass is super-linear BY LAW — a pair at angle θ collides per
+    * table with probability (1−θ/π)^planes, so the +1-plane-per-
+    * doubling capacity rule dilutes such pairs by only (1−θ/π)² ≈
+    * 0.4–0.6 per doubling while their count grows 4×. At ×2187
+    * (4.374 M isotropic rows, 4.8e-4 of pairs above cos 0.4, 24
+    * planes) the bucket join emitted 3.19e9 candidate occurrences
+    * (52 GB) and died on one node's disk, with the bucket histogram
+    * showing the mass in ~3 500 buckets of ≤ 5 305 rows — no
+    * `maxBucket` cap removes it without destroying recall (the
+    * candidates ARE similar-ish pairs: the same collision physics that
+    * gives LSH recall). Corpus-scale top-k past this regime belongs to
+    * the IVF family ([[ivfTopKTwoLevel]] — candidates bounded per
+    * query BY CONSTRUCTION); lshTopK stays the right op for
+    * high-threshold near-dup candidate generation and for corpora
+    * whose similarity mass is thin. Five stress decades (through ×729,
+    * 56.3 s ratio 112) are committed in the README.
     */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 12, tables: Int = 4,
