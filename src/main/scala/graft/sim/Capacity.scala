@@ -115,6 +115,43 @@ object Capacity {
       minLists = minLists, maxLists = maxLists)
   }
 
+  /** Corpus-row boundary past which LSH TOP-K routes to the IVF family
+    * ([[lshTopKRoutesToIvf]], consumed by
+    * [[graft.sim.Similarity.lshTopKAuto]]) — the round-13 measured LAW
+    * made programmatic (round-13 verdict #3, so a deployment cannot
+    * walk off the documented cliff through the Auto API).
+    *
+    * The law (instrumented at the ×2187 stress decade, 4.374 M rows):
+    * on a corpus with Θ(N²) MODERATE-cosine pairs, a pair at angle θ
+    * collides per table with probability (1−θ/π)^planes, so the
+    * +1-plane-per-doubling capacity rule dilutes such pairs by only
+    * (1−θ/π)² ≈ 0.4–0.6 per doubling while their count grows 4× —
+    * candidate mass grows ×4·(1−θ/π)² > 1 per doubling BY LAW. At
+    * 4.374 M rows the bucket join emitted 3.19e9 candidate occurrences
+    * (52 GB) with max bucket 5 305 — no `maxBucket` cap removes the
+    * mass without destroying recall (it sits in ~3 500 mid-size buckets
+    * and the colliding pairs ARE similar-ish: the same collision
+    * physics that gives LSH recall). The committed five-decade envelope
+    * ends at ×729 = 1.458 M rows (56.3 s, ratio 112); the cutoff is the
+    * geometric midpoint of the last proven decade and the measured
+    * death — past it [[graft.sim.Similarity.ivfTopKTwoLevelAuto]] owns
+    * corpus-scale top-k (candidates bounded per query BY CONSTRUCTION:
+    * nProbe · rowsPerList, immune to the collision law). lshTopK stays
+    * the right op below the boundary and for high-threshold NEAR-DUP
+    * candidate generation at any scale ([[graft.sim.Similarity
+    * .cosineDups]] — thresholded survival keeps its stream linear,
+    * proven to ×2187).
+    */
+  val LshTopKMaxRows: Long = 2 * 729L * RefEmbeddingRows // 2,916,000
+
+  /** True when a corpus of `rows` is past [[LshTopKMaxRows]] and the
+    * Auto top-k entry point must run the IVF family instead.
+    */
+  def lshTopKRoutesToIvf(corpusRows: Long): Boolean = {
+    require(corpusRows > 0, s"corpusRows=$corpusRows")
+    corpusRows > LshTopKMaxRows
+  }
+
   /** Whether to run simhash near-dup at the 124-bit width
     * ([[graft.text.NearDup.simHashPairs128]]) instead of the 64-bit
     * oracle-checked op: the 64-bit/9-band per-band space is 2⁷, whose

@@ -476,9 +476,82 @@ object Similarity {
     * [[graft.functions.AggF.topKNeighbors]] — ≤ thresholdRank entries
     * shuffle per (query, partition), never the candidate volume.
     */
+  /** Row-count cap for BROADCASTING the per-query bar frame into the
+    * survivor filter (~28 B/row of (long, double) plus hash-relation
+    * overhead → ~1.5 GB of broadcast at the cap — torrent-distributed
+    * once per executor, the size class of a large dimension table).
+    * Below it the bar join is a BroadcastHashJoin fused into the SAME
+    * stage as the candidate join, so the candidate stream NEVER crosses
+    * an exchange; above it (≫10⁷-query shards) the stream pays one
+    * (query_id, neighbor_id, __ub) ≈ 24 B/row co-partitioning exchange
+    * — still payload-free, and linear state per reducer. The round-13
+    * ×2187 death this replaces re-shuffled the 2.2e9-row bounds stream
+    * because the 4.37 M-query bar frame (~105 MB) sat just above the
+    * 64 MB session broadcast ceiling — size-aware by ACTUAL row count
+    * (the bar frame is persisted and counted; one corpus-proportional
+    * materialization), not by Catalyst's multiplicative join-stats
+    * estimate, which is meaningless above a candidate join.
+    */
+  private[sim] val BarBroadcastMaxRows: Long = 48L * 1024 * 1024
+
+  /** Bounded per-partition partial top-rank BEFORE the bar aggregate —
+    * the round-13 verdict's lead fix. [[graft.functions.TopKNeighbors]]
+    * is map-side-bounded BY DESIGN (≤ thresholdRank entries per (query,
+    * partition) cross the wire), but Spark plans it as an
+    * ObjectHashAggregate whose sort-based fallback triggers at 128
+    * DISTINCT KEYS per partition
+    * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`) —
+    * with millions of query ids per partition the partial aggregate
+    * abandons its k-entry hash buffers and SORTS the entire
+    * candidate-volume input to disk (measured: s_ivf2l's ×2187 run
+    * spilled a 2.2e9-row / ~87 GB bounds stream twice and died on one
+    * node's ~60 GB free disk; the same mechanism was stage 4's 52 GB
+    * spill in the s_lsh byte trail). This pre-reduce restores the
+    * designed shape with a hash map whose memory is EXPLICITLY bounded:
+    * per input partition it keeps ≤ `thresholdRank` (lb desc, id asc)
+    * entries per query ([[BarPartial]] reuses [[graft.functions.TopKBuf]]
+    * — the exact comparator of the downstream aggregate), and when the
+    * map exceeds `flushBudgetBytes` worth of entries it EMITS AND CLEARS
+    * (a flush is just a weaker reduction — the downstream aggregate
+    * merges across flush epochs), so memory stays fixed whatever the
+    * query-key cardinality. Output is a pure reduction of the input:
+    * any entry of the global per-query top-thresholdRank multiset is in
+    * the top-thresholdRank of every partition/epoch that contains it
+    * under the same total order, so the downstream
+    * [[graft.functions.AggF.topKNeighbors]] — now fed ≤
+    * rank·epochs·partitions rows per query instead of the candidate
+    * volume — produces the IDENTICAL bar (BarPartialSpec pins it,
+    * including the forced-flush path; null/NaN lowers are filtered here
+    * exactly as the aggregate excludes them). Ids pass through
+    * `cast(long)` — the aggregate already requires integral ids, and
+    * the bar join's query_id comparison is cast-safe.
+    */
+  private[sim] def boundedPartialTopRank(bounds: DataFrame, thresholdRank: Int,
+                                         flushBudgetBytes: Long = 64L << 20): DataFrame = {
+    val spark = bounds.sparkSession
+    import spark.implicits._
+    val r = thresholdRank
+    // per-entry heap footprint ≈ boxed key + HashMap entry + TopKBuf's
+    // two parallel arrays: ~160 + 16·r bytes
+    val maxEntries = math.max(1 << 16, (flushBudgetBytes / (160L + 16L * r)).toInt)
+    bounds
+      .where(col("query_id").isNotNull && col("neighbor_id").isNotNull &&
+        col("__lb").isNotNull && !isnan(col("__lb")))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("__lb").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions(it => BarPartial.reduce(it, r, maxEntries))
+      .toDF("query_id", "neighbor_id", "__lb")
+  }
+
   private def topKViaBounds(bounds: DataFrame, v: DataFrame, idCol: String,
                             k: Int, thresholdRank: Int, dedup: Boolean): DataFrame = {
-    val thr = bounds.groupBy("query_id")
+    // bar aggregate over the PRE-REDUCED stream (see boundedPartialTopRank
+    // — the candidate volume never reaches the aggregate, whose
+    // sort-based fallback at millions of distinct query keys is exactly
+    // the single-node spill the round-13 ×2187 run died on)
+    val thr = boundedPartialTopRank(bounds, thresholdRank)
+      .groupBy("query_id")
       .agg(graft.functions.AggF.topKNeighbors(col("neighbor_id"), col("__lb"),
         thresholdRank).as("__tk"))
       .select(col("query_id"),
@@ -488,11 +561,18 @@ object Similarity {
           // argument and margin budget in the scaladoc
           .otherwise(element_at(col("__tk"), thresholdRank).getField("cos") - 1.5e-6)
           .as("__thr"))
-    // thr is corpus-proportional (one scalar per query) while bounds is
-    // candidate-volume: hint the build side so the only regime this
-    // code runs in (broadcast unavailable) never SORTS the candidate
-    // stream — the hashHinted discipline of every join in this file
-    val kept = bounds.join(hashHinted(thr, big = true), "query_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size-aware bar join (one corpus-proportional count on the persisted
+    // bar frame — the only eager step this op adds): within
+    // BarBroadcastMaxRows the bar BROADCASTS and the survivor filter
+    // fuses into the candidate join's stage — the candidate stream never
+    // crosses an exchange; past the cap it co-partitions on query_id
+    // (24 B/row, payload-free) instead — never a sort, never a payload
+    val nQueries = thr.count()
+    val thrSide =
+      if (nQueries <= BarBroadcastMaxRows) broadcast(thr)
+      else hashHinted(thr, big = true)
+    val kept = bounds.join(thrSide, "query_id")
       .where(col("__ub") >= col("__thr"))
       .select("query_id", "neighbor_id")
     val surv = if (dedup) kept.distinct() else kept
@@ -1079,13 +1159,99 @@ object Similarity {
     * size ([[Capacity.lshPlanes]]: +1 plane per corpus doubling keeps
     * expected bucket occupancy constant). `corpusRows` is an explicit
     * caller estimate — no hidden `count()`.
+    *
+    * PAST [[Capacity.LshTopKMaxRows]] this entry point ROUTES to
+    * [[ivfTopKTwoLevelAuto]] (round-13 verdict #3): the ×2187 stress
+    * decade measured LSH top-k's candidate mass super-linear BY LAW on
+    * Θ(N²)-moderate-cosine corpora (the collision arithmetic and the
+    * instrumented death are on [[Capacity.LshTopKMaxRows]]), so a
+    * deployment sizing by `corpusRows` must not be able to walk off the
+    * documented cliff via the Auto API. The routed call is the IVF
+    * family's own Auto configuration (default nProbe, [[Capacity
+    * .ivfNLists]] lists at the default seed); `tables`/`maxBucket` are
+    * LSH-mechanism parameters with no IVF analog and are ignored on the
+    * routed path — output semantics are "top-k by an ANN index sized
+    * for this corpus", which is the only contract an Auto entry point
+    * can keep across the boundary (CapacitySpec pins the crossover and
+    * the routed-equals-direct identity). Callers wanting the LSH
+    * mechanism past the boundary call [[lshTopK]] explicitly and own
+    * its documented law.
     */
   def lshTopKAuto(vecs: DataFrame, idCol: String, vecCol: String,
                   k: Int, corpusRows: Long, tables: Int = 4,
                   maxBucket: Int = Int.MaxValue): DataFrame =
-    lshTopK(vecs, idCol, vecCol, k,
-      planes = Capacity.lshPlanes(corpusRows), tables = tables,
-      maxBucket = maxBucket)
+    if (Capacity.lshTopKRoutesToIvf(corpusRows))
+      ivfTopKTwoLevelAuto(vecs, idCol, vecCol, k, corpusRows)
+    else
+      lshTopK(vecs, idCol, vecCol, k,
+        planes = Capacity.lshPlanes(corpusRows), tables = tables,
+        maxBucket = maxBucket)
+}
+
+/** Executor-side bounded partial top-rank for the ANN bar aggregate
+  * ([[Similarity.boundedPartialTopRank]]) — a dedicated Serializable
+  * object so the `mapPartitions` closure never drags the enclosing
+  * module graph into the task serializer.
+  */
+private[sim] object BarPartial extends Serializable {
+
+  /** Streaming reduction of (query_id, neighbor_id, lb) rows: keeps the
+    * ≤ `r` best (lb desc, id asc) entries per query in a hash map of
+    * [[graft.functions.TopKBuf]]s — the downstream aggregate's exact
+    * buffer and comparator — and emits-and-clears whenever the map
+    * grows past `maxEntries` queries (a flush epoch is a weaker but
+    * still-correct reduction; the downstream aggregate merges epochs).
+    * Emission order within an epoch is map order — irrelevant, the
+    * downstream top-k aggregate is order-independent for a fixed
+    * multiset. Input rows must be pre-filtered of null/NaN scores (the
+    * caller does; a NaN inside TopKBuf would break its sort invariant).
+    */
+  def reduce(it: Iterator[(Long, Long, Double)], r: Int,
+             maxEntries: Int): Iterator[(Long, Long, Double)] =
+    new Iterator[(Long, Long, Double)] {
+      private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+
+      private def refill(): Unit = {
+        if (!it.hasNext) return
+        val map = new java.util.HashMap[java.lang.Long, graft.functions.TopKBuf]()
+        while (it.hasNext && map.size < maxEntries) {
+          val (q, id, lb) = it.next()
+          var buf = map.get(q)
+          if (buf == null) {
+            buf = new graft.functions.TopKBuf(r)
+            map.put(q, buf)
+          }
+          buf.insert(lb, id)
+        }
+        val entries = map.entrySet().iterator()
+        out = new Iterator[(Long, Long, Double)] {
+          private var cur: java.util.Map.Entry[java.lang.Long, graft.functions.TopKBuf] = _
+          private var i = 0
+          def hasNext: Boolean = {
+            while ((cur == null || i >= cur.getValue.n) && entries.hasNext) {
+              cur = entries.next(); i = 0
+            }
+            cur != null && i < cur.getValue.n
+          }
+          def next(): (Long, Long, Double) = {
+            if (!hasNext) throw new NoSuchElementException("BarPartial epoch drained")
+            val b = cur.getValue
+            val t = (cur.getKey.longValue(), b.ids(i), b.scores(i))
+            i += 1
+            t
+          }
+        }
+      }
+
+      def hasNext: Boolean = {
+        if (!out.hasNext) refill()
+        out.hasNext
+      }
+      def next(): (Long, Long, Double) = {
+        if (!hasNext) throw new NoSuchElementException("BarPartial drained")
+        out.next()
+      }
+    }
 }
 
 /** Executor-side helpers for the two-level quantizer's per-cell fine

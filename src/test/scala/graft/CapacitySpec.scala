@@ -70,6 +70,17 @@ class CapacitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Capacity.lshPlanes(0L))
     intercept[IllegalArgumentException](Capacity.ivfNLists(-5L))
     intercept[IllegalArgumentException](Capacity.doublings(10L, 0L))
+    intercept[IllegalArgumentException](Capacity.lshTopKRoutesToIvf(0L))
+  }
+
+  test("LSH top-k law boundary: five committed decades stay LSH, x2187 routes") {
+    val cut = Capacity.LshTopKMaxRows
+    assert(cut == 2916000L) // geometric midpoint of x729 (proven) and x2187 (died)
+    assert(!Capacity.lshTopKRoutesToIvf(cut))
+    assert(Capacity.lshTopKRoutesToIvf(cut + 1))
+    for (copies <- Seq(1L, 10L, 30L, 81L, 243L, 729L))
+      assert(!Capacity.lshTopKRoutesToIvf(copies * ref), s"x$copies must stay LSH")
+    assert(Capacity.lshTopKRoutesToIvf(2187L * ref), "x2187 must route to IVF")
   }
 }
 
@@ -106,6 +117,15 @@ class CapacityAutoSpec extends SparkSpec {
         rows(Similarity.cosineDups(vecs, "vec_id", "embedding", 0.95,
           planes = Capacity.lshPlanes(n, basePlanes = 8))), s"dups x$copies")
     }
+  }
+
+  test("lshTopKAuto past the law boundary IS ivfTopKTwoLevelAuto (routed identity)") {
+    val n = Capacity.LshTopKMaxRows + 1
+    assert(Capacity.lshTopKRoutesToIvf(n))
+    val routed = rows(Similarity.lshTopKAuto(vecs, "vec_id", "embedding", 3, n))
+    val direct = rows(Similarity.ivfTopKTwoLevelAuto(vecs, "vec_id", "embedding", 3, n))
+    assert(routed.nonEmpty, "routed call produced nothing — vacuous")
+    assert(routed == direct, "routed Auto call must equal the direct IVF Auto call")
   }
 
   test("ivfTopKAuto equals manual (k-means fit included) at ref and x10") {

@@ -30,7 +30,10 @@ class SemanticSpec extends SparkSpec {
     val base = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val vecs = base.union(base.orderBy("vec_id").limit(20)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
-    for (threshold <- Seq(0.4, 0.9)) {
+    // 0.7 = the MinClusterScopedThreshold floor (round 14): the loose
+    // arm exercises the prefilter's survivor volume at the loosest
+    // accepted threshold; the guard owns everything below it
+    for (threshold <- Seq(0.7, 0.9)) {
       def run() = {
         val (pairs, release) = Semantic.semanticDupsWithRelease(vecs, "vec_id",
           "embedding", threshold = threshold, nLists = 8, nProbe = 2, maxList = 10000)
@@ -200,6 +203,27 @@ class SemanticSpec extends SparkSpec {
       Semantic.semanticDups(clustered, "vec_id", "embedding", 1.5))
     intercept[IllegalArgumentException](
       Semantic.semanticDups(clustered, "vec_id", "embedding", 0.9, nProbe = 0))
+  }
+
+  test("mid-threshold misuse is rejected across the cluster-scoped family") {
+    // round-13 finding, round-14 guard: at t = 0.4 the flat and
+    // two-level scopes overlapped on 2.65% of pairs — each an arbitrary
+    // ~0.2% sliver of the qualifying universe. The guard steers
+    // mid-threshold similarity joins to cosineDups/cosineDupsExact.
+    assert(Semantic.MinClusterScopedThreshold == 0.7)
+    val e = intercept[IllegalArgumentException](
+      Semantic.semanticDups(clustered, "vec_id", "embedding", 0.4))
+    assert(e.getMessage.contains("cosineDups"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Semantic.semanticDupsTwoLevel(clustered, "vec_id", "embedding", 0.4))
+    intercept[IllegalArgumentException](
+      Semantic.semanticDedup(clustered, "vec_id", "embedding", 0.69))
+    intercept[IllegalArgumentException](
+      Semantic.semanticDedupTwoLevel(clustered, "vec_id", "embedding", 0.69))
+    // the floor itself and everything above stays accepted
+    assert(Semantic.semanticDups(clustered, "vec_id", "embedding",
+      Semantic.MinClusterScopedThreshold, nLists = 4).columns
+      .sameElements(Array("id_a", "id_b", "cos")))
   }
 
   test("release handles drop the internal caches; frames stay correct after release") {

@@ -100,9 +100,12 @@ object ProfileTwoLevelAssign {
     // recall disclosure (what fraction of the flat scope's pairs the
     // two-level scope reproduces, and vice versa). Not a timing mode.
     if (sys.env.get("SPARK_GRAFT_TL_OVERLAP").contains("1")) {
-      val (fp, fRel) = Semantic.semanticDupsWithRelease(vecs, "vec_id", "embedding",
+      // the UNGUARDED twins: the overlap disclosure runs at TL_T=0.4 —
+      // the exact mid-threshold measurement the public guard cites
+      // (round 14). Internal caches die with this standalone JVM.
+      val fp = Semantic.semanticDupsUnguarded(vecs, "vec_id", "embedding",
         threshold = threshold, nLists = nFlat, maxList = 10000)
-      val (tp, tRel) = Semantic.semanticDupsTwoLevelWithRelease(vecs, "vec_id", "embedding",
+      val tp = Semantic.semanticDupsTwoLevelUnguarded(vecs, "vec_id", "embedding",
         threshold = threshold, nLists = nTwo, cProbe = 2, maxList = 10000)
       val f = fp.select("id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -112,7 +115,7 @@ object ProfileTwoLevelAssign {
       val both = f.join(t2, Seq("id_a", "id_b")).count()
       println(f"TLOVERLAP t=$threshold flat=$nF two=$nT both=$both " +
         f"two-covers-flat=${both.toDouble / nF}%.4f flat-covers-two=${both.toDouble / nT}%.4f")
-      fRel(); tRel(); f.unpersist(); t2.unpersist()
+      f.unpersist(); t2.unpersist()
       spark.stop()
       return
     }

@@ -46,7 +46,7 @@ class TwoLevelSpec extends graft.SparkSpec {
     val df = isotropicWithDups(nBase = 800, nDup = 120, dim = 16, seed = 7)
     val t = 0.5
     val (nLists, cProbe, seed) = (24, 2, 42L)
-    val pairs = Semantic.semanticDupsTwoLevel(df, "vec_id", "embedding",
+    val pairs = Semantic.semanticDupsTwoLevelUnguarded(df, "vec_id", "embedding",
       threshold = t, nLists = nLists, cProbe = cProbe, seed = seed)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
 
@@ -80,7 +80,7 @@ class TwoLevelSpec extends graft.SparkSpec {
 
   test("determinism: same seed twice -> identical pairs and cosines") {
     val df = isotropicWithDups(nBase = 600, nDup = 80, dim = 16, seed = 11)
-    def run() = Semantic.semanticDupsTwoLevel(df, "vec_id", "embedding",
+    def run() = Semantic.semanticDupsTwoLevelUnguarded(df, "vec_id", "embedding",
       threshold = 0.5, nLists = 20, cProbe = 2, seed = 99L)
       .as[(Long, Long, Double)].collect().sorted.toSeq
     val a = run()
@@ -138,7 +138,7 @@ class TwoLevelSpec extends graft.SparkSpec {
 
   test("cProbe=1 memberships are single: pair rows unique without a distinct") {
     val df = isotropicWithDups(nBase = 400, nDup = 60, dim = 16, seed = 5)
-    val pairs = Semantic.semanticDupsTwoLevel(df, "vec_id", "embedding",
+    val pairs = Semantic.semanticDupsTwoLevelUnguarded(df, "vec_id", "embedding",
       threshold = 0.3, nLists = 12, cProbe = 1, seed = 42L)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)
@@ -210,7 +210,7 @@ class TwoLevelSpec extends graft.SparkSpec {
       .union(Seq(
         (900000L, Array.fill(16)(Double.NaN)),
         (900001L, Array.fill(16)(0.0))).toDF("vec_id", "embedding"))
-    val pairs = Semantic.semanticDupsTwoLevel(df, "vec_id", "embedding",
+    val pairs = Semantic.semanticDupsTwoLevelUnguarded(df, "vec_id", "embedding",
       threshold = 0.5, nLists = 10, cProbe = 2, seed = 42L)
       .as[(Long, Long, Double)].collect()
     assert(pairs.nonEmpty)
