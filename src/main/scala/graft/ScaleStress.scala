@@ -191,6 +191,8 @@ object ScaleStress {
     // the v4 fourth rotation set is IDENTITY below copy 405, so v4
     // output is byte-identical to v3 there — cached v3 dirs stay valid
     // and the tag only advances where the generators actually diverge
+    // v5 (round 14): dihedral reflection bit on the two 9-letter sets
+    // (period 2430) — IDENTITY below copy 1215, same cache rule
     // SPARK_GRAFT_STRESS_SIGNFLIP=1 (round 13): per-copy random SIGN
     // FLIPS on top of the affine embedding permutation — a SIGNED
     // permutation is an orthogonal map that is EXACT in floating point
@@ -213,10 +215,21 @@ object ScaleStress {
     // SPARK_GRAFT_STRESS_ONLY to embedding queries and skip the pair
     // gate; non-embedding queries fail on the missing tables by design.
     val embOnly = sys.env.get("SPARK_GRAFT_STRESS_EMBONLY").contains("1")
+    // SPARK_GRAFT_STRESS_DOCSONLY=1 (round 14): generate ONLY the
+    // documents table — the text-family mirror of embOnly, for
+    // sixth-decade (×2187 ≤ v5 period 2430) runs of the t_* document
+    // queries without paying ~34 GB of events/orders/lineitem
+    // replication they never read. Callers restrict
+    // SPARK_GRAFT_STRESS_ONLY to document queries and skip the pair
+    // gate; other queries fail on the missing tables by design.
+    val docsOnly = sys.env.get("SPARK_GRAFT_STRESS_DOCSONLY").contains("1")
+    require(!(embOnly && docsOnly),
+      "EMBONLY and DOCSONLY are mutually exclusive (pick the family under test)")
     require(!embOnly || signFlip || copies <= 2048,
       "embeddings-only generation past the affine period needs SPARK_GRAFT_STRESS_SIGNFLIP=1")
-    val genTag = s"${if (copies > 405) "v4" else "v3"}${if (signFlip) "s" else ""}" +
-      s"${if (embOnly) "e" else ""}-copies$copies"
+    val genTag = s"${if (copies > 1215) "v5" else if (copies > 405) "v4" else "v3"}" +
+      s"${if (signFlip) "s" else ""}${if (embOnly) "e" else ""}" +
+      s"${if (docsOnly) "d" else ""}-copies$copies"
     val marker = new java.io.File(s"$outDir/_GEN")
     val cached = marker.isFile &&
       scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim).toOption
@@ -224,7 +237,7 @@ object ScaleStress {
     if (!cached) {
       System.err.println(s"[stress] generating ${copies}x of $baseDir -> $outDir" +
         (if (signFlip) " (sign-flipped embeddings)" else ""))
-      generate(spark, baseDir, outDir, copies, signFlip, embOnly)
+      generate(spark, baseDir, outDir, copies, signFlip, embOnly, docsOnly)
       val w = new java.io.PrintWriter(marker)
       try w.println(genTag) finally w.close()
     } else System.err.println(s"[stress] reusing $outDir ($genTag)")
@@ -446,7 +459,8 @@ object ScaleStress {
 
   private def generate(spark: SparkSession, baseDir: String, outDir: String,
                        copies: Int, signFlip: Boolean = false,
-                       embOnly: Boolean = false): Unit = {
+                       embOnly: Boolean = false,
+                       docsOnly: Boolean = false): Unit = {
     // THREE disjoint alphabets (9, 9, 5 letters), rotated independently
     // (set 1 by c mod 9, set 2 by c/9 mod 9, set 3 by c/81 mod 5), give
     // the per-copy bijection period 9·9·5 = 405: the original single
@@ -472,18 +486,42 @@ object ScaleStress {
     require((rot1 ++ rot2 ++ rot3 ++ rot4).distinct.length ==
       rot1.length + rot2.length + rot3.length + rot4.length,
       "rotation alphabets must be disjoint")
+    // v5 (round 14, verdict missing #4): the four sets consume all 26
+    // lowercase letters, so a FIFTH disjoint alphabet cannot exist —
+    // instead a DIHEDRAL reflection bit b = c/1215 mod 2 on the two
+    // 9-letter sets takes the period to 9·9·5·3·2 = 2430, unblocking
+    // the text families' sixth decade (×2187). For b = 1 the set-1/
+    // set-2 element is ρ^a∘τ (reflect the set, then rotate): D₉'s 9
+    // rotations and 9 reflections are 18 pairwise-distinct bijections
+    // of the set, and no reflection equals a rotation, so the five
+    // mixed-radix digits (c mod 9, c/9 mod 9, c/81 mod 5, c/405 mod 3,
+    // c/1215 mod 2) give distinct composite bijections for all
+    // c < 2430. b = 0 for every copy < 1215, so v5 output is
+    // byte-identical to v4 wherever v4 was defined (the v4-over-v3
+    // precedent; cached v4 dirs stay valid and the tag advances only
+    // past 1215). Decorrelation strength: copies differing only in b
+    // (c vs c+1215) differ at EVERY set-1/set-2 letter except the two
+    // reflection fixed points ('i', 'm' — τ on an odd cycle fixes its
+    // middle element) — the 16 most frequent letters in the corpus, so
+    // cross-copy shingle collisions stay negligible (stronger than the
+    // accepted v4 situation, where copies differing only in the rot4
+    // digit differ only at the rare q/j/z letters).
     require(embOnly ||
-      copies <= rot1.length * rot2.length * rot3.length * rot4.length,
-      s"per-copy bijection period is ${rot1.length * rot2.length * rot3.length * rot4.length}; got copies=$copies" +
+      copies <= 2 * rot1.length * rot2.length * rot3.length * rot4.length,
+      s"per-copy bijection period is ${2 * rot1.length * rot2.length * rot3.length * rot4.length}; got copies=$copies" +
         " — past it only the embeddings-only mode is defined (SPARK_GRAFT_STRESS_EMBONLY=1)")
     def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
-    def scrambled(c: Int) =
+    def rotRef(s: String, k: Int, b: Int): String =
+      rotated(if (b == 1) s.reverse else s, k)
+    def scrambled(c: Int) = {
+      val b = (c / 1215) % 2
       if (c == 0) col("text")
       else translate(translate(translate(translate(
-        col("text"), rot1, rotated(rot1, c % rot1.length)),
-        rot2, rotated(rot2, (c / rot1.length) % rot2.length)),
+        col("text"), rot1, rotRef(rot1, c % rot1.length, b)),
+        rot2, rotRef(rot2, (c / rot1.length) % rot2.length, b)),
         rot3, rotated(rot3, (c / (rot1.length * rot2.length)) % rot3.length)),
         rot4, rotated(rot4, (c / (rot1.length * rot2.length * rot3.length)) % rot4.length))
+    }
 
     if (!embOnly) {
       val docs = Tables.documents(spark, baseDir)
@@ -495,6 +533,8 @@ object ScaleStress {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
+
+    if (docsOnly) return
 
     val emb = Tables.embeddings(spark, baseDir)
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)

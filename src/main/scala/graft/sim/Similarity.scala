@@ -494,63 +494,48 @@ object Similarity {
     */
   private[sim] val BarBroadcastMaxRows: Long = 48L * 1024 * 1024
 
-  /** Bounded per-partition partial top-rank BEFORE the bar aggregate —
-    * the round-13 verdict's lead fix. [[graft.functions.TopKNeighbors]]
-    * is map-side-bounded BY DESIGN (≤ thresholdRank entries per (query,
-    * partition) cross the wire), but Spark plans it as an
-    * ObjectHashAggregate whose sort-based fallback triggers at 128
-    * DISTINCT KEYS per partition
+  /** Distinct-key budget for the bar aggregate's ObjectHashAggregate,
+    * replacing the default 128-key sort-based fallback — the round-13
+    * verdict's lead fix, second iteration. [[graft.functions
+    * .TopKNeighbors]] is map-side-bounded BY DESIGN (≤ thresholdRank
+    * entries per (query, partition) cross the wire), but Spark's
+    * ObjectHashAggregate abandons its hash map at 128 DISTINCT KEYS
     * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`) —
     * with millions of query ids per partition the partial aggregate
-    * abandons its k-entry hash buffers and SORTS the entire
-    * candidate-volume input to disk (measured: s_ivf2l's ×2187 run
-    * spilled a 2.2e9-row / ~87 GB bounds stream twice and died on one
-    * node's ~60 GB free disk; the same mechanism was stage 4's 52 GB
-    * spill in the s_lsh byte trail). This pre-reduce restores the
-    * designed shape with a hash map whose memory is EXPLICITLY bounded:
-    * per input partition it keeps ≤ `thresholdRank` (lb desc, id asc)
-    * entries per query ([[BarPartial]] reuses [[graft.functions.TopKBuf]]
-    * — the exact comparator of the downstream aggregate), and when the
-    * map exceeds `flushBudgetBytes` worth of entries it EMITS AND CLEARS
-    * (a flush is just a weaker reduction — the downstream aggregate
-    * merges across flush epochs), so memory stays fixed whatever the
-    * query-key cardinality. Output is a pure reduction of the input:
-    * any entry of the global per-query top-thresholdRank multiset is in
-    * the top-thresholdRank of every partition/epoch that contains it
-    * under the same total order, so the downstream
-    * [[graft.functions.AggF.topKNeighbors]] — now fed ≤
-    * rank·epochs·partitions rows per query instead of the candidate
-    * volume — produces the IDENTICAL bar (BarPartialSpec pins it,
-    * including the forced-flush path; null/NaN lowers are filtered here
-    * exactly as the aggregate excludes them). Ids pass through
-    * `cast(long)` — the aggregate already requires integral ids, and
-    * the bar join's query_id comparison is cast-safe.
+    * SORTS the entire candidate-volume input to disk (measured:
+    * s_ivf2l's ×2187 run spilled a 2.2e9-row / ~87 GB bounds stream
+    * twice and died on one node's ~60 GB free disk; the same mechanism
+    * was stage 4's 52 GB spill in the s_lsh byte trail). The first fix
+    * attempt — a mapPartitions pre-reduce with explicit flush epochs
+    * (`BarPartial`, commit faedd20) — was MEASURED SLOWER than the
+    * fallback sort it replaced (same-JVM interleaved A/B/C,
+    * ProfileBarVariants: ×243 pre-reduce 18.1 s vs fallback-sort
+    * 12.4 s vs raised-threshold 7.6 s; ×729 36.3 / 29.0 / 19.0 s):
+    * leaving Tungsten rows for Scala tuples across the candidate
+    * volume costs more than the sequential spill sort it avoids. The
+    * kept fix raises the fallback threshold — scoped to the bar
+    * materialization, restored in `finally` — so the partial keeps its
+    * hash map and the whole segment stays codegen'd with ZERO extra
+    * passes. Memory stays bounded by construction on both axes:
+    *   - per KEY, the TopKBuf buffer holds ≤ thresholdRank entries
+    *     (~160 + 16·r bytes with map-entry overhead);
+    *   - per PARTITION, distinct query keys = nProbe·Q/P (each query's
+    *     candidates live in its nProbe probed lists, and the partial
+    *     runs on the probe join's list-partitioned output), which a
+    *     deployment bounds by sizing P ∝ N — the budget here caps the
+    *     map at `budgetBytes` regardless (≈ 1.1 M keys at rank 5,
+    *     ≈ 0.3 M at LSH's k·tables ranks), past which the sort-based
+    *     fallback returns for the residual keys — a safety valve, not
+    *     the design point.
     */
-  private[sim] def boundedPartialTopRank(bounds: DataFrame, thresholdRank: Int,
-                                         flushBudgetBytes: Long = 64L << 20): DataFrame = {
-    val spark = bounds.sparkSession
-    import spark.implicits._
-    val r = thresholdRank
-    // per-entry heap footprint ≈ boxed key + HashMap entry + TopKBuf's
-    // two parallel arrays: ~160 + 16·r bytes
-    val maxEntries = math.max(1 << 16, (flushBudgetBytes / (160L + 16L * r)).toInt)
-    bounds
-      .where(col("query_id").isNotNull && col("neighbor_id").isNotNull &&
-        col("__lb").isNotNull && !isnan(col("__lb")))
-      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
-        col("__lb").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions(it => BarPartial.reduce(it, r, maxEntries))
-      .toDF("query_id", "neighbor_id", "__lb")
-  }
+  private[sim] def barFallbackKeys(thresholdRank: Int,
+                                   budgetBytes: Long = 256L << 20): Int =
+    math.max(128 * 1024, (budgetBytes / (160L + 16L * thresholdRank)).toInt)
 
   private def topKViaBounds(bounds: DataFrame, v: DataFrame, idCol: String,
                             k: Int, thresholdRank: Int, dedup: Boolean): DataFrame = {
-    // bar aggregate over the PRE-REDUCED stream (see boundedPartialTopRank
-    // — the candidate volume never reaches the aggregate, whose
-    // sort-based fallback at millions of distinct query keys is exactly
-    // the single-node spill the round-13 ×2187 run died on)
-    val thr = boundedPartialTopRank(bounds, thresholdRank)
+    val spark = bounds.sparkSession
+    val thr = bounds
       .groupBy("query_id")
       .agg(graft.functions.AggF.topKNeighbors(col("neighbor_id"), col("__lb"),
         thresholdRank).as("__tk"))
@@ -567,8 +552,20 @@ object Similarity {
     // BarBroadcastMaxRows the bar BROADCASTS and the survivor filter
     // fuses into the candidate join's stage — the candidate stream never
     // crosses an exchange; past the cap it co-partitions on query_id
-    // (24 B/row, payload-free) instead — never a sort, never a payload
-    val nQueries = thr.count()
+    // (24 B/row, payload-free) instead — never a sort, never a payload.
+    // The count executes the bar aggregate with the RAISED
+    // ObjectHashAggregate fallback threshold (see barFallbackKeys — the
+    // default 128-key sort fallback spills the candidate volume on one
+    // node), scoped to this materialization and restored in `finally`;
+    // the downstream join reads the persisted frame, never re-planning
+    // the aggregate.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.get(fbKey)
+    val nQueries =
+      try {
+        spark.conf.set(fbKey, barFallbackKeys(thresholdRank).toString)
+        thr.count()
+      } finally spark.conf.set(fbKey, fbPrev)
     val thrSide =
       if (nQueries <= BarBroadcastMaxRows) broadcast(thr)
       else hashHinted(thr, big = true)
@@ -1186,72 +1183,6 @@ object Similarity {
       lshTopK(vecs, idCol, vecCol, k,
         planes = Capacity.lshPlanes(corpusRows), tables = tables,
         maxBucket = maxBucket)
-}
-
-/** Executor-side bounded partial top-rank for the ANN bar aggregate
-  * ([[Similarity.boundedPartialTopRank]]) — a dedicated Serializable
-  * object so the `mapPartitions` closure never drags the enclosing
-  * module graph into the task serializer.
-  */
-private[sim] object BarPartial extends Serializable {
-
-  /** Streaming reduction of (query_id, neighbor_id, lb) rows: keeps the
-    * ≤ `r` best (lb desc, id asc) entries per query in a hash map of
-    * [[graft.functions.TopKBuf]]s — the downstream aggregate's exact
-    * buffer and comparator — and emits-and-clears whenever the map
-    * grows past `maxEntries` queries (a flush epoch is a weaker but
-    * still-correct reduction; the downstream aggregate merges epochs).
-    * Emission order within an epoch is map order — irrelevant, the
-    * downstream top-k aggregate is order-independent for a fixed
-    * multiset. Input rows must be pre-filtered of null/NaN scores (the
-    * caller does; a NaN inside TopKBuf would break its sort invariant).
-    */
-  def reduce(it: Iterator[(Long, Long, Double)], r: Int,
-             maxEntries: Int): Iterator[(Long, Long, Double)] =
-    new Iterator[(Long, Long, Double)] {
-      private var out: Iterator[(Long, Long, Double)] = Iterator.empty
-
-      private def refill(): Unit = {
-        if (!it.hasNext) return
-        val map = new java.util.HashMap[java.lang.Long, graft.functions.TopKBuf]()
-        while (it.hasNext && map.size < maxEntries) {
-          val (q, id, lb) = it.next()
-          var buf = map.get(q)
-          if (buf == null) {
-            buf = new graft.functions.TopKBuf(r)
-            map.put(q, buf)
-          }
-          buf.insert(lb, id)
-        }
-        val entries = map.entrySet().iterator()
-        out = new Iterator[(Long, Long, Double)] {
-          private var cur: java.util.Map.Entry[java.lang.Long, graft.functions.TopKBuf] = _
-          private var i = 0
-          def hasNext: Boolean = {
-            while ((cur == null || i >= cur.getValue.n) && entries.hasNext) {
-              cur = entries.next(); i = 0
-            }
-            cur != null && i < cur.getValue.n
-          }
-          def next(): (Long, Long, Double) = {
-            if (!hasNext) throw new NoSuchElementException("BarPartial epoch drained")
-            val b = cur.getValue
-            val t = (cur.getKey.longValue(), b.ids(i), b.scores(i))
-            i += 1
-            t
-          }
-        }
-      }
-
-      def hasNext: Boolean = {
-        if (!out.hasNext) refill()
-        out.hasNext
-      }
-      def next(): (Long, Long, Double) = {
-        if (!hasNext) throw new NoSuchElementException("BarPartial drained")
-        out.next()
-      }
-    }
 }
 
 /** Executor-side helpers for the two-level quantizer's per-cell fine

@@ -4,10 +4,11 @@ package graft.sim
   * in the FORCED big regime (autoBroadcast −1 — the QuantPrefilterSpec
   * gate) on sf0.01 and print the final adaptive plan. What to read in
   * the output:
-  *   - the bar pre-reduce (`MapPartitions ... BarPartial`) sits in the
-  *     SAME stage as the probe equi-join — the candidate stream reduces
-  *     before any exchange;
-  *   - the bar aggregate's input is the reduced stream;
+  *   - the bar aggregate's partial (ObjectHashAggregate, raised
+  *     fallback threshold — see [[Similarity.barFallbackKeys]]) sits in
+  *     the SAME stage as the probe equi-join — the candidate stream
+  *     reduces to ≤ rank entries per (query, partition) before any
+  *     exchange, in its hash map, never a sort;
   *   - the survivor filter is a BroadcastHashJoin on the bar frame
   *     (size-aware: query count ≪ BarBroadcastMaxRows), so the bounds
   *     stream never crosses an exchange on its way to the filter.
