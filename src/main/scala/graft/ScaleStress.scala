@@ -284,7 +284,18 @@ object ScaleStress {
         val t0 = System.nanoTime()
         stressFn(q)(spark, dir, nCopies).write.format("noop").mode("overwrite").save()
         spark.sharedState.cacheManager.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Release the rep's shuffle files before the next measurement:
+        // Spark's ContextCleaner only removes a dereferenced
+        // ShuffleDependency's files after a JVM GC notices it, and a
+        // 24 GB heap may never full-GC on its own — measured (round 14):
+        // a combined t_minhash/t_jaccard/t_pipeline ×2187 session
+        // accumulated 63 GB of DEAD shuffle files from completed reps
+        // and died on disk inside t_jaccard, which alone (fresh JVM)
+        // has ~40 GB of headroom more. Outside the timing window by
+        // construction (dt is already captured).
+        System.gc()
+        dt
       } finally spark.conf.set("spark.sql.shuffle.partitions", baseParts)
     }
 

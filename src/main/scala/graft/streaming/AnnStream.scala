@@ -63,6 +63,20 @@ case class AnnCandidate(id_a: Long, id_b: Long, cos: Double)
   *     candidate-volume output; the thresholded loop does int8 dots
   *     and emits only true near-dups.
   *
+  * SCALE LAW (round 14, ProfileAnnStreamDecomp — exact counts at
+  * ×243/×729/×2187 of the reference corpus): per-arrival work splits
+  * into a planes/banding term that grows linear×log (never binding)
+  * and a COLLISION-MASS term — int8 bound checks per arrival = bucket
+  * occupancy × moderate-cosine collision survival — measured 25 → 46
+  * → 91 checks/arrival per 3× decade: the same ×4·(1−θ/π)² > 1 per
+  * capacity doubling arithmetic adjudicated for
+  * [[graft.sim.Similarity.lshTopK]]. The int8 prefilter DEFERS the law
+  * (~9 ns/check; projected ~2% of gate at ×6561), it does not remove
+  * it: a corpus whose moderate-cos pair mass outruns that headroom
+  * should bound its candidates per query via the IVF family
+  * ([[graft.sim.Similarity.ivfTopKTwoLevelAuto]]) rather than grow
+  * this stream's capacity.
+  *
   * State is bounded exactly like [[NearDupStream.lshCandidates]]: a
   * bucket crossing `maxBucketSize` goes inert (a degenerate
   * all-near-identical shard), and with a `tsCol` each arrival lazily
