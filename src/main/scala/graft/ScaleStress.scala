@@ -15,11 +15,13 @@ import graft.core.Tables
   * the dedup queries would go quadratic BY CONSTRUCTION, measuring the
   * generator rather than the engine. Instead each copy applies
   *   - documents: a per-copy character bijection (`translate` over FOUR
-  *     disjoint alphabets rotated independently — period 9·9·5·3 = 1215,
-  *     see the v3/v4 notes in `generate`) — shingle equality WITHIN a
-  *     copy is exactly preserved (bijections preserve string equality),
-  *     so each copy carries the original's planted near-dup structure,
-  *     while cross-copy shingles almost surely differ;
+  *     disjoint alphabets, each under an independent Lehmer-coded FULL
+  *     permutation — period 9! = 362,880, see the v6 note in `generate`
+  *     for why the earlier rotation family planted cross-copy near-dups
+  *     at distance 405) — shingle equality WITHIN a copy is exactly
+  *     preserved (bijections preserve string equality), so each copy
+  *     carries the original's planted near-dup structure, while
+  *     cross-copy shingles almost surely differ;
   *   - embeddings: a per-copy AFFINE coordinate permutation (period
   *     dim²/2 = 2048 at dim 64; optional sign flips extend the family —
   *     exact FP isometries, so norms and within-copy cosines are
@@ -191,8 +193,10 @@ object ScaleStress {
     // the v4 fourth rotation set is IDENTITY below copy 405, so v4
     // output is byte-identical to v3 there — cached v3 dirs stay valid
     // and the tag only advances where the generators actually diverge
-    // v5 (round 14): dihedral reflection bit on the two 9-letter sets
-    // (period 2430) — IDENTITY below copy 1215, same cache rule
+    // v6 (round 14): text switches to Lehmer full permutations (see
+    // generate) — NOT byte-compatible with v3/v4 for any copy ≥ 1, so
+    // every text-bearing dir regenerates under the v6 tag; the ×243
+    // v4-vs-v6 same-session equivalence run is the behavior check
     // SPARK_GRAFT_STRESS_SIGNFLIP=1 (round 13): per-copy random SIGN
     // FLIPS on top of the affine embedding permutation — a SIGNED
     // permutation is an orthogonal map that is EXACT in floating point
@@ -227,7 +231,11 @@ object ScaleStress {
       "EMBONLY and DOCSONLY are mutually exclusive (pick the family under test)")
     require(!embOnly || signFlip || copies <= 2048,
       "embeddings-only generation past the affine period needs SPARK_GRAFT_STRESS_SIGNFLIP=1")
-    val genTag = s"${if (copies > 1215) "v5" else if (copies > 405) "v4" else "v3"}" +
+    // text-bearing generations are v6 (Lehmer permutations — round 14);
+    // embeddings-only dirs keep the old version rule (their transform is
+    // untouched, so cached e-dirs stay valid)
+    val genTag = s"${if (!embOnly) "v6"
+        else if (copies > 1215) "v5" else if (copies > 405) "v4" else "v3"}" +
       s"${if (signFlip) "s" else ""}${if (embOnly) "e" else ""}" +
       s"${if (docsOnly) "d" else ""}-copies$copies"
     val marker = new java.io.File(s"$outDir/_GEN")
@@ -472,67 +480,56 @@ object ScaleStress {
                        copies: Int, signFlip: Boolean = false,
                        embOnly: Boolean = false,
                        docsOnly: Boolean = false): Unit = {
-    // THREE disjoint alphabets (9, 9, 5 letters), rotated independently
-    // (set 1 by c mod 9, set 2 by c/9 mod 9, set 3 by c/81 mod 5), give
-    // the per-copy bijection period 9·9·5 = 405: the original single
-    // 9-letter set wrapped at copy 9 (byte-identical text — round-6
-    // advice), the two-set v2 wrapped at copy 81, which blocked
-    // fourth-decade (×243) stress runs. Each rotation maps its set onto
-    // itself and the sets are disjoint, so the composition is still a
-    // character bijection — within-copy shingle equality is exactly
-    // preserved, and distinct copies < 405 get distinct bijections.
+    // FOUR disjoint alphabets partitioning the lowercase letters by
+    // corpus frequency (generator history: v1 rotated one 9-set and
+    // wrapped at copy 9; v2 two sets, wrapped at 81; v3 three, 405;
+    // v4 four, 1215 — each wrap measured as planted cross-copy EXACT
+    // duplicates before its bump; v6 below retires rotations entirely)
     val rot1 = "etaoinsrh"
     val rot2 = "dlcumwfgy"
     val rot3 = "bpvkx"
-    // v4 (round 12): a FOURTH disjoint set takes the period to
-    // 9·9·5·3 = 1215, unblocking the fifth decade (×729). Its rotation
-    // index is c/405 mod 3 — IDENTITY for every copy < 405, so v4
-    // output is byte-identical to v3 wherever v3 was defined (the
-    // mixed-radix digits (c mod 9, c/9 mod 9, c/81 mod 5, c/405 mod 3)
-    // are unique per c < 1215, so distinct copies still get distinct
-    // bijections; each rotation maps its own set onto itself and the
-    // sets are disjoint, so the composition stays a character
-    // bijection — within-copy shingle equality exactly preserved).
     val rot4 = "qjz"
     require((rot1 ++ rot2 ++ rot3 ++ rot4).distinct.length ==
       rot1.length + rot2.length + rot3.length + rot4.length,
       "rotation alphabets must be disjoint")
-    // v5 (round 14, verdict missing #4): the four sets consume all 26
-    // lowercase letters, so a FIFTH disjoint alphabet cannot exist —
-    // instead a DIHEDRAL reflection bit b = c/1215 mod 2 on the two
-    // 9-letter sets takes the period to 9·9·5·3·2 = 2430, unblocking
-    // the text families' sixth decade (×2187). For b = 1 the set-1/
-    // set-2 element is ρ^a∘τ (reflect the set, then rotate): D₉'s 9
-    // rotations and 9 reflections are 18 pairwise-distinct bijections
-    // of the set, and no reflection equals a rotation, so the five
-    // mixed-radix digits (c mod 9, c/9 mod 9, c/81 mod 5, c/405 mod 3,
-    // c/1215 mod 2) give distinct composite bijections for all
-    // c < 2430. b = 0 for every copy < 1215, so v5 output is
-    // byte-identical to v4 wherever v4 was defined (the v4-over-v3
-    // precedent; cached v4 dirs stay valid and the tag advances only
-    // past 1215). Decorrelation strength: copies differing only in b
-    // (c vs c+1215) differ at EVERY set-1/set-2 letter except the two
-    // reflection fixed points ('i', 'm' — τ on an odd cycle fixes its
-    // middle element) — the 16 most frequent letters in the corpus, so
-    // cross-copy shingle collisions stay negligible (stronger than the
-    // accepted v4 situation, where copies differing only in the rot4
-    // digit differ only at the rare q/j/z letters).
-    require(embOnly ||
-      copies <= 2 * rot1.length * rot2.length * rot3.length * rot4.length,
-      s"per-copy bijection period is ${2 * rot1.length * rot2.length * rot3.length * rot4.length}; got copies=$copies" +
+    // v6 (round 14): FULL Lehmer-coded permutations per set replace the
+    // mixed-radix rotation family (and the short-lived v5 dihedral
+    // reflection). The measured flaw in v4/v5 (ProfileTextMass exact
+    // counts): with per-set rotations indexed by mixed-radix digits,
+    // copies at distance 405 share the set-1/2/3 elements and differ
+    // ONLY in the 3-letter rare set "qjz" (~1.5% of chars) — whole
+    // cross-copy near-duplicate doc pairs (J ≈ 0.85) that inflated
+    // minhash candidate mass 4.4× at ×729 and 7.7× at ×2187 over the
+    // within-copy-linear expectation, and grew t_jaccard's join volume
+    // past one node's disk (conservative for the engine — the planted
+    // pairs are GENUINE near-dups it processes correctly — but the
+    // decade ratios stop measuring the engine). Any family built from
+    // per-set rotations/reflections has ≤ 9·9·2 = 162 distinct
+    // frequent-set classes, so with >162 copies some pair differs only
+    // on rare letters BY PIGEONHOLE; the fix is the MAXIMAL group:
+    // π_set = Lehmer-unrank(c mod |set|!) of each set independently.
+    // Distinct copies c < 9! = 362,880 get DISTINCT set-1 AND set-2
+    // permutations outright, so EVERY copy pair differs on the
+    // corpus's most frequent letters with no special distances at all
+    // (the property no rotation family can give). Two uniform S₉
+    // elements agree on E[1] letter, so the expected unchanged char
+    // mass between any two copies is ~11% and cross-copy shingle
+    // survival ~0.11^(chars/shingle) — vanishing; the v6 ×243
+    // equivalence run against the v4 corpus (README round 14) is the
+    // measured check at an artifact-free decade. Within-copy shingle
+    // equality is preserved exactly as before (any char bijection);
+    // c = 0 is the identity permutation of every set, so the base
+    // slice stays byte-identical to the source table.
+    require(embOnly || copies <= 362880,
+      s"per-copy bijection period is 9! = 362880; got copies=$copies" +
         " — past it only the embeddings-only mode is defined (SPARK_GRAFT_STRESS_EMBONLY=1)")
-    def rotated(s: String, k: Int): String = s.drop(k) + s.take(k)
-    def rotRef(s: String, k: Int, b: Int): String =
-      rotated(if (b == 1) s.reverse else s, k)
-    def scrambled(c: Int) = {
-      val b = (c / 1215) % 2
+    def scrambled(c: Int) =
       if (c == 0) col("text")
       else translate(translate(translate(translate(
-        col("text"), rot1, rotRef(rot1, c % rot1.length, b)),
-        rot2, rotRef(rot2, (c / rot1.length) % rot2.length, b)),
-        rot3, rotated(rot3, (c / (rot1.length * rot2.length)) % rot3.length)),
-        rot4, rotated(rot4, (c / (rot1.length * rot2.length * rot3.length)) % rot4.length))
-    }
+        col("text"), rot1, StressGen.perm(rot1, c)),
+        rot2, StressGen.perm(rot2, c, second = true)),
+        rot3, StressGen.perm(rot3, c)),
+        rot4, StressGen.perm(rot4, c))
 
     if (!embOnly) {
       val docs = Tables.documents(spark, baseDir)
@@ -626,5 +623,84 @@ object ScaleStress {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
+  }
+}
+
+/** The stress generator's per-copy character-set permutations (v6,
+  * round 14) — a dedicated object so StressGenSpec can pin the
+  * decorrelation properties the ×243/×729/×2187 text decades depend on.
+  *
+  * [[perm]](set, c) = Lehmer-unrank((c · [[Stride]]) mod |set|!) of the
+  * set's characters. Three properties, each the fix for a MEASURED
+  * generator defect:
+  *
+  *   - FULL-GROUP, not rotations: any family built from per-set
+  *     rotations/reflections has ≤ 9·9·2 = 162 distinct frequent-set
+  *     classes, so past 162 copies some copy pair differs only on the
+  *     rare sets by pigeonhole — measured as cross-copy near-duplicate
+  *     doc pairs (J ≈ 0.85 at copy distance 405) inflating minhash
+  *     candidate mass 4.4× at ×729 / 7.7× at ×2187 (ProfileTextMass,
+  *     the v4/v5 rotation family).
+  *   - STRIDED index, not raw c: Lehmer unranking of a SMALL index
+  *     permutes only the string's tail — raw k = c < 6! fixes the
+  *     first three characters of a 9-set, so high-frequency words
+  *     spelled from two sets' prefix letters ("data": d∈set2[0],
+  *     a,t∈set1[1,2]) were INVARIANT in every copy < 720 — measured as
+  *     Σ_h C(df_h, 2) merging across ALL copies ("data data data"
+  *     df = 6 × copies) and keeping t_jaccard's join volume ~2×
+  *     super-linear even under the first Lehmer cut. The stride is
+  *     coprime to 9! (and to 5!, 3!), so c ↦ c·Stride mod |set|! stays
+  *     INJECTIVE per 9-set — distinct copies < 9! get distinct set-1
+  *     permutations — while consecutive copies land far apart in the
+  *     factorial number system and every Lehmer digit varies.
+  *   - c = 0 is the identity (k = 0 unranks to the set itself), so the
+  *     base slice is byte-identical to the source table.
+  *
+  * Within-copy shingle equality is preserved exactly as before: each
+  * set maps onto itself, the sets are disjoint, so the composition is
+  * a character bijection and bijections preserve string equality.
+  */
+private[graft] object StressGen {
+  /** Per-set-size multiplicative strides, each coprime to the set's
+    * factorial period so c ↦ c·stride mod |set|! stays injective. The
+    * 9-set strides sit near period/φ (golden-ratio multiplicative
+    * spread): a first cut used 181441 ≈ period/2 — injective but
+    * PATHOLOGICAL, the Lehmer first digit took ~2 values so HALF the
+    * copies fixed the set's first letter (measured: 1093/2187 fixed
+    * 'e', 359 copies left "data" invariant). With the φ strides the
+    * per-copy distributions read uniform: 243/2187 fix 'e' (= 1/9
+    * exactly), 2 copies leave "data" invariant (uniform expectation
+    * 3.4), mean fixed letters per 9-set 1.009 (uniform 1.0), mean
+    * unchanged char MASS across all four sets 12.2% — the numbers
+    * StressGenSpec pins. Distinct strides per set size decorrelate the
+    * sets (one shared index stream would make every set reuse the same
+    * Lehmer digit pattern).
+    */
+  private val Strides = Map(9 -> 224261L, 5 -> 77L, 3 -> 5L)
+
+  def factorial(n: Int): Long = (2 to n).foldLeft(1L)(_ * _)
+
+  /** The two 9-letter sets must not share a stride either — the SECOND
+    * 9-set gets its own φ-region coprime (139849).
+    */
+  def perm(set: String, c: Long): String = perm(set, c, second = false)
+
+  def perm(set: String, c: Long, second: Boolean): String = {
+    val stride = if (second && set.length == 9) 139849L else Strides(set.length)
+    val period = factorial(set.length)
+    val k0 = (c * stride) % period
+    val chars = scala.collection.mutable.ArrayBuffer[Char](set: _*)
+    val out = new StringBuilder(set.length)
+    var k = k0
+    var m = set.length
+    var f = factorial(m - 1)
+    while (m > 1) {
+      out += chars.remove((k / f).toInt)
+      k %= f
+      m -= 1
+      f /= m
+    }
+    out += chars.remove(0)
+    out.toString
   }
 }

@@ -313,7 +313,25 @@ object TextQ {
         .where(col("__df") <= maxDf).drop("__df")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = ex.as("a").join(ex.as("b"),
+      // pin the shingle self-join out of broadcast when the exploded
+      // side is big: repetitive long streams lz4-compress far under
+      // their in-memory size, so AQE's runtime re-plan can flip one
+      // side to a BroadcastHashJoin whose corpus-proportional hash
+      // relation builds single-threaded on the driver (jstack-measured
+      // on t_minhash's band join, round 14 — ~40 s of driver build at
+      // the ×243 decade; NearDup.candidatePairs has the incident). The
+      // probe counts rows EXACTLY via one eager job that also
+      // materializes the persist all three consumers share — the
+      // static estimate is unusable (Generate stats pass the child's
+      // sizeInBytes through). Catalog scale stays below threshold →
+      // no hint → plans byte-identical.
+      val exBig = {
+        val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(s)
+        thresh < 0 || ex.count() * (8L + 8L + 16L) > thresh
+      }
+      def noBcast(df: org.apache.spark.sql.DataFrame) =
+        if (exBig) df.hint("MERGE") else df
+      val inter = noBcast(ex.as("a")).join(noBcast(ex.as("b")),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("inter"))

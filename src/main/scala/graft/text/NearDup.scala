@@ -50,11 +50,37 @@ object NearDup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate pairs (idA < idB) from shared LSH buckets, deduped. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+  /** Candidate pairs (idA < idB) from shared LSH buckets, deduped.
+    *
+    * `noBroadcast = true` pins the self-join out of broadcast with
+    * MERGE (sort-merge) hints (AQE honors user hints; SHUFFLE_HASH was
+    * tried first and OOM'd at the ×729/×2187 decades — its
+    * per-partition build maps grow as N/P while the local stress fixes
+    * P = 32, whereas SMJ spills gracefully and is the exact plan the
+    * fast ×729 run executed) — see the broadcast-lie
+    * note in [[minHashDedupWithRelease]], which passes it from an EXACT
+    * row-count probe: band signatures are repetitive longs that lz4
+    * compresses far below their in-memory size, so AQE's runtime
+    * re-plan — reading COMPRESSED shuffle bytes against the broadcast
+    * threshold — materializes a BroadcastQueryStage whose
+    * corpus-proportional BytesToBytesMap relation builds single-threaded
+    * on the driver (jstack-caught, round 14: a 19.4 M-row build+
+    * serialize burned ~40 s of t_minhash's 81 s wall at the ×243 stress
+    * decade while every committed stage summed to ~32 s; the ×729 run,
+    * whose compressed stream happened to exceed the threshold, ran the
+    * same join as SMJ in 36 s — the measured non-monotonicity that
+    * exposed this). The static plan-statistics gate used elsewhere
+    * (Similarity.vectorSideTooBig) cannot work here: Catalyst's Generate
+    * (explode) stats pass the CHILD's sizeInBytes through, so the banded
+    * frame read 40 MB when its true size was ~850 MB.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     noBroadcast: Boolean = false): DataFrame = {
     val a = bands.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    def noBcast(df: DataFrame): DataFrame =
+      if (noBroadcast) df.hint("MERGE") else df
+    noBcast(a).join(noBcast(b), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -116,13 +142,44 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig",
       graft.functions.HashF.minhashPolySigHashes(col("hs"), bands * rowsPerBand))
-    val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol)
+    // EXACT size probe for the broadcast-lie guard (one eager agg that
+    // also materializes the persist the whole pipeline shares — the
+    // dupGroups pattern): when the banded or exploded-shingle frame is
+    // big, the self-/verify joins are pinned out of broadcast with
+    // SHUFFLE_HASH hints. AQE's runtime re-plan reads COMPRESSED shuffle
+    // bytes against the 64 MB threshold, and both frames are repetitive
+    // longs that lz4 compresses far below their in-memory size — at the
+    // ×243 stress decade AQE materialized a BroadcastQueryStage whose
+    // 19.4 M-row relation built single-threaded on the driver for ~40 s
+    // of t_minhash's 81 s wall (jstack-caught; the candidatePairs
+    // scaladoc has the full incident). The STATIC plan-statistics gate
+    // is unusable here — Generate (explode) stats pass the child's
+    // sizeInBytes through, reading 40 MB for the ~850 MB banded frame —
+    // so the probe counts rows exactly and prices them with the row
+    // layouts (8 B id + 4 B band + rowsPerBand longs + ~16 B row
+    // overhead per banded row; id + hash + overhead per shingle row).
+    // Catalog scale (≤ a few thousand docs) stays far below threshold →
+    // no hints → plans byte-identical (PLANS gate).
+    val probe = sh.agg(count(lit(1)), sum(size(col("hs")))).head()
+    val nDocs = probe.getLong(0)
+    val nShingles = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val bcastThresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(docs.sparkSession)
+    val bandedBytes = nDocs * bands * (8L + 4L + 8L * rowsPerBand + 16L)
+    val exByts = nShingles * (8L + 8L + 16L)
+    val bandsBig = bcastThresh < 0 || bandedBytes > bcastThresh
+    val exBig = bcastThresh < 0 || exByts > bcastThresh
+    val cands = candidatePairs(lshBands(sig, idCol, "sig", bands, rowsPerBand), idCol,
+      noBroadcast = bandsBig)
     val sizes = sh.select(col(idCol), size(col("hs")).as("nsh"))
     val ex = sh.select(col(idCol), explode(col("hs")).as("h"))
+    def noBcast(df: DataFrame): DataFrame = if (exBig) df.hint("MERGE") else df
     val inter = cands
-      .join(ex.select(col(idCol).as("id_a"), col("h")), "id_a")
-      .join(ex.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .join(noBcast(ex.select(col(idCol).as("id_a"), col("h"))), "id_a")
+      .join(noBcast(ex.select(col(idCol).as("id_b"), col("h"))), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // sizes stays un-hinted: one 12-byte row per doc — its broadcast
+    // build is sub-second at any decade measured, and hinting it would
+    // force a shuffle of the (small) verified-pair stream for nothing
     val verified = inter
       .join(sizes.select(col(idCol).as("id_a"), col("nsh").as("na")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("nsh").as("nb")), "id_b")
