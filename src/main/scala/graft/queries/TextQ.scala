@@ -327,7 +327,13 @@ object TextQ {
       // no hint → plans byte-identical.
       val exBig = {
         val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(s)
-        thresh < 0 || ex.count() * (8L + 8L + 16L) > thresh
+        // cheap one-pass length probe, NOT ex.count(): counting ex runs
+        // the df-window chain serially before the query proper (+0.9 s
+        // per catalog pass in the round-14 bench diff); ~1 shingle per
+        // 5 chars errs high, and both decisions sit ≥ 10× from the
+        // threshold (sf0.1 ~7 MB vs 64 MB; ×243 ~1.7 GB)
+        val estBytes = docs.agg(sum(length(col("text")))).head.getLong(0) / 5 * (8L + 8L + 16L)
+        thresh < 0 || estBytes > thresh
       }
       def noBcast(df: org.apache.spark.sql.DataFrame) =
         if (exBig) df.hint("MERGE") else df

@@ -142,27 +142,30 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig",
       graft.functions.HashF.minhashPolySigHashes(col("hs"), bands * rowsPerBand))
-    // EXACT size probe for the broadcast-lie guard (one eager agg that
-    // also materializes the persist the whole pipeline shares — the
-    // dupGroups pattern): when the banded or exploded-shingle frame is
-    // big, the self-/verify joins are pinned out of broadcast with
-    // SHUFFLE_HASH hints. AQE's runtime re-plan reads COMPRESSED shuffle
-    // bytes against the 64 MB threshold, and both frames are repetitive
-    // longs that lz4 compresses far below their in-memory size — at the
-    // ×243 stress decade AQE materialized a BroadcastQueryStage whose
-    // 19.4 M-row relation built single-threaded on the driver for ~40 s
-    // of t_minhash's 81 s wall (jstack-caught; the candidatePairs
-    // scaladoc has the full incident). The STATIC plan-statistics gate
-    // is unusable here — Generate (explode) stats pass the child's
-    // sizeInBytes through, reading 40 MB for the ~850 MB banded frame —
-    // so the probe counts rows exactly and prices them with the row
-    // layouts (8 B id + 4 B band + rowsPerBand longs + ~16 B row
-    // overhead per banded row; id + hash + overhead per shingle row).
-    // Catalog scale (≤ a few thousand docs) stays far below threshold →
-    // no hints → plans byte-identical (PLANS gate).
-    val probe = sh.agg(count(lit(1)), sum(size(col("hs")))).head()
+    // Size probe for the broadcast-lie guard: when the banded or
+    // exploded-shingle frame is big, the self-/verify joins are pinned
+    // out of broadcast with MERGE hints. AQE's runtime re-plan reads
+    // COMPRESSED shuffle bytes against the 64 MB threshold, and both
+    // frames are repetitive longs that lz4 compresses far below their
+    // in-memory size — at the ×243 stress decade AQE materialized a
+    // BroadcastQueryStage whose 19.4 M-row relation built
+    // single-threaded on the driver for ~40 s of t_minhash's 81 s wall
+    // (jstack-caught; the candidatePairs scaladoc has the full
+    // incident). The STATIC plan-statistics gate is unusable — Generate
+    // (explode) stats pass the child's sizeInBytes through, reading
+    // 40 MB for the ~850 MB banded frame — so the probe runs ONE cheap
+    // eager pass over the raw text lengths (a first cut aggregated the
+    // persisted shingle frame itself: exact, but it serialized the
+    // shingle kernel + persist write onto the probe and read +0.3-0.9 s
+    // per catalog query in the round-14 bench diff). Estimates err
+    // HIGH (~1 shingle per 5 chars; true ≈ chars/5.3 − 2 per doc) so
+    // the hint can only engage early — and both decisions sit ≥ 10×
+    // from the threshold at the scales that matter (sf0.1: banded
+    // ~3.5 MB, shingles ~7 MB vs 64 MB → no hints, plans
+    // byte-identical; ×243: ~0.85/1.7 GB → hints).
+    val probe = docs.agg(count(lit(1)), sum(length(col(textCol)))).head()
     val nDocs = probe.getLong(0)
-    val nShingles = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val nShingles = if (probe.isNullAt(1)) 0L else probe.getLong(1) / 5
     val bcastThresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(docs.sparkSession)
     val bandedBytes = nDocs * bands * (8L + 4L + 8L * rowsPerBand + 16L)
     val exByts = nShingles * (8L + 8L + 16L)
