@@ -232,10 +232,15 @@ object ScaleStress {
     require(!embOnly || signFlip || copies <= 2048,
       "embeddings-only generation past the affine period needs SPARK_GRAFT_STRESS_SIGNFLIP=1")
     // text-bearing generations are v6 (Lehmer permutations — round 14);
-    // embeddings-only dirs keep the old version rule (their transform is
-    // untouched, so cached e-dirs stay valid)
+    // embeddings-only dirs keep the FROZEN two-tier rule (v4 > 405, v3
+    // otherwise): the embedding transform (affine coordinate
+    // permutation + optional sign flips) has been untouched since the
+    // v3/v4 text bumps it rode along with, so cached e-dirs stay valid
+    // across text-generator versions — round 15 removed a leaked v5
+    // tier (>1215) that silently invalidated faedd20-era v4e caches
+    // whose bytes were identical to what regeneration would produce
     val genTag = s"${if (!embOnly) "v6"
-        else if (copies > 1215) "v5" else if (copies > 405) "v4" else "v3"}" +
+        else if (copies > 405) "v4" else "v3"}" +
       s"${if (signFlip) "s" else ""}${if (embOnly) "e" else ""}" +
       s"${if (docsOnly) "d" else ""}-copies$copies"
     val marker = new java.io.File(s"$outDir/_GEN")

@@ -320,19 +320,21 @@ object TextQ {
       // relation builds single-threaded on the driver (jstack-measured
       // on t_minhash's band join, round 14 — ~40 s of driver build at
       // the ×243 decade; NearDup.candidatePairs has the incident). The
-      // probe counts rows EXACTLY via one eager job that also
-      // materializes the persist all three consumers share — the
-      // static estimate is unusable (Generate stats pass the child's
-      // sizeInBytes through). Catalog scale stays below threshold →
-      // no hint → plans byte-identical.
+      // probe is a cheap one-pass LENGTH ESTIMATE over the raw docs —
+      // the static estimate is unusable (Generate stats pass the
+      // child's sizeInBytes through). Catalog scale stays below
+      // threshold → no hint → plans byte-identical.
       val exBig = {
         val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(s)
         // cheap one-pass length probe, NOT ex.count(): counting ex runs
         // the df-window chain serially before the query proper (+0.9 s
         // per catalog pass in the round-14 bench diff); ~1 shingle per
         // 5 chars errs high, and both decisions sit ≥ 10× from the
-        // threshold (sf0.1 ~7 MB vs 64 MB; ×243 ~1.7 GB)
-        val estBytes = docs.agg(sum(length(col("text")))).head.getLong(0) / 5 * (8L + 8L + 16L)
+        // threshold (sf0.1 ~7 MB vs 64 MB; ×243 ~1.7 GB). sum() is
+        // null on an empty table — the NearDup probe's isNullAt guard.
+        val r = docs.agg(sum(length(col("text")))).head()
+        val chars = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val estBytes = chars / 5 * (8L + 8L + 16L)
         thresh < 0 || estBytes > thresh
       }
       def noBcast(df: org.apache.spark.sql.DataFrame) =

@@ -559,6 +559,15 @@ object Similarity {
     // node), scoped to this materialization and restored in `finally`;
     // the downstream join reads the persisted frame, never re-planning
     // the aggregate.
+    // CONCURRENCY ASSUMPTION: the raise mutates SESSION-scoped conf, so
+    // a query running concurrently on the same SparkSession during
+    // thr.count() would plan its ObjectHashAggregates under the raised
+    // threshold (harmless for map-side-bounded aggregates, a larger
+    // hash map for unbounded ones), and the finally-restore could
+    // clobber a concurrent conf change. This repo's harnesses are
+    // sequential per session; a library consumer running concurrent
+    // queries should hand this op its own spark.newSession() (conf is
+    // per-session state — a cloned session isolates the raise).
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val fbPrev = spark.conf.get(fbKey)
     val nQueries =
