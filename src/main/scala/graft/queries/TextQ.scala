@@ -328,13 +328,17 @@ object TextQ {
         val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(s)
         // cheap one-pass length probe, NOT ex.count(): counting ex runs
         // the df-window chain serially before the query proper (+0.9 s
-        // per catalog pass in the round-14 bench diff); ~1 shingle per
-        // 5 chars errs high, and both decisions sit ≥ 10× from the
-        // threshold (sf0.1 ~7 MB vs 64 MB; ×243 ~1.7 GB). sum() is
-        // null on an empty table — the NearDup probe's isNullAt guard.
+        // per catalog pass in the round-14 bench diff); chars/4 errs
+        // high BY THEOREM (kept tokens are ≥ 3 chars + a separator, so
+        // distinct shingles ≤ (chars+1)/4 — ProbeBoundSpec; round 15
+        // replaced the chars/5 natural-text estimate a dense
+        // 3-char-token corpus beat by 1.25×), and both decisions sit
+        // ≥ 7× from the threshold (sf0.1 ~9 MB vs 64 MB; ×243
+        // ~2.1 GB). sum() is null on an empty table — the NearDup
+        // probe's isNullAt guard.
         val r = docs.agg(sum(length(col("text")))).head()
         val chars = if (r.isNullAt(0)) 0L else r.getLong(0)
-        val estBytes = chars / 5 * (8L + 8L + 16L)
+        val estBytes = (chars + 1) / 4 * (8L + 8L + 16L)
         thresh < 0 || estBytes > thresh
       }
       def noBcast(df: org.apache.spark.sql.DataFrame) =

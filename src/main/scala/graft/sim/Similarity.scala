@@ -535,33 +535,23 @@ object Similarity {
   private def topKViaBounds(bounds: DataFrame, v: DataFrame, idCol: String,
                             k: Int, thresholdRank: Int, dedup: Boolean): DataFrame = {
     val spark = bounds.sparkSession
-    val thr = bounds
-      .groupBy("query_id")
-      .agg(graft.functions.AggF.topKNeighbors(col("neighbor_id"), col("__lb"),
-        thresholdRank).as("__tk"))
-      .select(col("query_id"),
-        when(size(col("__tk")) < thresholdRank, lit(Double.NegativeInfinity))
-          // bar deflated one 6dp rounding quantum + the f32-rescore
-          // drift (+ headroom): see the post-rounding dominance
-          // argument and margin budget in the scaladoc
-          .otherwise(element_at(col("__tk"), thresholdRank).getField("cos") - 1.5e-6)
-          .as("__thr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // size-aware bar join (one corpus-proportional count on the persisted
-    // bar frame — the only eager step this op adds): within
-    // BarBroadcastMaxRows the bar BROADCASTS and the survivor filter
-    // fuses into the candidate join's stage — the candidate stream never
-    // crosses an exchange; past the cap it co-partitions on query_id
-    // (24 B/row, payload-free) instead — never a sort, never a payload.
-    // The count executes the bar aggregate with the RAISED
-    // ObjectHashAggregate fallback threshold (see barFallbackKeys — the
-    // default 128-key sort fallback spills the candidate volume on one
-    // node), scoped to this materialization and restored in `finally`;
-    // the downstream join reads the persisted frame, never re-planning
-    // the aggregate.
+    // The RAISED ObjectHashAggregate fallback threshold (see
+    // barFallbackKeys — the default 128-key sort fallback spills the
+    // candidate volume on one node) must be set BEFORE the bar frame is
+    // built and persisted: CacheManager plans the InMemoryRelation's
+    // child physical plan at persist() REGISTRATION, with the session
+    // conf as of that moment — the round-14 shape raised the conf only
+    // around thr.count(), which executes the already-planned cached
+    // child, so the raise never reached the aggregate and the partial
+    // still sort-spilled the whole candidate stream (round-15
+    // ProfileIvf2lDecomp, stage-attributed: 11.18 GB spill and +10 s at
+    // ×729, 0.00 GB with this ordering; the ×2187 run's 34 GB
+    // "transient" was the same inert raise). Restored in `finally`
+    // after the count materializes the cache; the downstream join
+    // reads the persisted frame, never re-planning the aggregate.
     // CONCURRENCY ASSUMPTION: the raise mutates SESSION-scoped conf, so
-    // a query running concurrently on the same SparkSession during
-    // thr.count() would plan its ObjectHashAggregates under the raised
+    // a query planned concurrently on the same SparkSession inside this
+    // window would plan its ObjectHashAggregates under the raised
     // threshold (harmless for map-side-bounded aggregates, a larger
     // hash map for unbounded ones), and the finally-restore could
     // clobber a concurrent conf change. This repo's harnesses are
@@ -570,10 +560,29 @@ object Similarity {
     // per-session state — a cloned session isolates the raise).
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val fbPrev = spark.conf.get(fbKey)
-    val nQueries =
+    val (thr, nQueries) =
       try {
         spark.conf.set(fbKey, barFallbackKeys(thresholdRank).toString)
-        thr.count()
+        val t = bounds
+          .groupBy("query_id")
+          .agg(graft.functions.AggF.topKNeighbors(col("neighbor_id"), col("__lb"),
+            thresholdRank).as("__tk"))
+          .select(col("query_id"),
+            when(size(col("__tk")) < thresholdRank, lit(Double.NegativeInfinity))
+              // bar deflated one 6dp rounding quantum + the f32-rescore
+              // drift (+ headroom): see the post-rounding dominance
+              // argument and margin budget in the scaladoc
+              .otherwise(element_at(col("__tk"), thresholdRank).getField("cos") - 1.5e-6)
+              .as("__thr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // size-aware bar join (one corpus-proportional count on the
+        // persisted bar frame — the only eager step this op adds):
+        // within BarBroadcastMaxRows the bar BROADCASTS and the
+        // survivor filter fuses into the candidate join's stage — the
+        // candidate stream never crosses an exchange; past the cap it
+        // co-partitions on query_id (24 B/row, payload-free) instead —
+        // never a sort, never a payload.
+        (t, t.count())
       } finally spark.conf.set(fbKey, fbPrev)
     val thrSide =
       if (nQueries <= BarBroadcastMaxRows) broadcast(thr)

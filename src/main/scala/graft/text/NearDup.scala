@@ -157,15 +157,21 @@ object NearDup {
     // eager pass over the raw text lengths (a first cut aggregated the
     // persisted shingle frame itself: exact, but it serialized the
     // shingle kernel + persist write onto the probe and read +0.3-0.9 s
-    // per catalog query in the round-14 bench diff). Estimates err
-    // HIGH (~1 shingle per 5 chars; true ≈ chars/5.3 − 2 per doc) so
-    // the hint can only engage early — and both decisions sit ≥ 10×
-    // from the threshold at the scales that matter (sf0.1: banded
-    // ~3.5 MB, shingles ~7 MB vs 64 MB → no hints, plans
-    // byte-identical; ×243: ~0.85/1.7 GB → hints).
+    // per catalog query in the round-14 bench diff). chars/4 errs HIGH
+    // BY THEOREM, not by natural-text statistics (round-15, replacing
+    // the round-14 chars/5 estimate a dense 3-char-token corpus beat
+    // by 1.25×): the kernel keeps only [a-zA-Z_] runs of ≥ 3 chars as
+    // tokens, so every kept token consumes ≥ 3 chars plus a separator
+    // (except the last) and DISTINCT shingle count ≤ shingle positions
+    // ≤ kept tokens ≤ (chars+1)/4 — ProbeBoundSpec pins the bound on
+    // the adversarial extremes (3-char floods, CJK no-space,
+    // single-char floods, long words). The hint can only engage early —
+    // and both decisions sit ≥ 7× from the threshold at the scales
+    // that matter (sf0.1: banded ~3.5 MB, shingles ~9 MB vs 64 MB →
+    // no hints, plans byte-identical; ×243: ~0.85/2.1 GB → hints).
     val probe = docs.agg(count(lit(1)), sum(length(col(textCol)))).head()
     val nDocs = probe.getLong(0)
-    val nShingles = if (probe.isNullAt(1)) 0L else probe.getLong(1) / 5
+    val nShingles = if (probe.isNullAt(1)) 0L else (probe.getLong(1) + 1) / 4
     val bcastThresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(docs.sparkSession)
     val bandedBytes = nDocs * bands * (8L + 4L + 8L * rowsPerBand + 16L)
     val exByts = nShingles * (8L + 8L + 16L)

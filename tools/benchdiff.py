@@ -54,42 +54,53 @@ thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 qa, qb = a["queries"], b["queries"]
 
 # CPU calibration (present from round 7 under "calib"): normalize the
-# comparison by the machines' single-thread speed ratio so host drift
-# (same binary measuring 1.5-2x apart on different days) doesn't read
-# as a whole-catalog regression. min-of-passes rejects per-pass steal.
+# comparison by the machines' speed ratio so host drift (same binary
+# measuring 1.5-2x apart on different days) doesn't read as a
+# whole-catalog regression. min-of-passes rejects per-pass steal.
+#
+# DUAL-CALIB BRACKET (round 15, from the round-14 verdict #4 lesson):
+# a query's true host sensitivity sits between the single-thread rate
+# (serial stages: scan heads, driver steps) and the 32-thread rate
+# (parallel stages: shuffles, wide aggregates) — the round-14 session
+# measured st 0.83x vs r13 while mt/st WORSENED 1.07->1.11, so the
+# st-only normalization over-corrected and dozens of untouched queries
+# "read" ~1.2x until manually A/B-exonerated. Instead of guessing a
+# per-query blend, compute BOTH normalizations and flag a mover only
+# when it is outside the threshold under BOTH (the conservative end of
+# the bracket) — a row inside either bracket end is attributable to the
+# host regime, not the code.
 ca, cb = a.get("calib"), b.get("calib")
-speed = 1.0
+speed_st = speed_mt = 1.0
 if ca and cb and ca.get("st") and cb.get("st"):
-    speed = min(cb["st"]) / min(ca["st"])
+    speed_st = min(cb["st"]) / min(ca["st"])
     con_a = min(ca["mt"]) / min(ca["st"])
     con_b = min(cb["mt"]) / min(cb["st"])
+    if ca.get("mt") and cb.get("mt"):
+        speed_mt = min(cb["mt"]) / min(ca["mt"])
+    else:
+        speed_mt = speed_st
     print(f"calib: old st={min(ca['st']):.3f}s mt/st={con_a:.2f} | "
           f"new st={min(cb['st']):.3f}s mt/st={con_b:.2f} | "
-          f"new machine {speed:.2f}x old's per-core time — ratios below are calib-normalized")
-    # st captures per-core speed but the queries run at local[32]; if the
-    # CONTENTION regime (mt/st) differs between rounds the st-only
-    # correction is wrong in the regime the queries actually ran in —
-    # warn rather than guess a blend, since the query-side mt sensitivity
-    # is unknown per query.
-    if max(con_a, con_b) / min(con_a, con_b) > 1.25:
-        print(f"WARNING: contention regimes differ (old mt/st {con_a:.2f} vs new "
-              f"{con_b:.2f}); the st-only normalization under- or over-corrects "
-              f"parallel stages — treat flagged rows as suggestive, not proof")
-    qb = {q: t / speed for q, t in qb.items()}
+          f"new machine st {speed_st:.2f}x / mt {speed_mt:.2f}x old — "
+          f"ratio column is st-normalized, rmt is mt-normalized; "
+          f"flags need BOTH >= {thr}")
+    qb = {q: t / speed_st for q, t in qb.items()}
 shared = sorted(set(qa) & set(qb), key=lambda q: -(qb[q] / max(qa[q], 1e-9)))
-print(f"{'query':18s} {'old':>8s} {'new':>8s} {'ratio':>6s}")
+print(f"{'query':18s} {'old':>8s} {'new':>8s} {'ratio':>6s} {'rmt':>6s}")
 for q in shared:
     r = qb[q] / max(qa[q], 1e-9)
-    flag = " <-- " if r >= thr else ""
+    # qb is already st-normalized; rescale to the mt normalization
+    r_mt = r * speed_st / speed_mt
+    flag = " <-- " if min(r, r_mt) >= thr else ""
     passes = ""
     if flag and "passes" in b and q in b["passes"]:
-        # per-pass times are normalized by the same calib speed as the
-        # min column so a flagged row's passes reconcile with its
+        # per-pass times are normalized by the same st calib speed as
+        # the min column so a flagged row's passes reconcile with its
         # displayed new/ratio values
-        passes = " passes=" + ",".join(f"{t / speed:.1f}" for t in b["passes"][q])
-        if speed != 1.0:
+        passes = " passes=" + ",".join(f"{t / speed_st:.1f}" for t in b["passes"][q])
+        if speed_st != 1.0:
             passes += " (calib-normalized)"
-    print(f"{q:18s} {qa[q]:8.2f} {qb[q]:8.2f} {r:6.2f}{flag}{passes}")
+    print(f"{q:18s} {qa[q]:8.2f} {qb[q]:8.2f} {r:6.2f} {r_mt:6.2f}{flag}{passes}")
 only_a = sorted(set(qa) - set(qb))
 only_b = sorted(set(qb) - set(qa))
 if only_a:
