@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import scala.util.chaining._
 
 /** Scale-stress harness (round-5 verdict #5): generate an sf≈1 dataset by
   * replicating sf0.1 `copies`× with RE-KEYED ids and DECORRELATED
@@ -37,6 +38,33 @@ import graft.core.Tables
   * Generation is skipped when outDir already has documents.parquet.
   */
 object ScaleStress {
+
+  /** Balanced-tree union of the per-copy frames. The former left-deep
+    * `reduce(_ unionAll _)` made Catalyst's eager per-call analysis
+    * O(copies²) in branch visits — fine through ×2187 (minutes), but
+    * the ×6561 generation pinned ONE driver core for >13 minutes inside
+    * the analyzer before writing a byte (round 15, top/jstack-observed).
+    * A balanced tree visits each leaf O(log copies) times instead;
+    * union is associative and the grouping preserves left-to-right
+    * branch order, so the produced ROWS are identical to the left-deep
+    * form (cached `_GEN`-tagged dirs stay valid).
+    */
+  private def unionBalanced(dfs: Seq[DataFrame]): DataFrame = {
+    def tree(xs: Seq[DataFrame]): DataFrame =
+      if (xs.sizeIs == 1) xs.head
+      else tree(xs.grouped(2).map {
+        case Seq(a, b) => a.unionAll(b)
+        case Seq(a) => a
+      }.toSeq)
+    val u = tree(dfs)
+    // one write task per branch × source partition: at ×6561 the write
+    // job's 6.5k serialized task RESULTS alone exceeded
+    // spark.driver.maxResultSize (1 GB) — and 6.5k ~0.5 MB parquet
+    // files are a bad layout for every downstream scan anyway. Bound
+    // the task count (content unchanged; only file layout differs,
+    // which the _GEN tag does not encode).
+    if (dfs.sizeIs > 512) u.coalesce(512) else u
+  }
 
   private val stressQueries =
     Seq("t_minhash", "t_dupgroups", "t_jaccard", "t_simhash", "t_pipeline",
@@ -543,7 +571,7 @@ object ScaleStress {
           (col("doc_id") + c * 1000000L).as("doc_id"),
           scrambled(c).as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionAll _)
+      }.pipe(unionBalanced)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
 
@@ -602,7 +630,7 @@ object ScaleStress {
           })
       emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
         permuted.as("embedding"), col("label"))
-    }.reduce(_ unionAll _)
+    }.pipe(unionBalanced)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     if (!embOnly) {
@@ -611,21 +639,21 @@ object ScaleStress {
         ev.select((col("event_id") + c * 10000000L).as("event_id"), col("ts"),
           (col("user_id") + c * 1000000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionAll _)
+      }.pipe(unionBalanced)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
       val ord = Tables.orders(spark, baseDir)
       (0 until copies).map { c =>
         ord.withColumn("o_orderkey", col("o_orderkey") + c * 100000000L)
           .withColumn("o_custkey", col("o_custkey") + c * 1000000L)
-      }.reduce(_ unionAll _)
+      }.pipe(unionBalanced)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
       val li = Tables.lineitem(spark, baseDir)
       (0 until copies).map { c =>
         li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
           .withColumn("l_suppkey", col("l_suppkey") + c * 1000000L)
-      }.reduce(_ unionAll _)
+      }.pipe(unionBalanced)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
   }

@@ -876,6 +876,91 @@ object Similarity {
       .select(col(idCol) +: extra.map(col) :+
         VectorF.twoLevelMemberships(col("__v"), col("__cells"), cProbe).as("lists"): _*)
 
+  /** SHARDED two-level probe frame — the partitioned-quantizer topology
+    * for the one OPEN boundary-ledger row (round-14 verdict optional
+    * #6): the broadcast form ships the ENTIRE nLists·dim structure to
+    * every task (≈ 0.5 GB at 2²⁰ lists — past ~10⁸ rows/shard the
+    * structure itself outgrows a literal broadcast and the 19.6 MB
+    * ×2187 task-closure warning is the early smell). This form
+    * broadcasts only the COARSE level (G = √nLists cells ≈ 1.5 MB at
+    * 10⁹ rows) and partitions the fines BY CELL — each executor holds
+    * only its shard of the quantizer:
+    *
+    *   1. coarse: rows find their cProbe nearest cells via the same
+    *      insertion-discipline kernel the union form uses
+    *      ([[graft.functions.NearestKernel]] over (cellIdx, gcent,
+    *      gcc) — identical (d, index) tie semantics);
+    *   2. shard join: (row, cell) pairs co-partition with the per-cell
+    *      fines frame (SHUFFLE_HASH pinned — broadcasting it would
+    *      rebuild the problem); each pair computes its CELL-LOCAL
+    *      (d, list) top-nProbe WITH distances
+    *      ([[graft.functions.FineKernel.fineTopK]]);
+    *   3. merge: one bounded aggregate per row re-ranks the ≤
+    *      cProbe·nProbe carried (d, list) pairs ([[graft.functions
+    *      .AggF.topKNeighbors]] on −d — same (d, list) lex order).
+    *
+    * Value-identical to the broadcast [[ivfTopKTwoLevel]] probe frame
+    * (same doubles, same tie-breaks — each cell's local top-nProbe is a
+    * superset of its contribution to the union's top-nProbe;
+    * TwoLevelShardedSpec pins equality incl. ties and the all-NaN
+    * degenerate row, which here needs the left join + empty-array
+    * coalesce). Cost: the row vector travels to its cProbe shards
+    * (cProbe × dim·8 B per row exchanged) + one bounded merge exchange,
+    * instead of nLists·dim·8 broadcast bytes × executors — the
+    * crossover favors sharding once nLists·dim·8 outgrows the
+    * broadcast ceiling, exactly the ledger row's regime.
+    */
+  private[graft] def probeFrameSharded(vIn: DataFrame, idCol: String,
+                                       tl: TwoLevelQuantizer, cProbe: Int,
+                                       nProbe: Int,
+                                       extra: Seq[String] = Nil): DataFrame = {
+    val cellsEx = tl.structure
+      .select(posexplode(col("__cells")))
+      .select(col("pos").cast("int").as("cell"), col("col").as("c"))
+    val coarseArr = cellsEx.agg(
+      array_sort(collect_list(struct(col("cell").as("list"),
+        col("c.gcent").as("centroid"), col("c.gcc").as("cc")))).as("__coarse"))
+    val finesByCell = cellsEx.select(col("cell"), col("c.fines").as("__fines"))
+    val probed = vIn.select(col(idCol), col("__v"))
+      .crossJoin(broadcast(coarseArr))
+      .select(col(idCol), col("__v"),
+        posexplode(VectorF.nearestLists(col("__v"), col("__coarse"), cProbe)))
+      .withColumnRenamed("pos", "__cr").withColumnRenamed("col", "cell")
+    val perCell = probed.join(finesByCell.hint("SHUFFLE_HASH"), "cell")
+      .select(col(idCol), col("__cr"),
+        posexplode(VectorF.fineTopK(col("__v"), col("__fines"), nProbe)))
+      .select(col(idCol), col("__cr"), col("pos").as("__fi"),
+        col("col.d").as("__d"), col("col.list").as("__l"))
+    // two merge regimes, matching the union kernel's semantics exactly:
+    //  - finite distances: (d, list)-lexicographic top-nProbe
+    //    (topKNeighbors on −d ties on id asc = list asc);
+    //  - an all-NaN row (NaN vector — vv poisons every distance): the
+    //    union kernel's strictly-closer insertion never REPLACES, so
+    //    its fill phase keeps the FIRST fineK fines of the first
+    //    cProbe cells in scan order — reproduced by (cellRank,
+    //    fineIdx) order over the NaN entries. Mixed finite/NaN rows
+    //    need a NaN CENTROID, which fitTwoLevelQuantizer cannot
+    //    produce (degenerate vectors are excluded from the fit).
+    val lists = perCell
+      .groupBy(idCol)
+      .agg(
+        graft.functions.AggF.topKNeighbors(col("__l").cast("long"), -col("__d"),
+          nProbe).as("__tk"),
+        slice(array_sort(collect_list(when(isnan(col("__d")),
+          struct(col("__cr"), col("__fi"), col("__l"))))), 1, nProbe).as("__nan"))
+      .select(col(idCol),
+        when(size(col("__tk")) > 0,
+          transform(col("__tk"), x => x.getField("neighbor_id").cast("int")))
+          .otherwise(transform(col("__nan"), x => x.getField("__l")))
+          .as("lists"))
+    // left + coalesce: a row with no candidate cells at all (e.g. a
+    // dim-mismatched vector) gets EMPTY lists from the union kernel;
+    // here it produces no merge rows and must re-enter as empty
+    vIn.select((col(idCol) +: extra.map(col)): _*)
+      .join(lists, Seq(idCol), "left")
+      .withColumn("lists", coalesce(col("lists"), array().cast("array<int>")))
+  }
+
   /** IVF (inverted-file) ANN: an MLlib k-means coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (the inverted
     * lists); each query probes its `nProbe` nearest centroids and scores

@@ -28,8 +28,34 @@ import org.apache.spark.sql.functions._
   * the exchanged volume is proportional to the contamination, not the
   * corpus. The final removal is a left-anti join against the flagged
   * id list, which AQE broadcasts when small (the expected case).
+  *
+  * The "corpus never shuffled" invariant holds UP TO the broadcast
+  * ceiling. Round 15 made the forced broadcast size-aware: a caller
+  * handing a corpus-PROPORTIONAL "benchmark" (ProfileBcastSweep's 2%
+  * corpus slice measured the shape monotone but the driver relation
+  * grows without bound) gets a SHUFFLE_HASH membership join instead —
+  * the corpus exchanges once on the gram hash rather than building a
+  * past-threshold driver relation. The probe is one cheap length agg
+  * over the benchmark (distinct grams ≤ whitespace tokens ≤
+  * (chars+1)/2 — errs high; eval-suite-sized benchmarks sit far under
+  * threshold, so the expected-case plan keeps the literal broadcast
+  * byte-for-byte).
   */
 object Decontaminate {
+
+  /** Size probe for the bench side: estimated in-memory bytes of the
+    * exploded gram frame, from one cheap agg over the benchmark text.
+    */
+  private def benchBig(benchmark: DataFrame, benchTextCol: String,
+                       rowBytes: Long): Boolean = {
+    val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(benchmark.sparkSession)
+    val r = benchmark.agg(sum(length(col(benchTextCol)))).head()
+    val chars = if (r.isNullAt(0)) 0L else r.getLong(0)
+    thresh < 0 || (chars + 1) / 2 * rowBytes > thresh
+  }
+
+  private def benchSide(bench: DataFrame, big: Boolean): DataFrame =
+    if (big) bench.hint("SHUFFLE_HASH") else broadcast(bench)
 
   /** Per-document contamination report: one row per corpus document
     * sharing ≥ 1 shingle hash with the benchmark — (id, n_shingles,
@@ -39,6 +65,7 @@ object Decontaminate {
   def report(corpus: DataFrame, idCol: String, textCol: String,
              benchmark: DataFrame, benchTextCol: String,
              shingleWidth: Int = 8): DataFrame = {
+    val big = benchBig(benchmark, benchTextCol, rowBytes = 24L)
     val bench = benchmark
       .select(explode(TextOps.wsShingleHashes(col(benchTextCol), shingleWidth)).as("__h"))
       .distinct()
@@ -47,7 +74,7 @@ object Decontaminate {
         TextOps.wsShingleHashes(col(textCol), shingleWidth).as("__hs"))
       .select(col("__id"), size(col("__hs")).as("n_shingles"),
         explode(col("__hs")).as("__h"))
-      .join(broadcast(bench), "__h")
+      .join(benchSide(bench, big), "__h")
       // n_shingles is functionally dependent on __id; grouping on both
       // avoids a first() aggregate
       .groupBy(col("__id").as(idCol), col("n_shingles"))
@@ -73,6 +100,7 @@ object Decontaminate {
   def benchReport(corpus: DataFrame, idCol: String, textCol: String,
                   benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
                   shingleWidth: Int = 8): DataFrame = {
+    val big = benchBig(benchmark, benchTextCol, rowBytes = 40L)
     val bench = benchmark
       .select(col(benchIdCol),
         array_distinct(TextOps.wsShingleHashes(col(benchTextCol), shingleWidth)).as("__hs"))
@@ -81,7 +109,7 @@ object Decontaminate {
     corpus
       .select(col(idCol).as("__doc"),
         explode(array_distinct(TextOps.wsShingleHashes(col(textCol), shingleWidth))).as("__h"))
-      .join(broadcast(bench), "__h")
+      .join(benchSide(bench, big), "__h")
       // n_grams is functionally dependent on the item id; grouping on
       // both avoids a first() aggregate
       .groupBy(col(benchIdCol), col("n_grams"))

@@ -118,20 +118,56 @@ object LineDedup {
       .join(frequent, candidateKey(minLineChars) === col("__key"))
       .select(col("__id"), col("__pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Broadcast-lie guard (round 15, the minhash-fix sweep): `hits` and
+    // the frames derived from it (`rebuilt`, `removed`) are ∝
+    // boilerplate — corpus-proportional on any corpus with prevalent
+    // repeated lines — and their repetitive long/prefix streams
+    // lz4-compress far below the 64 MB threshold, so AQE's
+    // compressed-size re-plan can broadcast them (ProfileBcastSweep
+    // census: the ×243 stress corpus ran ALL TEN joins as broadcasts,
+    // including the patch joins whose build side carries the REBUILT
+    // DOCUMENT TEXT of ~1.2 M affected docs, and read 14.7 s where
+    // ×729's SMJ plan read 12.0 s — wall non-monotone in corpus size).
+    // The probe is EXACT: one count on the persisted hit set — unlike
+    // the minhash probe this op has no catalog query, so eagerly
+    // materializing the persist its three consumers share costs
+    // nothing extra. The patch-join estimate errs HIGH: rebuilt rows ≤
+    // min(hits, docs) and a rebuilt text ≤ its original text, priced
+    // at the corpus mean doc length from one cheap length agg.
+    val bcastThresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(corpus.sparkSession)
+    val nHits = hits.count()
+    val hitsBig = bcastThresh < 0 || nHits * 24L > bcastThresh
+    // the patch decision is INDEPENDENT of the hit-set one: rebuilt
+    // rows carry document TEXT, so the frame prices past the threshold
+    // long before the 24 B/row hit set does (first cut gated it behind
+    // hitsBig and the ×243 census still showed the ~1 GB rebuilt frame
+    // broadcast)
+    val patchBig = bcastThresh < 0 || (nHits > 0 && {
+      val probe = corpus.agg(count(lit(1)), sum(length(col(textCol)))).head()
+      val nDocs = probe.getLong(0)
+      val avgDoc = if (probe.isNullAt(1) || nDocs == 0) 0L
+        else probe.getLong(1) / math.max(1L, nDocs)
+      math.min(nHits, nDocs) * (24L + avgDoc) > bcastThresh
+    })
+    def noBcastHits(df: DataFrame): DataFrame =
+      if (hitsBig) df.hint("MERGE") else df
+    def noBcastPatch(df: DataFrame): DataFrame =
+      if (patchBig) df.hint("MERGE") else df
     // re-assemble ONLY the affected documents: their kept lines, sorted
     // back into document order (array_sort on (pos, line) structs orders
     // by pos; pos is unique within a document)
     val rebuilt = linesOf(corpus, idCol, textCol)
-      .join(hits.select(col("__id")).distinct(), Seq("__id"), "left_semi")
-      .join(hits, Seq("__id", "__pos"), "left_anti")
+      .join(noBcastHits(hits.select(col("__id")).distinct()), Seq("__id"), "left_semi")
+      .join(noBcastHits(hits), Seq("__id", "__pos"), "left_anti")
       .groupBy("__id")
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x.getField("__line"))).as("__newtext"))
     val removed = hits.groupBy("__id").agg(count(lit(1)).as("__removed"))
     // patch join: the rebuilt/removed sides are ∝ boilerplate and
-    // AQE-broadcast in the expected case; untouched rows keep their
-    // original text column byte-for-byte
+    // AQE-broadcast in the expected case (small hit set → hint absent,
+    // plans byte-identical); untouched rows keep their original text
+    // column byte-for-byte
     val outCols = corpus.columns.map {
       case c if c == textCol =>
         when(col("__removed").isNotNull, coalesce(col("__newtext"), lit("")))
@@ -139,9 +175,9 @@ object LineDedup {
       case c => col(c)
     } :+ coalesce(col("__removed"), lit(0L)).as("lines_removed")
     val out = corpus
-      .join(rebuilt, col(idCol) === rebuilt("__id"), "left")
+      .join(noBcastPatch(rebuilt), col(idCol) === rebuilt("__id"), "left")
       .drop("__id")
-      .join(removed, col(idCol) === removed("__id"), "left")
+      .join(noBcastPatch(removed), col(idCol) === removed("__id"), "left")
       .select(outCols.toIndexedSeq: _*)
     (out, () => { hits.unpersist(); () })
   }

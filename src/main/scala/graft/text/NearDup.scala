@@ -278,6 +278,30 @@ object NearDup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Broadcast-lie guard for the banded simhash self-joins (round 15,
+    * extending the round-14 minhash fix per the verdict's sweep task):
+    * the banded frame is nDocs × nBands rows of repetitive
+    * (id, sig, band, bv) longs behind a Generate whose static stats
+    * pass the CHILD's sizeInBytes through, and AQE's runtime re-plan
+    * prices the lz4-COMPRESSED shuffle stream against the 64 MB
+    * broadcast threshold — at the ×243 stress decade it materialized a
+    * BroadcastQueryStage whose 10.9 M-row hash relation built on the
+    * driver while the ×729 stream priced above threshold and ran SMJ
+    * (ProfileBcastSweep census; the t_minhash incident's signature).
+    * The probe is ONE cheap count over the docs frame (metadata-only on
+    * a parquet scan); banded rows = nDocs × nBands EXACTLY, bytes
+    * estimated at in-memory row width. Catalog scale sits ≥ 30× under
+    * the threshold (sf0.1: ~2-3 MB vs 64 MB) → no hint, plans
+    * byte-identical.
+    */
+  private def simHashBandedBig(docs: DataFrame, nBands: Int,
+                               sigBytes: Int): Boolean = {
+    val thresh = org.apache.spark.sql.graftx.Bridge.broadcastThreshold(docs.sparkSession)
+    val nDocs = docs.count()
+    val bandedBytes = nDocs * nBands * (8L + sigBytes + 4L + 8L + 16L)
+    thresh < 0 || bandedBytes > thresh
+  }
+
   /** SimHash near-dup pairs (id_a < id_b, hamming ≤ `maxHamming`) via
     * pigeonhole banding: split the 64-bit signature into `maxHamming + 1`
     * bands — a pair within the Hamming budget cannot differ in every band,
@@ -289,6 +313,7 @@ object NearDup {
                    maxHamming: Int = 8): DataFrame = {
     val nb = maxHamming + 1
     val w = 64 / nb
+    val bandsBig = simHashBandedBig(docs, nb, sigBytes = 8)
     // both sides of the band self-join read the signatures — persist so
     // the tokenize+simhash kernel runs once per doc, not twice.
     // pinWidth: the tokenize+simhash kernel is the plan's serial head and
@@ -305,7 +330,9 @@ object NearDup {
             .bitwiseAND(lit((1L << width) - 1)).as("bv"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band"), col("bb.bv"))
-    val pairs = banded.as("a").join(banded.as("b"),
+    def noBcast(df: DataFrame): DataFrame =
+      if (bandsBig) df.hint("MERGE") else df
+    val pairs = noBcast(banded.as("a")).join(noBcast(banded.as("b")),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -345,6 +372,11 @@ object NearDup {
     val bandCuts = Seq(
       (0, 0, 12), (0, 12, 12), (0, 24, 12), (0, 36, 13), (0, 49, 13),
       (1, 0, 15), (1, 15, 15), (1, 30, 16), (1, 46, 16))
+    // array<long>(2) signature ≈ 24 B in-memory (see simHashBandedBig —
+    // the round-15 broadcast-lie guard; ProfileBcastSweep caught the
+    // ×243 banded self-join broadcasting a 10.9 M-row driver relation
+    // while ×729 ran SMJ)
+    val bandsBig = simHashBandedBig(docs, bandCuts.length, sigBytes = 24)
     val sigs = graft.core.Tables.pinWidth(docs)
       .select(col(idCol), simHash128(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -355,7 +387,9 @@ object NearDup {
             .bitwiseAND(lit((1L << w) - 1)).as("bv"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band"), col("bb.bv"))
-    val pairs = banded.as("a").join(banded.as("b"),
+    def noBcast(df: DataFrame): DataFrame =
+      if (bandsBig) df.hint("MERGE") else df
+    val pairs = noBcast(banded.as("a")).join(noBcast(banded.as("b")),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

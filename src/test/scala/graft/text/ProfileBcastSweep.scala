@@ -73,11 +73,18 @@ object ProfileBcastSweep {
       case other => sys.error(s"unknown family $other")
     }
 
+    // SWEEP_FINAL=1: execute the census df's OWN QueryExecution (an RDD
+    // count through AdaptiveSparkPlanExec) so the printed plan is the
+    // FINAL AQE plan — a noop write runs a separate QueryExecution and
+    // leaves this one's plan at its initial (static-stats) state, which
+    // is exactly the state the broadcast lie makes misleading
+    val finalPlan = sys.env.get("SWEEP_FINAL").contains("1")
     for (fam <- families; (dir, copies) <- dirs) {
       stages = Nil
       val t0 = System.nanoTime()
       val df = planOf(fam, dir)
-      df.write.format("noop").mode("overwrite").save()
+      if (finalPlan) df.queryExecution.executedPlan.execute().count()
+      else df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       val plan = df.queryExecution.executedPlan.toString
