@@ -161,4 +161,29 @@ object Capacity {
     */
   def simHashWide(corpusRows: Long, baseRows: Long = RefDocumentRows): Boolean =
     corpusRows > 30L * baseRows
+
+  /** Per-partition byte budget for a big-regime SHUFFLE_HASH build side
+    * ([[graft.sim.Similarity]]'s bounded hash joins). A shuffled-hash
+    * build map is pinned on-heap for the whole stage and CANNOT spill
+    * (`LongToUnsafeRowMap` grows by array doubling until the allocation
+    * itself fails) — so at a fixed partition count the per-partition
+    * build is ∝ corpus and eventually kills the executor outright
+    * instead of degrading. Measured (round 15): the ×6561 stress decade
+    * (13.1 M vectors, P = 32) died with `OutOfMemoryError` inside
+    * `ShuffledHashJoinExec.buildHashedRelation` on t_semdedup2's
+    * membership self-join — ~26 M build rows × ~140 B ≈ 115 MB per
+    * partition × 32 concurrent tasks plus doubling transients exceeded
+    * the 24 GB heap that had carried every decade through ×2187. On a
+    * real cluster the same arithmetic holds per executor core: any SHJ
+    * whose build side grows with the corpus at fixed parallelism is a
+    * latent OOM, which is why the bounded joins raise the JOIN's
+    * partition count (both sides repartitioned on the join key — the
+    * exchange the join needed anyway, just wider) once the estimated
+    * build bytes exceed this budget × the session partition count.
+    * 96 MB: ≤ ~3 GB of concurrent build memory at 32 cores with ~2×
+    * headroom for growth transients, while every committed stress row
+    * at ×729 and below — and all but t_embdup's at ×2187 — prices
+    * UNDER `parts × budget` and keeps its plan byte-identical.
+    */
+  val ShjBuildBytesPerPartition: Long = 96L << 20
 }

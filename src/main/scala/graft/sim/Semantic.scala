@@ -195,7 +195,7 @@ object Semantic {
     // prefilter is deterministic per pair, so multi-probe dedup
     // semantics are unchanged too
     val (pairs, bounded) = pairsFromMembers(member, v, idCol, threshold,
-      maxList, big, dedup = nProbe > 1)
+      maxList, big, dedup = nProbe > 1, memberFanout = nProbe)
     // assignment frame for the keep-policy re-pick: at nProbe = 1 the
     // cached member frame IS the nearest-list assignment (reused — no
     // second kernel pass, normalized to (id, list)); multi-probe
@@ -223,7 +223,7 @@ object Semantic {
     */
   private def pairsFromMembers(member: DataFrame, v: DataFrame, idCol: String,
                                threshold: Double, maxList: Int, big: Boolean,
-                               dedup: Boolean): (DataFrame, DataFrame) = {
+                               dedup: Boolean, memberFanout: Int): (DataFrame, DataFrame) = {
     val bounded = Similarity.capGroups(member, maxList, "list")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = if (!big) {
@@ -231,7 +231,11 @@ object Semantic {
       val b = bounded.select(col(idCol).as("id_b"), col("list"))
       a.join(b, "list").where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
-    } else Similarity.boundedPairJoin(bounded, idCol, Seq("list"), threshold)
+    } else Similarity.boundedPairJoin(bounded, idCol, Seq("list"), threshold,
+      // memberFanout = memberships per vector (the explode multiplier
+      // the optimizer's Generate stats cannot price — the caller's
+      // nProbe/cProbe); capGroups only shrinks, so this errs high
+      estBytes = Similarity.int8SideBytes(v, memberFanout))
     val cands = if (dedup) joined.distinct() else joined
     (Similarity.rescorePairs(cands, v, idCol, threshold), bounded)
   }
@@ -489,7 +493,7 @@ object Semantic {
     // no dedup shuffle (the flat nProbe = 1 argument); multi-probe pairs
     // can share up to cProbe lists → distinct
     val (pairs, bounded) = pairsFromMembers(member, v, idCol, threshold,
-      maxList, big, dedup = cProbe > 1)
+      maxList, big, dedup = cProbe > 1, memberFanout = cProbe)
     val assignment = if (cProbe == 1) bounded.select(col(idCol), col("list"))
       else mem.select(col(idCol), element_at(col("lists"), 1).as("list"))
     val release = () => {

@@ -99,6 +99,57 @@ object Similarity {
   private[sim] def hashHinted(side: DataFrame, big: Boolean): DataFrame =
     if (big) side.hint("SHUFFLE_HASH") else side
 
+  /** Big-regime SHUFFLE_HASH equi-join with a MEMORY-BOUNDED build side
+    * (round 15). The hinted joins below all build corpus-proportional
+    * hash maps — at the session's fixed partition count the per-
+    * partition build is ∝ N and a shuffled-hash build cannot spill, so
+    * past some decade it OOMs the executor outright (measured at ×6561,
+    * see [[Capacity.ShjBuildBytesPerPartition]]). When `estBytes` (the
+    * caller's estimate of the build side's in-map bytes) prices past
+    * `parts × budget`, BOTH sides repartition on the join key to the
+    * count that restores the budget — the exchange the join inserts
+    * anyway, just wider, so shuffle volume is unchanged and per-task
+    * build memory is bounded by construction at any corpus size (the
+    * partitions-∝-data rule a cluster runs, applied by the op instead
+    * of waited for from the session conf). Below the threshold the plan
+    * is byte-identical to the plain hinted join — catalog plans and
+    * every committed sub-×2187 stress row keep their shapes (PLANS
+    * gate). The explicit repartition pins this join's partition count
+    * away from AQE coalescing (and its skew splitting — the capGroups /
+    * salting guards own skew in these pipelines).
+    */
+  private[sim] def boundedHashJoin(probe: DataFrame, build: DataFrame,
+                                   keys: Seq[String], estBytes: BigInt): DataFrame = {
+    val parts = probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val budget = BigInt(Capacity.ShjBuildBytesPerPartition)
+    val need = ((estBytes + budget - 1) / budget).min(BigInt(1 << 20)).toInt
+    if (need > parts) {
+      val kc = keys.map(col)
+      probe.repartition(need, kc: _*)
+        .join(build.repartition(need, kc: _*).hint("SHUFFLE_HASH"), keys)
+    } else probe.join(build.hint("SHUFFLE_HASH"), keys)
+  }
+
+  /** Build-side byte estimates for [[boundedHashJoin]], derived from the
+    * prepped vector frame's optimizer size (cache-accurate once `v` is
+    * materialized; the schema-width scan estimate — same ballpark —
+    * before). The int8 payload row (id + key + dim×1 B quant + norm)
+    * is ~1/4 of the prepped f64 row (id + dim×8 B + norm) at dim ≥ 32 —
+    * erring HIGH, the safe side (more, smaller partitions). `fanout` is
+    * the explode multiplier (memberships per row / LSH tables): the
+    * optimizer cannot price a Generate (its stats pass the child's
+    * sizeInBytes through — the round-14 broadcast-lie mechanism), so
+    * the caller states it.
+    */
+  private[sim] def int8SideBytes(v: DataFrame, fanout: Int = 1): BigInt =
+    org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) * fanout / 4
+
+  /** [[int8SideBytes]]' f32 twin for the rescore joins' vector payload
+    * ([[vecPayload]] halves the per-element bytes).
+    */
+  private[sim] def f32SideBytes(v: DataFrame): BigInt =
+    org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) / 2
+
   /** The rescore joins' vector payload. Broadcast regime: the prepped
     * `array<double>` rows unchanged — catalog/bench-scale plans AND
     * numerics stay bit-for-bit (PLANS + oracle-hash gates). Too-big
@@ -140,11 +191,16 @@ object Similarity {
                                 threshold: Double): DataFrame = {
     val big = vectorSideTooBig(v) // one estimate; both sides are v
     val vp = vecPayload(v, idCol, big)
-    cands
-      .join(hashHinted(
-        vp.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), big), "id_a")
-      .join(hashHinted(
-        vp.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), big), "id_b")
+    // big regime: memory-bounded build sides (the f32 vector payload is
+    // corpus-proportional — ∝ N/P per partition at fixed P, the ×6561
+    // OOM class); below the budget the plan is the plain hinted join
+    val est = if (big) f32SideBytes(v) else BigInt(0)
+    def vJoin(probe: DataFrame, side: DataFrame, key: String): DataFrame =
+      if (big) boundedHashJoin(probe, side, Seq(key), est)
+      else probe.join(side, key)
+    vJoin(vJoin(cands,
+        vp.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a"),
+        vp.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         nanDiv(pairDot(big)(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .where(col("cos") >= threshold)
@@ -160,12 +216,15 @@ object Similarity {
                           k: Int): DataFrame = {
     val big = vectorSideTooBig(v) // one estimate; both sides are v
     val vp = vecPayload(v, idCol, big)
-    val pairs = cands
-      .join(hashHinted(
-        vp.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")), big),
-        "query_id")
-      .join(hashHinted(
-        vp.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")), big),
+    // same memory-bounded build rule as [[rescorePairs]]
+    val est = if (big) f32SideBytes(v) else BigInt(0)
+    def vJoin(probe: DataFrame, side: DataFrame, key: String): DataFrame =
+      if (big) boundedHashJoin(probe, side, Seq(key), est)
+      else probe.join(side, key)
+    val pairs = vJoin(vJoin(cands,
+        vp.select(col(idCol).as("query_id"), col("__v").as("va"), col("__n").as("na")),
+        "query_id"),
+        vp.select(col(idCol).as("neighbor_id"), col("__v").as("vb"), col("__n").as("nb")),
         "neighbor_id")
     topK(pairs, k, floatVecs = big)
   }
@@ -337,7 +396,8 @@ object Similarity {
             struct(lit(t).as("tbl"), packSignature(col("__p"), t, planes).as("sig"))): _*)).as("s"))
         .select(col(idCol), col("s.tbl"), col("s.sig"), col("__q"), col("__n"))
       val bounded = capGroups(q, maxBucket, "tbl", "sig")
-      val cands = boundedPairJoin(bounded, idCol, Seq("tbl", "sig"), threshold)
+      val cands = boundedPairJoin(bounded, idCol, Seq("tbl", "sig"), threshold,
+          estBytes = int8SideBytes(v, tables))
         .distinct()
       rescorePairs(cands, v, idCol, threshold)
     }
@@ -420,12 +480,13 @@ object Similarity {
     * knife edge.
     */
   private[sim] def boundedPairJoin(bounded: DataFrame, idCol: String,
-                                   keyCols: Seq[String], threshold: Double): DataFrame = {
+                                   keyCols: Seq[String], threshold: Double,
+                                   estBytes: BigInt): DataFrame = {
     val a = bounded.select(col(idCol).as("id_a") +: keyCols.map(col) :+
       col("__q").as("qa") :+ col("__n").as("na"): _*)
     val b = bounded.select(col(idCol).as("id_b") +: keyCols.map(col) :+
       col("__q").as("qb") :+ col("__n").as("nb"): _*)
-    a.join(hashHinted(b, big = true), keyCols)
+    boundedHashJoin(a, b, keyCols, estBytes)
       .where(col("id_a") < col("id_b"))
       .where(quantUpper(col("qa"), col("qb")) >=
         lit(threshold - F32CosDrift) * col("na") * col("nb"))
@@ -584,10 +645,12 @@ object Similarity {
         // never a sort, never a payload.
         (t, t.count())
       } finally spark.conf.set(fbKey, fbPrev)
-    val thrSide =
-      if (nQueries <= BarBroadcastMaxRows) broadcast(thr)
-      else hashHinted(thr, big = true)
-    val kept = bounds.join(thrSide, "query_id")
+    val kept = (if (nQueries <= BarBroadcastMaxRows)
+        bounds.join(broadcast(thr), "query_id")
+      else
+        // bar rows are (long, double) ≈ 28 B in-map; the count is exact
+        // (the cache-materializing count above), so the bound is too
+        boundedHashJoin(bounds, thr, Seq("query_id"), BigInt(nQueries) * 28))
       .where(col("__ub") >= col("__thr"))
       .select("query_id", "neighbor_id")
     val surv = if (dedup) kept.distinct() else kept
@@ -1014,7 +1077,7 @@ object Similarity {
         .select(col(idCol).as("neighbor_id"), col("list"),
           col("__q").as("qb"), col("__n").as("nb"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = probesQ.join(hashHinted(assignedQ, big = true), "list")
+      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"), int8SideBytes(v))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       // pairs unique by construction (one list per neighbor) → rank k,
@@ -1098,7 +1161,7 @@ object Similarity {
         col("__q").as("qa"), col("__n").as("na"),
         explode(col("lists")).as("list"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = probesQ.join(hashHinted(assignedQ, big = true), "list")
+      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"), int8SideBytes(v))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
@@ -1175,7 +1238,7 @@ object Similarity {
         col("__q").as("qa"), col("__n").as("na"),
         explode(col("lists")).as("list"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = probesQ.join(hashHinted(assignedQ, big = true), "list")
+      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"), int8SideBytes(v))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
@@ -1248,7 +1311,7 @@ object Similarity {
       val b = bounded.select(col(idCol).as("neighbor_id"), col("tbl"), col("sig"),
         col("__q").as("qb"), col("__n").as("nb"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = a.join(hashHinted(b, big = true), Seq("tbl", "sig"))
+      val bounds = boundedHashJoin(a, b, Seq("tbl", "sig"), int8SideBytes(v, tables))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k * tables, dedup = true)
