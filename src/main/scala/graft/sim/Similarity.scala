@@ -150,6 +150,29 @@ object Similarity {
   private[sim] def f32SideBytes(v: DataFrame): BigInt =
     org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) / 2
 
+  /** Total bytes of the bar aggregate's PARTIAL hash maps across all
+    * partitions — the second ∝ N/P term the bounds join's partition
+    * guard must price (round 15). The partial runs on the probe join's
+    * output partitions; a query's candidates live in its `probesPerRow`
+    * probed lists/buckets, so the map keys across all partitions total
+    * ≤ probesPerRow·N, each holding a ≤ `rank`-entry TopKBuf
+    * (~160 + 16·rank B with map-entry overhead — the [[barFallbackKeys]]
+    * constant). At fixed P this is ∝ N per task and CANNOT spill below
+    * the raised fallback threshold by design (the threshold exists to
+    * keep the partial's hash map); measured at ×6561 (13.1 M rows,
+    * P = 32): 4·N/P ≈ 1.6 M keys/task × 240 B, capped only by the
+    * 256 MB valve → ~8.6 GB of concurrent map memory on top of the SHJ
+    * builds — `OutOfMemoryError` inside `TopKNeighbors.update`. Pricing
+    * this term into the join guard widens the SAME exchange the
+    * candidates already cross, which splits the partial's key space
+    * (keys/partition = probesPerRow·N/P) without adding any pass; the
+    * partial's OUTPUT stays ≤ probesPerRow·N rows regardless of P, so
+    * the exchange into the final aggregate is unchanged. `rows` is
+    * exact — one count on the cached vector frame, big regime only.
+    */
+  private[sim] def barPartialBytes(rows: Long, probesPerRow: Int, rank: Int): BigInt =
+    BigInt(rows) * probesPerRow * (160L + 16L * rank)
+
   /** The rescore joins' vector payload. Broadcast regime: the prepped
     * `array<double>` rows unchanged — catalog/bench-scale plans AND
     * numerics stay bit-for-bit (PLANS + oracle-hash gates). Too-big
@@ -1077,7 +1100,8 @@ object Similarity {
         .select(col(idCol).as("neighbor_id"), col("list"),
           col("__q").as("qb"), col("__n").as("nb"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"), int8SideBytes(v))
+      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"),
+          int8SideBytes(v) + barPartialBytes(v.count(), nProbe, k))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       // pairs unique by construction (one list per neighbor) → rank k,
@@ -1161,7 +1185,8 @@ object Similarity {
         col("__q").as("qa"), col("__n").as("na"),
         explode(col("lists")).as("list"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"), int8SideBytes(v))
+      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"),
+          int8SideBytes(v) + barPartialBytes(v.count(), nProbe, k))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
@@ -1238,7 +1263,8 @@ object Similarity {
         col("__q").as("qa"), col("__n").as("na"),
         explode(col("lists")).as("list"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"), int8SideBytes(v))
+      val bounds = boundedHashJoin(probesQ, assignedQ, Seq("list"),
+          int8SideBytes(v) + barPartialBytes(v.count(), nProbe, k))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k, dedup = false)
@@ -1311,7 +1337,8 @@ object Similarity {
       val b = bounded.select(col(idCol).as("neighbor_id"), col("tbl"), col("sig"),
         col("__q").as("qb"), col("__n").as("nb"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
-      val bounds = boundedHashJoin(a, b, Seq("tbl", "sig"), int8SideBytes(v, tables))
+      val bounds = boundedHashJoin(a, b, Seq("tbl", "sig"),
+          int8SideBytes(v, tables) + barPartialBytes(v.count(), tables, k * tables))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k * tables, dedup = true)
