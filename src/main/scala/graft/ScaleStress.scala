@@ -126,6 +126,13 @@ object ScaleStress {
     * two-level scope; no catalog twin by design — the catalog stays
     * frozen at 88).
     */
+  /** The stress plan for one query — exposed for the Profile* A/B
+    * harnesses (same override table the timed runs use).
+    */
+  private[graft] def stressPlan(q: String, s: SparkSession, dir: String,
+                                copies: Int): org.apache.spark.sql.DataFrame =
+    stressFn(q)(s, dir, copies)
+
   private def stressFn(q: String): (SparkSession, String, Int) => org.apache.spark.sql.DataFrame =
     q match {
       // Overrides derive their parameters from graft.sim.Capacity (the
