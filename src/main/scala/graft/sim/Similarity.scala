@@ -144,11 +144,17 @@ object Similarity {
   private[sim] def int8SideBytes(v: DataFrame, fanout: Int = 1): BigInt =
     org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) * fanout / 4
 
-  /** [[int8SideBytes]]' f32 twin for the rescore joins' vector payload
-    * ([[vecPayload]] halves the per-element bytes).
+  /** [[int8SideBytes]]' f32 twin for the rescore joins' vector payload.
+    * [[vecPayload]] halves the per-element bytes, but the built
+    * `LongToUnsafeRowMap` costs ~2× its raw rows (key-index array +
+    * page slack + UnsafeRow padding) — the two roughly cancel, so the
+    * f64 estimate IS the in-map bound. The halved first cut
+    * underpriced the ×6561 rescore build (~106 MB data → ~185 MB in
+    * map per task × 32 concurrent) and the decade died in
+    * `LongToUnsafeRowMap.grow` on a 128 MiB page doubling.
     */
   private[sim] def f32SideBytes(v: DataFrame): BigInt =
-    org.apache.spark.sql.graftx.Bridge.sizeEstimate(v) / 2
+    org.apache.spark.sql.graftx.Bridge.sizeEstimate(v)
 
   /** Total bytes of the bar aggregate's PARTIAL hash maps across all
     * partitions — the second ∝ N/P term the bounds join's partition
