@@ -25,7 +25,7 @@ import graft.functions.VectorF
   *   - all `planes × tables` hyperplane projections come from ONE fold
   *     over the vector (the round-1 form ran one aggregate pass per bit).
   */
-object Similarity {
+object Similarity extends org.apache.spark.internal.Logging {
 
   /** Dot product of two vector columns, accumulated left-to-right in
     * double (codegen'd native loop).
@@ -122,13 +122,36 @@ object Similarity {
                                    keys: Seq[String], estBytes: BigInt): DataFrame = {
     val parts = probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val budget = BigInt(Capacity.ShjBuildBytesPerPartition)
-    val need = ((estBytes + budget - 1) / budget).min(BigInt(1 << 20)).toInt
+    val needRaw = ((estBytes + budget - 1) / budget).min(BigInt(1 << 20)).toInt
+    // Sanity cap at 256× the session partition count: a caller-stated
+    // estimate inflated by a wide un-materialized scan (optimizer
+    // sizeInBytes, not real bytes) must not pin a six-figure partition
+    // count AQE can then never coalesce. 256× parts × 96 MB is ~768 GB
+    // of priced build data on a 32-partition session — past what the
+    // session's hardware can process regardless, so the cap only binds
+    // where the ESTIMATE is broken; the warning below is the
+    // observability either way (round-16 ADVICE).
+    val need = math.min(needRaw, math.max(parts, 1) * 256)
     if (need > parts) {
+      logWarning(s"boundedHashJoin widening: estBytes=$estBytes budget=$budget " +
+        s"partitions $parts -> $need" +
+        (if (needRaw > need) s" (CAPPED from $needRaw at 256x session partitions — " +
+          "verify the caller's estimate)" else ""))
       val kc = keys.map(col)
       probe.repartition(need, kc: _*)
         .join(build.repartition(need, kc: _*).hint("SHUFFLE_HASH"), keys)
     } else probe.join(build.hint("SHUFFLE_HASH"), keys)
   }
+
+  /** In-map overhead factor for a shuffled-hash build's
+    * `LongToUnsafeRowMap` (key-index array + page slack + UnsafeRow
+    * padding): the built map costs ~2× its raw row bytes — measured on
+    * the ×6561 rescore build (commit 3b9f4d8: ~106 MB of f32 rows →
+    * ~185 MB in map per task). [[f32SideBytes]] bakes the factor in by
+    * NOT halving the f64 estimate; every other [[boundedHashJoin]]
+    * estimate computed from raw row bytes must multiply by it.
+    */
+  private[sim] val InMapFactor = 2
 
   /** Build-side byte estimates for [[boundedHashJoin]], derived from the
     * prepped vector frame's optimizer size (cache-accurate once `v` is
@@ -677,9 +700,12 @@ object Similarity {
     val kept = (if (nQueries <= BarBroadcastMaxRows)
         bounds.join(broadcast(thr), "query_id")
       else
-        // bar rows are (long, double) ≈ 28 B in-map; the count is exact
-        // (the cache-materializing count above), so the bound is too
-        boundedHashJoin(bounds, thr, Seq("query_id"), BigInt(nQueries) * 28))
+        // bar rows are (long, double) ≈ 28 B raw × the ~2× in-map
+        // overhead every LongToUnsafeRowMap build pays ([[InMapFactor]]
+        // — round-16 ADVICE: the raw figure underpriced the guard 2×);
+        // the count is exact (the cache-materializing count above)
+        boundedHashJoin(bounds, thr, Seq("query_id"),
+          BigInt(nQueries) * 28 * InMapFactor))
       .where(col("__ub") >= col("__thr"))
       .select("query_id", "neighbor_id")
     val surv = if (dedup) kept.distinct() else kept
@@ -1330,6 +1356,17 @@ object Similarity {
       // once per colliding table; see topKViaBounds for why that rank
       // stays lossless). Survivor occurrences — not all collisions —
       // feed the distinct, then the exact rescore.
+      //
+      // v is persisted HERE (ivfTopK's shape): it feeds the signature
+      // kernel, the guard's exact count, and the final rescore — the
+      // unpersisted first cut re-ran the whole prep kernel as an extra
+      // eager corpus pass just to price barPartialBytes (round-16
+      // ADVICE). The count below materializes the cache, which also
+      // makes int8SideBytes' optimizer estimate cache-accurate. Catalog
+      // regime (the branch above) is untouched — no persist, plans
+      // byte-identical.
+      v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusRows = v.count()
       val q = v.select(col(idCol),
           lshProjections(col("__v"), planes, tables).as("__p"),
           VectorF.quantI8(col("__v")).as("__q"), col("__n"))
@@ -1344,7 +1381,7 @@ object Similarity {
         col("__q").as("qb"), col("__n").as("nb"))
       val (ub, lb) = cosBounds(col("qa"), col("qb"), col("na"), col("nb"))
       val bounds = boundedHashJoin(a, b, Seq("tbl", "sig"),
-          int8SideBytes(v, tables) + barPartialBytes(v.count(), tables, k * tables))
+          int8SideBytes(v, tables) + barPartialBytes(corpusRows, tables, k * tables))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), ub.as("__ub"), lb.as("__lb"))
       topKViaBounds(bounds, v, idCol, k, thresholdRank = k * tables, dedup = true)

@@ -143,13 +143,40 @@ object ProfileShardedQuant {
 
     // undersized-ceiling plan census: under a 1 MB ceiling the sharded
     // plan must carry NO broadcast join beyond the explicit coarse
-    // crossJoin (BroadcastNestedLoopJoin on the 1-row coarse array)
+    // crossJoin (BroadcastNestedLoopJoin on the 1-row coarse array).
+    // The plan is captured from the EXECUTED QueryExecution via a
+    // QueryExecutionListener: the noop write runs its own
+    // QueryExecution, so `df.queryExecution.executedPlan` after the
+    // write is a SEPARATE, unexecuted AQE plan (isFinalPlan=false)
+    // whose string is the INITIAL plan — it cannot observe the runtime
+    // broadcast conversions this census exists to rule out (round-16
+    // ADVICE). The captured string is cut at AQE's "== Initial Plan =="
+    // section so the census counts only the final operators.
     spark.conf.set(thresholdKey, (1024 * 1024).toString)
+    @volatile var planCaptured = ""
+    val planListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        planCaptured = qe.executedPlan.toString
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(planListener)
     val plan1m = try {
-      val df = shardFrame
-      df.write.format("noop").mode("overwrite").save() // AQE-final plan
-      df.queryExecution.executedPlan.toString
-    } finally spark.conf.set(thresholdKey, savedThreshold)
+      shardFrame.write.format("noop").mode("overwrite").save()
+      // ExecutionListenerManager delivers on the async listener bus
+      var waited = 0
+      while (planCaptured.isEmpty && waited < 200) { Thread.sleep(100); waited += 1 }
+      require(planCaptured.nonEmpty, "census: executed plan never arrived on the listener bus")
+      require(!planCaptured.contains("isFinalPlan=false"),
+        "census: captured plan is not AQE-final — census would read the initial plan")
+      planCaptured.split("== Initial Plan ==")(0)
+    } finally {
+      spark.conf.set(thresholdKey, savedThreshold)
+      spark.listenerManager.unregister(planListener)
+    }
     val census = Seq("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin",
       "BroadcastNestedLoopJoin").map(j =>
       s"$j=${plan1m.sliding(j.length).count(_ == j)}")
