@@ -809,4 +809,8 @@ object HashF {
     Bridge.column(ShingleHash61(Bridge.expression(text), n))
   def chunkByTokens(text: Column, maxTokens: Int, overlap: Int): Column =
     Bridge.column(ChunkByTokens(Bridge.expression(text), maxTokens, overlap))
+  def textCounts(text: Column): Column =
+    Bridge.column(TextCounts(Bridge.expression(text)))
+  def bpeishCount(text: Column): Column =
+    Bridge.column(BpeishCount(Bridge.expression(text)))
 }

@@ -19,16 +19,32 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-zA-Z_]+"), t => length(t) >= 3)
 
-  /** Whitespace token count (LLM token-count baseline). */
+  /** Whitespace token count (LLM token-count baseline). One byte-pass
+    * kernel ([[graft.functions.TextCountKernel]]); [[wsTokenCountHof]]
+    * is the split/filter Column twin kept for the equivalence spec.
+    */
   def wsTokenCount(text: Column): Column =
+    graft.functions.HashF.textCounts(text).getField("ws_words")
+
+  /** Column-HOF formulation of [[wsTokenCount]] (spec-only twin). */
+  def wsTokenCountHof(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword count: letter runs + digit runs + single punctuation
     * marks — a deterministic regex proxy for tokenizer cost estimation.
-    * (Alternation without lookarounds so the same pattern runs on RE2
-    * engines for differential testing.)
+    * One counting byte-pass kernel ([[graft.functions.TextCountKernel]]
+    * — the regex form materialized every matched token into an array
+    * just to take its size); [[bpeishTokenCountHof]] is the regex twin
+    * kept for the equivalence spec.
     */
   def bpeishTokenCount(text: Column): Column =
+    graft.functions.HashF.bpeishCount(text)
+
+  /** Regex formulation of [[bpeishTokenCount]] (spec-only twin; the
+    * alternation has no lookarounds so the same pattern also runs on RE2
+    * engines for differential testing).
+    */
+  def bpeishTokenCountHof(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Long-document chunking: windows of at most `maxTokens` whitespace
@@ -64,10 +80,32 @@ object TextOps {
     * ratio and mean word length (LLM-pipeline quality heuristics).
     */
   def qualityScore(text: Column): Column = {
+    // all four counts from ONE byte pass (TextCountKernel — the former
+    // form ran two regexp_replace passes plus a split per doc, and the
+    // gate's pushed-down filter evaluated them a second time); the
+    // blend arithmetic below is unchanged, so the rounded double is
+    // bit-identical to the Hof twin (TextCountSpec pins it)
+    val c = graft.functions.HashF.textCounts(text)
+    val n = c.getField("n_chars").cast("double")
+    val alpha = c.getField("alpha").cast("double")
+    val punct = c.getField("punct").cast("double")
+    val words = c.getField("ws_words").cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val alphaRatio = when(n > 0, alpha / n).otherwise(0.0)
+    val punctPenalty = when(n > 0, least(punct / n * 10.0, lit(1.0))).otherwise(0.0)
+    val meanWord = when(words > 0, alpha / words).otherwise(0.0)
+    val wordScore = least(meanWord / lit(8.0), lit(1.0))
+    round(lenScore * 0.3 + alphaRatio * 0.4 + (lit(1.0) - punctPenalty) * 0.1 + wordScore * 0.2, 6)
+  }
+
+  /** Column-builtin formulation of [[qualityScore]] (spec-only twin —
+    * the pre-kernel implementation, kept for the equivalence spec).
+    */
+  def qualityScoreHof(text: Column): Column = {
     val n = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
-    val words = wsTokenCount(text).cast("double")
+    val words = wsTokenCountHof(text).cast("double")
     val lenScore = least(n / lit(500.0), lit(1.0))
     val alphaRatio = when(n > 0, alpha / n).otherwise(0.0)
     val punctPenalty = when(n > 0, least(punct / n * 10.0, lit(1.0))).otherwise(0.0)
