@@ -16,8 +16,15 @@ object GraphOps {
 
   /** Node degrees of an undirected edge list (edges deduped by caller). */
   def degrees(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
-    edges.select(col(src).as("node"))
-      .unionAll(edges.select(col(dst).as("node")))
+    // ONE pass over the edge list: explode each edge to its two
+    // endpoints. The former unionAll(select(src), select(dst)) planned
+    // the ENTIRE upstream of `edges` twice — for g_degree that was two
+    // scans + two joins + two distinct aggregations (AQE's stage cache
+    // reuses the map side at runtime, but each union branch still ran
+    // its own reduce-side dedup and final aggregate). Same multiset of
+    // nodes (explode keeps null endpoints as null rows, exactly like
+    // the union did), so the degree counts are identical.
+    edges.select(explode(array(col(src), col(dst))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 
   /** Link-prediction scores for node pairs (a < b) on one side of a

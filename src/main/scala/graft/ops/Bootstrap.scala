@@ -44,7 +44,14 @@ object Bootstrap {
     val sampled = draws.join(vals.select("__rid", "__v"), "__rid")
     val q = sampled.groupBy("b")
       .agg(expr(s"percentile(__v, ${alpha})").as("__q"))
-    sampled.join(q, "b")
+    // q is exactly n rows (one per replicate — a caller constant, not a
+    // data-dependent size), so broadcast it: the planner's static
+    // estimate for the percentile aggregate is unknown and it planned a
+    // SortMergeJoin, which re-shuffled and sorted the n·N-row sample by
+    // `b` (plan audit r16: SMJ + Exchange + 2 Sorts on the sample side)
+    // just to attach 20 quantile scalars. With the hint the sample flows
+    // straight from the index join into the final aggregation.
+    sampled.join(broadcast(q), "b")
       .groupBy("b")
       .agg(min("__q").as("var_a"),
         avg(when(col("__v") <= col("__q"), col("__v"))).as("es_a"),
