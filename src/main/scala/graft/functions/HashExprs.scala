@@ -620,7 +620,110 @@ object LangKernel {
     }
   private val labels = (pats.map(_._1) :+ "zh").map(UTF8String.fromString).toArray
 
+  // --- byte-pass tables (r16): the 22 UNIQUE stopwords ("la"/"de" are
+  // shared by es and fr — identical patterns scan independently, so one
+  // walk counts for both), as lowercase ASCII bytes, with a per-lang
+  // weight row. Indexed by word id; langOf(w) lists the langs whose
+  // score the word feeds.
+  private val uniqueWords: Array[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    langWords.foreach { case (_, ws) => ws.foreach(seen += _) }
+    seen.toArray
+  }
+  private val wordBytes: Array[Array[Byte]] =
+    uniqueWords.map(_.getBytes("US-ASCII"))
+  private val wordLangs: Array[Array[Int]] = uniqueWords.map { w =>
+    langWords.zipWithIndex.collect { case ((_, ws), li) if ws.contains(w) => li }.toArray
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 32 || (b >= 9 && b <= 13) // Java regex \s: [ \t\n\x0B\f\r]
+
+  @inline private def lower(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  /** One byte pass replacing the 24 `\sword\s` matcher runs (plus the
+    * lowercase copy and the padded concat) of [[langIdRegex]]. Exact on
+    * the regex semantics, including the non-overlapping CONSUMED-
+    * SEPARATOR quirk: a match eats its trailing `\s`, so of two equal
+    * stopword tokens separated by a SINGLE whitespace char only the
+    * first matches (each pattern scans independently, so the state is
+    * one last-match-end per unique word). ASCII-wise lowering is exact
+    * here because every stopword is pure ASCII — a token containing any
+    * non-ASCII byte can never equal one regardless of case folding.
+    * The padding's virtual separators at -1 and n fall out of the
+    * boundary arithmetic. zh scores 2x the non-ASCII code-point count
+    * of the ORIGINAL text (leading-byte count), same as the regex form.
+    */
   def langId(text: UTF8String): UTF8String = {
+    val n = text.numBytes
+    val nWords = wordBytes.length
+    val counts = new Array[Int](nWords)
+    // trailing-separator byte index of each word's previous match;
+    // MinValue/2 = none (padding makes index -1 a valid separator)
+    val lastEnd = new Array[Int](nWords)
+    java.util.Arrays.fill(lastEnd, Integer.MIN_VALUE / 2)
+    var zh = 0
+    var i = 0
+    while (i < n) {
+      if (isWs(text.getByte(i))) i += 1
+      else {
+        val s = i
+        while (i < n && !isWs(text.getByte(i))) {
+          val b = text.getByte(i)
+          if ((b & 0xc0) != 0x80 && (b & 0x80) != 0) zh += 1
+          i += 1
+        }
+        val e = i // exclusive token end = trailing separator index (n = virtual pad)
+        val len = e - s
+        if (len >= 1 && len <= 3) {
+          var w = 0
+          while (w < nWords) {
+            val wb = wordBytes(w)
+            if (wb.length == len) {
+              var k = 0
+              var eq = true
+              while (eq && k < len) {
+                if (lower(text.getByte(s + k)) != wb(k)) eq = false
+                k += 1
+              }
+              // leading separator index is s-1 (the pad at -1 when s=0);
+              // valid iff it lies strictly after the previous match's
+              // consumed trailing separator
+              if (eq && s - 1 > lastEnd(w)) {
+                counts(w) += 1
+                lastEnd(w) = e
+                w = nWords // a token equals at most one word
+              }
+            }
+            w += 1
+          }
+        }
+      }
+    }
+    val scores = new Array[Int](pats.length)
+    var w = 0
+    while (w < nWords) {
+      val ls = wordLangs(w)
+      var j = 0
+      while (j < ls.length) { scores(ls(j)) += counts(w); j += 1 }
+      w += 1
+    }
+    var bestIdx = 0
+    var bestScore = Integer.MIN_VALUE
+    var li = 0
+    while (li < scores.length) {
+      if (scores(li) > bestScore) { bestScore = scores(li); bestIdx = li }
+      li += 1
+    }
+    if (zh * 2 > bestScore) bestIdx = labels.length - 1
+    labels(bestIdx)
+  }
+
+  /** The pre-r16 matcher implementation, kept as the differential twin
+    * (LangIdKernelSpec pins [[langId]] ≡ this on adversarial inputs).
+    */
+  def langIdRegex(text: UTF8String): UTF8String = {
     val padded = " " + text.toLowerCase.toString + " "
     var bestIdx = 0
     var bestScore = Integer.MIN_VALUE
