@@ -488,7 +488,11 @@ object TextQ {
     // per-row columns (never recomputed per pair); the per-pair dot is
     // the codegen'd native expression.
     Q("s_knn", (s, dir) => {
-      val v = Tables.embeddings(s, dir)
+      // pinWidth: the brute-force dot-product stage is CPU-dense and the
+      // byte-sized embeddings scan is ONE split at bench scale — the
+      // whole query/neighbor cross ran as one task (the t_pipeline
+      // pathology, Tables.pinWidth scaladoc); no-op on a wide scan
+      val v = Tables.pinWidth(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nv", sqrt(VectorF.dotp(col("v"), col("v"))))
       val a = v.where(col("vec_id") % 10 === 0)
@@ -526,6 +530,10 @@ object TextQ {
     // — 48 plane projections, 12-bit signatures x 4 tables, bucket join,
     // exact rescoring, top-5 — replays in DuckDB and is hash-checked.
     Q("s_lsh", (s, dir) => {
+      // NOT pinWidth'd: measured 0.61 -> 0.84 s with the pin (lshTopK
+      // persists its prepped frame and runs several small actions — the
+      // extra eager exchange serializes ahead of them; the s_knn/s_ivf2
+      // pin logic does not transfer here)
       val v = Tables.embeddings(s, dir)
       Similarity.lshTopK(v, "vec_id", "embedding", k = 5, planes = 12, tables = 4)
         .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
@@ -625,7 +633,11 @@ object TextQ {
     // not SQL-replayable, so it stays out of the oracle catalog rather
     // than sitting as a permanent rows-only row.
     Q("s_ivf2", (s, dir) => {
-      val v = Tables.embeddings(s, dir)
+      // pinWidth: assignment/probe kernels and the candidate rescore are
+      // CPU-dense over a one-split scan at bench scale (stage-traced: the
+      // rescore ran as ONE 0.7 s task at 32 idle cores); no-op on a wide
+      // corpus scan
+      val v = Tables.pinWidth(Tables.embeddings(s, dir))
       Similarity.ivfTopKFixed(v, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
         .select(bi(col("query_id")).as("query_id"), bi(col("neighbor_id")).as("neighbor_id"),
           col("cos"), bi(col("rank")).as("rank"))
