@@ -202,6 +202,104 @@ object HashKernels {
     new GenericArrayData(Array[Any](s1, s2))
   }
 
+  @inline private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || b == '_'
+
+  /** Fused tokenizer → [[simhashPoly]]: ONE pass over the raw text
+    * bytes — no lowercase copy, no regex split, no token-string array.
+    * Tokens are maximal `[a-zA-Z_]` byte runs of length ≥ 3, lowered
+    * ASCII-wise, hashed incrementally with the same dual-prime folds +
+    * Lehmer mix; the sign-sum fold is unchanged. Same semantics
+    * contract as [[ShingleHashKernel.shingleHashes]] (which adjudicated
+    * the tokenizer fusion first): non-ASCII bytes are never `[a-zA-Z_]`
+    * so they separate tokens exactly like the regex split of the
+    * lowercased string, with the one documented divergence that exotic
+    * code points whose Java `toLowerCase` maps INTO ASCII (U+212A → 'k',
+    * U+0130 → 'i'+combining) tokenize as separators here.
+    * SimHashFusedSpec pins fused ≡ simhashPoly(tokens(text)).
+    */
+  def simhashPolyText(text: UTF8String): Long = {
+    val nb = text.numBytes
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < nb) {
+      if (isWordByte(text.getByte(i))) {
+        var h1 = 0L; var h2 = 0L
+        var len = 0
+        while (i < nb && isWordByte(text.getByte(i))) {
+          var c = text.getByte(i) & 0xffL
+          if (c >= 'A' && c <= 'Z') c += 32
+          h1 = (h1 * 31 + c) % P1
+          h2 = (h2 * 131 + c) % P2
+          len += 1
+          i += 1
+        }
+        if (len >= 3) {
+          val m1 = ((h1 + 1) * 48271L % M31 * 16807L) % M31
+          val m2 = ((h2 + 40503L) * 48271L % M31 * 16807L) % M31
+          val h = m1 * 2147483648L + m2
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+      } else i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Fused tokenizer → [[simhashPoly128]] (see [[simhashPolyText]]). */
+  def simhashPoly128Text(text: UTF8String): ArrayData = {
+    val nb = text.numBytes
+    val counts = new Array[Int](124)
+    var i = 0
+    while (i < nb) {
+      if (isWordByte(text.getByte(i))) {
+        var h1 = 0L; var h2 = 0L; var h3 = 0L; var h4 = 0L
+        var len = 0
+        while (i < nb && isWordByte(text.getByte(i))) {
+          var c = text.getByte(i) & 0xffL
+          if (c >= 'A' && c <= 'Z') c += 32
+          h1 = (h1 * 31 + c) % P1
+          h2 = (h2 * 131 + c) % P2
+          h3 = (h3 * 37 + c) % P1
+          h4 = (h4 * 137 + c) % P2
+          len += 1
+          i += 1
+        }
+        if (len >= 3) {
+          val m1 = ((h1 + 1) * 48271L % M31 * 16807L) % M31
+          val m2 = ((h2 + 40503L) * 48271L % M31 * 16807L) % M31
+          val m3 = ((h3 + 7) * 69621L % M31 * 48271L) % M31
+          val m4 = ((h4 + 1009L) * 69621L % M31 * 16807L) % M31
+          val w1 = m1 * 2147483648L + m2
+          val w2 = m3 * 2147483648L + m4
+          var b = 0
+          while (b < 62) {
+            if (((w1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            if (((w2 >>> b) & 1L) == 1L) counts(62 + b) += 1 else counts(62 + b) -= 1
+            b += 1
+          }
+        }
+      } else i += 1
+    }
+    var s1 = 0L; var s2 = 0L
+    var b = 0
+    while (b < 62) {
+      if (counts(b) > 0) s1 |= (1L << b)
+      if (counts(62 + b) > 0) s2 |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array[Any](s1, s2))
+  }
+
   /** MinHash signature with the poly hash: per shingle x = h61 mod
     * (2³¹−1); element s = min over shingles of the double-Lehmer mix
     * ((s·2654435761 + x + 1)·48271 mod M·16807) mod M. Empty input →
@@ -312,6 +410,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** SimHash64 via the cross-engine polynomial hash (codegen'd). */
+/** [[HashKernels.simhashPolyText]] as a codegen'd expression. */
+case class SimHashPolyText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_poly_text"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashPolyText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashPolyText($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPolyText =
+    copy(child = newChild)
+}
+
+/** [[HashKernels.simhashPoly128Text]] as a codegen'd expression. */
+case class SimHashPoly128Text(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash_poly128_text"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashPoly128Text(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashPoly128Text($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly128Text =
+    copy(child = newChild)
+}
+
 case class SimHashPoly(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash_poly"
@@ -894,6 +1016,10 @@ object HashF {
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def simhashPoly(tokens: Column): Column =
     Bridge.column(SimHashPoly(Bridge.expression(tokens)))
+  def simhashPolyText(text: Column): Column =
+    Bridge.column(SimHashPolyText(Bridge.expression(text)))
+  def simhashPoly128Text(text: Column): Column =
+    Bridge.column(SimHashPoly128Text(Bridge.expression(text)))
   def simhashPoly128(tokens: Column): Column =
     Bridge.column(SimHashPoly128(Bridge.expression(tokens)))
   def minhashSig(shingles: Column, numHashes: Int): Column =

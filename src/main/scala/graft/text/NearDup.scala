@@ -256,6 +256,14 @@ object NearDup {
     * [[simHashHof]] backs the kernel-equivalence spec.
     */
   def simHash(text: Column): Column =
+    // fused tokenizer→hash kernel (r16): the composed form split the
+    // lowered text into a token-string array per doc just to hash each
+    // token — the ShingleHashKernel lesson applied to simhash;
+    // SimHashFusedSpec pins fused ≡ composed
+    graft.functions.HashF.simhashPolyText(text)
+
+  /** Composed tokenize→hash formulation of [[simHash]] (spec-only twin). */
+  def simHashComposed(text: Column): Column =
     graft.functions.HashF.simhashPoly(TextOps.tokens(text))
 
   /** xxhash64-based SimHash (native one-pass kernel). */
@@ -348,6 +356,11 @@ object NearDup {
     * [[graft.functions.HashKernels.simhashPoly128]].
     */
   def simHash128(text: Column): Column =
+    // fused tokenizer→hash kernel (r16, see simHash)
+    graft.functions.HashF.simhashPoly128Text(text)
+
+  /** Composed tokenize→hash formulation of [[simHash128]] (spec twin). */
+  def simHash128Composed(text: Column): Column =
     graft.functions.HashF.simhashPoly128(TextOps.tokens(text))
 
   /** [[simHashPairs]] at the corpus-scale 124-bit signature width.

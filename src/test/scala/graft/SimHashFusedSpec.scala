@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.NearDup
+
+/** Differential spec for the r16 fused tokenizer→simhash kernels: the
+  * one-pass text forms must equal the composed
+  * `simhashPoly(tokens(text))` / `simhashPoly128(tokens(text))` exactly
+  * — token boundaries ([a-zA-Z_] runs), the ≥3-length filter, ASCII
+  * case folding and the sign-sum fold all ride the same pass.
+  */
+class SimHashFusedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    "",
+    "ab",                         // below the 3-char floor
+    "abc",
+    "the quick brown fox JUMPS over_the lazy dog",
+    "a bb ccc dddd",              // mixed lengths around the floor
+    "under_score_token and x_y_z",
+    "digits123break456tokens",    // digits separate
+    "punct.break,token;here",
+    "UPPER lower MiXeD CaSe",
+    "  leading and trailing  ",
+    "中文字符 break ascii 中 tokens",
+    "é accented ó breaks über tokens",
+    "___ ____ __",                // underscore-only tokens count
+    "repeat repeat repeat repeat",
+    (1 to 500).map(i => s"token$i word$i").mkString(" "))
+
+  test("fused simhash64 text kernel equals the composed tokenize->hash path") {
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+      NearDup.simHash(col("text")).as("fused"),
+      NearDup.simHashComposed(col("text")).as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"simhash64 mismatch id=${r.getLong(0)}")
+    }
+  }
+
+  test("fused simhash128 text kernel equals the composed tokenize->hash path") {
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+      NearDup.simHash128(col("text")).as("fused"),
+      NearDup.simHash128Composed(col("text")).as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"simhash128 mismatch id=${r.getLong(0)}")
+    }
+  }
+
+  test("fused kernels equal the composed path on randomized token soup") {
+    val vocab = Array("the", "ab", "abc", "ABC", "under_score", "x", "_",
+      "___", "token", "TOKEN", "中文", "é", "123", "a1b2c3", "", "word")
+    val seps = Array(" ", "", ".", ",", "\t", "\n", "9", " 中 ")
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 300).map { i =>
+      val k = rnd.nextInt(15)
+      (i.toLong, (0 until k).map(_ => vocab(rnd.nextInt(vocab.length)) +
+        seps(rnd.nextInt(seps.length))).mkString)
+    }
+    val df = docs.toDF("id", "text")
+    val out = df.select(col("id"),
+      NearDup.simHash(col("text")).as("f64"),
+      NearDup.simHashComposed(col("text")).as("c64"),
+      NearDup.simHash128(col("text")).as("f128"),
+      NearDup.simHash128Composed(col("text")).as("c128")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"64 mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"128 mismatch id=${r.getLong(0)}")
+    }
+  }
+}
