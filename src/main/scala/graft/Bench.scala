@@ -109,24 +109,48 @@ object Bench {
     }
     val results = names.map(n => n -> perPass(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val raw = names.map { n =>
+    // Detail-line entries ordered by ASCENDING per-query min so the most
+    // expensive queries print LAST: the driver's artifact keeps only the
+    // final ~2 KB of stdout, which preserves the end of this line — the
+    // stall forensics for the top-of-bench queries (the ones a perf
+    // comparison flags) now survive in the driver's own file instead of
+    // being cut off (round-16 VERDICT residual #1). Full map still goes
+    // to bench_passes.json.
+    val raw = names.sortBy(n => perPass(n).min).map { n =>
       "\"" + n + "\":[" + perPass(n).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Two-line emission (BENCH_r05 lesson): the driver tail-captures stdout
-    // and parses the LAST line, so the per-pass arrays — which tripled the
-    // line and truncated the head 28 queries in r5 — go on their own
-    // PRECEDING line (and to bench_passes.json for post-hoc diagnosis);
-    // the final line is the compact min-only format the driver parses.
+    // (last ~2000 chars) and parses the LAST line, so the per-pass arrays —
+    // which tripled the line and truncated the head 28 queries in r5 — go
+    // on their own PRECEDING line (and to bench_passes.json for post-hoc
+    // diagnosis); the final line is the compact min-only format the driver
+    // parses. The round-16 VERDICT asked for the FULL per-pass map in the
+    // final line; measured against the r16 artifact that cannot fit — the
+    // final line is already 1783 of the 2000 captured chars — so the final
+    // line instead carries two SCALAR stall-attribution keys (additive,
+    // ~30 chars): "mtst" = the calib contention ratio min(mt)/min(st)
+    // (clean host ≈ 1.0; the contended r16 window read 1.17) and
+    // "stallp" = the fraction of all per-pass samples ≥ 1.5× their
+    // query's min (episodic-stall density; a clean window reads < ~0.05).
+    // Together with the reordered detail line a contended driver window
+    // self-classifies from the artifact alone.
     val calibJson = "{\"st\":[" + calibSt.map(v => f"$v%.3f").mkString(",") +
       "],\"mt\":[" + calibMt.map(v => f"$v%.3f").mkString(",") + "]}"
+    val allSamples = names.flatMap(n => perPass(n))
+    val nStalled = names.map { n =>
+      val m = perPass(n).min
+      perPass(n).count(_ >= 1.5 * m)
+    }.sum
+    val stallP = if (allSamples.nonEmpty) nStalled.toDouble / allSamples.size else 0.0
+    val mtSt = if (calibSt.nonEmpty && calibSt.min > 0) calibMt.min / calibSt.min else 0.0
     val detail = f"""{"detail":"per-pass","passes":$passes,"warmup":$warmed,"calib":$calibJson,"times":$raw}"""
     println(detail)
     try {
       val out = new java.io.PrintWriter("bench_passes.json")
       try out.println(detail) finally out.close()
     } catch { case e: Throwable => System.err.println(s"[bench] pass file write failed: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup":$warmed,"calib":$calibJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"warmup":$warmed,"calib":$calibJson,"mtst":$mtSt%.2f,"stallp":$stallP%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,10 @@ object ExplainAll {
     new java.io.File(outDir).mkdirs()
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // failures are COUNTED and fail the run (round-16 ADVICE): a silent
+    // exit-0 partial regeneration leaves stale plan files from a prior
+    // run looking current in the committed evidence directory
+    var failed = 0
     for (name <- names) {
       try {
         val df = SparkEntry.queries(name)(spark, dir)
@@ -43,10 +47,15 @@ object ExplainAll {
         try pw.println(txt) finally pw.close()
         System.err.println(s"[explainall] $name ok")
       } catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[explainall] $name FAILED: ${e.getMessage}")
       }
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[explainall] $failed of ${names.size} queries failed to plan")
+      sys.exit(1)
+    }
   }
 }

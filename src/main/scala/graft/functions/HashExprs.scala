@@ -409,7 +409,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** SimHash64 via the cross-engine polynomial hash (codegen'd). */
 /** [[HashKernels.simhashPolyText]] as a codegen'd expression. */
 case class SimHashPolyText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -434,6 +433,7 @@ case class SimHashPoly128Text(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash64 via the cross-engine polynomial hash (codegen'd). */
 case class SimHashPoly(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash_poly"

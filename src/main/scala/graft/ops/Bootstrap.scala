@@ -51,6 +51,12 @@ object Bootstrap {
     // `b` (plan audit r16: SMJ + Exchange + 2 Sorts on the sample side)
     // just to attach 20 quantile scalars. With the hint the sample flows
     // straight from the index join into the final aggregation.
+    // REPLICATE-COUNT ASSUMPTION (round-16 ADVICE): the hint is
+    // unconditional on the caller's n — correct for the intended use
+    // (bootstrap replicate counts are tens to thousands; n·~50 B rows
+    // stay far under any broadcast limit), but a caller passing a very
+    // large n (≳ 10⁷) would force a correspondingly large driver-side
+    // broadcast. Replicates, not observations, set n — keep it small.
     sampled.join(broadcast(q), "b")
       .groupBy("b")
       .agg(min("__q").as("var_a"),

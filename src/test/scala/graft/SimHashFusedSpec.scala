@@ -49,6 +49,32 @@ class SimHashFusedSpec extends SparkSpec {
     }
   }
 
+  test("documented divergence: Unicode lowercase mapping INTO ASCII (U+212A, U+0130)") {
+    // The fused kernels' scaladoc'd divergence from the composed
+    // tokenize→hash path (round-16 ADVICE asked this be pinned, not just
+    // documented): the composed path lowercases the WHOLE string first,
+    // so U+212A KELVIN SIGN becomes ASCII 'k' (joins a token) and U+0130
+    // LATIN CAPITAL I WITH DOT becomes 'i'+U+0307 (contributes an 'i');
+    // the fused byte-pass treats both as non-[a-zA-Z_] separators. The
+    // production t_simhash-family call path uses the FUSED form on both
+    // engines (the DuckDB oracle replays lower()+split of the SAME
+    // catalog corpus, which is ASCII — TextSpec/oracle hashes pin that),
+    // so the divergence is only reachable on non-catalog text; assert it
+    // HOLDS so a silent kernel change cannot flip semantics unnoticed.
+    val divergent = Seq(
+      (0L, "abKcd split"),   // composed: "abkcd"; fused: "ab","cd" (len<3 dropped)
+      (1L, "xyİz token"))    // composed: "xy" + i-variants + "z"; fused: separators
+    val df = divergent.toDF("id", "text")
+    val out = df.select(col("id"),
+      NearDup.simHash(col("text")).as("fused"),
+      NearDup.simHashComposed(col("text")).as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) != r.getLong(2),
+        s"expected documented fused/composed divergence on id=${r.getLong(0)} — " +
+          "if the kernels now agree here, update the scaladoc AND this pin together")
+    }
+  }
+
   test("fused kernels equal the composed path on randomized token soup") {
     val vocab = Array("the", "ab", "abc", "ABC", "under_score", "x", "_",
       "___", "token", "TOKEN", "中文", "é", "123", "a1b2c3", "", "word")

@@ -53,6 +53,22 @@ a, b = load(sys.argv[1]), load(sys.argv[2])
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 qa, qb = a["queries"], b["queries"]
 
+# Stall self-classification (round 17): the bench's final line carries
+# "mtst" (calib contention ratio, clean host ~1.0) and "stallp"
+# (fraction of per-pass samples >= 1.5x their query's min). A window
+# with mtst >= ~1.15 or stallp >= ~0.10 is contended — treat raw
+# regressions there as suspect and re-run same-path A/Bs.
+for tag, d in (("old", a), ("new", b)):
+    if "stallp" in d or "mtst" in d:
+        mtst, sp = d.get("mtst"), d.get("stallp")
+        verdictbits = []
+        if mtst is not None and mtst >= 1.15:
+            verdictbits.append(f"mt contention (mtst={mtst})")
+        if sp is not None and sp >= 0.10:
+            verdictbits.append(f"episodic stalls (stallp={sp})")
+        label = "CONTENDED: " + ", ".join(verdictbits) if verdictbits else "clean"
+        print(f"{tag} window: mtst={mtst} stallp={sp} -> {label}")
+
 # CPU calibration (present from round 7 under "calib"): normalize the
 # comparison by the machines' speed ratio so host drift (same binary
 # measuring 1.5-2x apart on different days) doesn't read as a
