@@ -194,7 +194,20 @@ object BacktestQ {
     // customer with a deterministic sdates; customers with no prevailing
     // names row keep nulls (the write_links missing count).
     Q("j9_ibeslink", (s, dir) => {
+      // ONE exchange on the names side (r17): the un-hinted plan shuffled
+      // orders twice — partial SortAggregate → Exchange(custkey, date) →
+      // final SortAggregate → Exchange(custkey) → Sort for the as-of
+      // merge. Repartitioning by custkey FIRST satisfies the aggregation's
+      // ClusteredDistribution (subset clustering) AND the as-of join's
+      // exact-key distribution, so the same exchange serves both and the
+      // post-agg re-shuffle disappears (guide §2.4 "two operations keyed
+      // the same way share one exchange"). Partial aggregation compressed
+      // ~nothing here ((custkey, exact-date) groups are ≈1 row), so the
+      // raw-row shuffle moves the same bytes. Column-less repartition
+      // (no N) stays AQE-coalescible — scale-adaptive, not a local[32]
+      // constant. Results identical (same agg, same as-of semantics).
       val names = Tables.orders(s, dir)
+        .repartition(col("o_custkey"))
         .groupBy(col("o_custkey").as("ncusip"),
           (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
             dayofmonth(col("o_orderdate"))).as("date"))

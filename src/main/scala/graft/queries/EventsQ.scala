@@ -165,13 +165,24 @@ object EventsQ {
     // JSON prop extraction + agg (the driver's events.props column;
     // reference analog: Mongo doc field access unstructured.py:59-154).
     Q("e_json", (s, dir) => {
+      // ONE JSON parse per row (r17): the former inline form referenced
+      // get_json_object in the grouping key of the distinct-rewrite AND
+      // all four aggregate inputs — the partial-aggregate plan carried
+      // five textual copies of the parse, and codegen subexpression
+      // elimination does not unify the grouping-key copy with the
+      // update-expression copies. Pre-projecting k evaluates the parse
+      // exactly once per row below the aggregation (guide §2.3 "project
+      // before the exchange"/§4.4 duplicated-evaluation shape); the
+      // aggregate arithmetic is unchanged Column code on the same int,
+      // so results are bit-identical (oracle hash-checked).
       val k = get_json_object(col("props"), "$.k").cast("int")
       Tables.events(s, dir)
+        .select(col("event_type"), k.as("__k"))
         .groupBy("event_type")
-        .agg(r6(avg(k)).as("avg_k"),
-          bi(min(k)).as("min_k"),
-          bi(max(k)).as("max_k"),
-          bi(countDistinct(k)).as("n_k"),
+        .agg(r6(avg(col("__k"))).as("avg_k"),
+          bi(min(col("__k"))).as("min_k"),
+          bi(max(col("__k"))).as("max_k"),
+          bi(countDistinct(col("__k"))).as("n_k"),
           bi(count(lit(1))).as("n"))
     }, Some("""
       SELECT event_type,
