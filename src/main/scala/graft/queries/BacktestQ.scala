@@ -37,19 +37,40 @@ object BacktestQ {
       // the harness (Bench/TimeQ/Verify clearCache between queries); an
       // embedding driver should unpersist via the plan's cached nodes or
       // re-compose from the Backtesting API with its own lifecycle.
+      // PERSIST AUDIT (r17, the round-16 VERDICT #4 item): dropping the
+      // monthly persist measured 1.64 -> 1.31 s and dropping both it and
+      // the cs persist 1.24 s (b1 solo, min-of-6, clean adjacent
+      // windows) — the ~0.4 s is fixed InMemoryRelation build latency on
+      // 8k/700-row caches. REJECTED anyway: the rebalance-calendar
+      // collect (dailyPerformance) is a SEPARATE action, and exchange
+      // reuse does not span jobs — un-persisted, the full orders
+      // aggregation (the dominant scan+shuffle at corpus scale) runs
+      // once per action instead of once. A sub-second local latency is
+      // the wrong trade against doubling the base-table pass at 100 TB.
+      // ONE orders scan (r17): cap used to be a SECOND full orders
+      // aggregation joined back onto sig. Decimal addition is exact and
+      // associative, so carrying the month-level DECIMAL(38,6) partial
+      // (__msum) in `monthly` and re-summing it per (permno, y) yields
+      // the bit-identical cap (same values, same overflow behavior), and
+      // signal + cap then come out of ONE aggregation over the persisted
+      // monthly frame — no second scan, no sig⋈cap join (guide §1.2
+      // "don't compute things twice", §2.4 fewer exchanges). `ret`
+      // derives from __msum exactly as before (cast-to-double then the
+      // same arithmetic). Oracle SQL unchanged; hash-checked.
       val monthly = o.groupBy((col("o_custkey") % 100).as("permno"),
           year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
-        .agg(((dsum(col("o_totalprice")) % 100) / 1000.0 - 0.045).as("ret"))
+        .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("__msum"))
+        .select(col("permno"), col("y"), col("mo"),
+          ((col("__msum").cast("double") % 100) / 1000.0 - 0.045).as("ret"),
+          col("__msum"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = monthly.groupBy("permno", "y")
-        .agg(r6(CompoundReturn.compoundRet(col("ret"))).as("signal"))
-      val cap = o.groupBy((col("o_custkey") % 100).as("permno"),
-          year(col("o_orderdate")).as("y"))
-        .agg(dsum(col("o_totalprice")).as("cap"))
       // the cross-section is ~permnos×years rows and is scanned four ways
       // by the sort (screen, NYSE population percentiles, label join) —
       // persist the tiny frame instead of re-running the agg chain
-      val cs = sig.join(cap, Seq("permno", "y")).where(col("y") < 1998)
+      val cs = monthly.groupBy("permno", "y")
+        .agg(r6(CompoundReturn.compoundRet(col("ret"))).as("signal"),
+          sum(col("__msum")).cast("double").as("cap"))
+        .where(col("y") < 1998)
         .select(col("permno"), (col("y") * 10000 + 1231).as("rebaldate"),
           col("signal"), col("cap"), (col("permno") % 3 === 0).as("nyse"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,6 +147,13 @@ object BacktestQ {
     // not just the totals — Σweight ≡ 1 per cell would be vacuous).
     Q("b2_bivariate", (s, dir) => {
       val o = Tables.orders(s, dir)
+      // NOT rewritten to the b1 single-scan form (r17): measured 0.797 ->
+      // 1.020 s (min-of-6, clean adjacent windows) — unlike b1, cs here
+      // is un-persisted and its four consumers share the old two-branch
+      // sig/cap work via exchange reuse, while the combined
+      // ObjectHashAggregate (udaf + decimal sum in one operator) lands on
+      // every consumer's critical path. The cs-persist variant measured
+      // 0.92-1.01 s — also worse. Both rejected; two-branch form kept.
       val monthly = o.groupBy((col("o_custkey") % 100).as("permno"),
           year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
         .agg(((dsum(col("o_totalprice")) % 100) / 1000.0 - 0.045).as("ret"))
