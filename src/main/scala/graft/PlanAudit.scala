@@ -45,6 +45,12 @@ object PlanAudit {
   private val extras: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     "g_hits__round_body" -> ((s: SparkSession, dir: String) =>
       graft.graph.Centrality.hitsRoundForAudit(graft.queries.GraphQ.hitsEdges(s, dir))),
+    // r17: the connectedComponents SHUFFLE tier's un-checkpointed round
+    // (labels past broadcast — the corpus-scale regime; the catalog-scale
+    // broadcast tier is the unchanged round-16 shape). CCRoundShapeSpec
+    // pins the shape; ProfileCC "tree 4000000" is the wall evidence.
+    "g_components__round_body" -> ((s: SparkSession, dir: String) =>
+      graft.graph.GraphOps.ccRoundForAudit(graft.queries.GraphQ.nationGraph(s, dir))),
     "a10_kpp__bydate" -> ((s: SparkSession, dir: String) =>
       graft.queries.BacktestQ.a10ByDate(s, dir)._1),
     // g_info's catalog row went driver-local in round 10 (size-guarded
@@ -185,6 +191,10 @@ object PlanAudit {
     md ++= "distributed plan — the corpus-scale shuffle tier is what\n"
     md ++= "g_hits__round_body audits; g_info since its round-10 local twin —\n"
     md ++= "g_info__distributed audits the corpus-scale summary plan.\n"
+    md ++= "g_components__round_body (r17) audits the connectedComponents\n"
+    md ++= "SHUFFLE tier's un-checkpointed round (pre-partitioned |E| leg +\n"
+    md ++= "shuffle-hash label builds — the labels-past-broadcast regime);\n"
+    md ++= "the catalog-scale broadcast tier keeps the round-16 shape.\n"
     md ++= "t_pipeline__full is the composite training-data chain\n"
     md ++= "(CorpusPipeline.clean: score → gate → redact → exact + near dedup →\n"
     md ++= "decontaminate) — spec-only (catalog frozen at 88) but the flagship\n"
