@@ -294,9 +294,16 @@ object TextQ {
       // only (doc_id, shingle-hash) rows, never the arrays (at 100 TB the
       // array-intersect-per-candidate-pair form is quadratic in doc size).
       val wdf = Window.partitionBy("h")
-      // persist the pruned exploded shingle hashes: the frame feeds sizes
-      // and BOTH sides of the self-join — without it the shingle fold and
-      // the df-window shuffle would run three times. The fused
+      // NOT persisted (r17): the frame feeds sizes and BOTH sides of the
+      // self-join, but all three consumers sit above the SAME
+      // Exchange(h) that the df-window forces, and ReuseExchange dedups
+      // it — the shingle fold and the shuffle run ONCE either way, so
+      // the persist only added an eager materialization on the serial
+      // path. Measured (ProfileJacDf, min of 3 interleaved reps):
+      // sf0.1 1.76 -> 1.42 s, ×30 8.94 -> 4.69 s. A df-via-groupBy+join
+      // variant (B) measured 2.22 s sf0.1 / 4.41 s ×30 — no better than
+      // the window once un-persisted; rejected to keep the oracle-
+      // mirrored window form. The fused
       // ShingleHash61 head (r10) emits the cross-engine 61-bit poly value
       // in ONE byte-pass over the text — no lowercase copy, no regex, no
       // shingle strings — and was the round's t_jaccard win: the head was
@@ -311,7 +318,6 @@ object TextQ {
         .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
         .withColumn("__df", count(lit(1)).over(wdf))
         .where(col("__df") <= maxDf).drop("__df")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       // pin the shingle self-join out of broadcast when the exploded
       // side is big: repetitive long streams lz4-compress far under
