@@ -6,7 +6,7 @@ and rows by all columns, and compare values exactly.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -34,7 +34,12 @@ def canon(con, rel_sql):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single parquet file (the shipped testdata) or a
+        # directory of part files (Spark-written variants, e.g. the r17
+        # multi-split scaling testdata) — glob the directory form
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
