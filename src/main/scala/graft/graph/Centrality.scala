@@ -75,6 +75,38 @@ object Centrality {
   private def allNodes(und: DataFrame): DataFrame =
     und.select(col("src").as("node")).distinct()
 
+  /** Materialized edge frame + join-side hint for per-round rank joins
+    * (r17, the connectedComponents two-tier recipe shared with
+    * [[eigenvector]] / [[GraphOps.pageRank]]): below the broadcast
+    * threshold the |V|-row rank frame broadcasts at runtime (AQE), so
+    * the edges stay a plain persisted cache and joins stay un-hinted —
+    * the round-16 shapes bit-for-bit. Past it, the un-hinted planner
+    * degrades to a per-round SortMergeJoin that re-shuffles AND re-sorts
+    * the |E| side (rounds are separate jobs — exchange reuse never spans
+    * the eager checkpoints), so the edges are hash-partitioned by the
+    * join key ONCE through an AQE-stable checkpoint and the returned
+    * hint pins SHUFFLE_HASH on the rank side: |E| streams exchange-free
+    * and unsorted every round. Mechanism evidence: ProfileCC
+    * "tree 4000000" (4M nodes, 23 rounds) 152.3/145.6 -> 55.2/36.8 s.
+    * The |V| probe is one map-side approx_count_distinct pass riding the
+    * materialization the loop needs anyway (±2% vs a threshold with wide
+    * headroom).
+    */
+  private[graph] def tieredByKey(edges0: DataFrame, key: String)
+      : (DataFrame, DataFrame => DataFrame) = {
+    val bcThresh = org.apache.spark.sql.graftx.Bridge
+      .broadcastThreshold(edges0.sparkSession)
+    val cached = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nv = cached.agg(approx_count_distinct(col(key))).head().getLong(0)
+    val big = bcThresh < 0 || nv * 48L > bcThresh
+    if (!big) (cached, (df: DataFrame) => df)
+    else {
+      val p = graft.core.Ckpt.partitioned(cached.repartition(col(key)))
+      cached.unpersist(blocking = false)
+      (p, (df: DataFrame) => df.hint("shuffle_hash"))
+    }
+  }
+
   /** Per-node triangle counts (graph.py `nx.triangles`). Compact-forward:
     * orient each undirected edge from the (degree, id)-smaller endpoint to
     * the larger; every triangle appears exactly once as wedge
@@ -138,7 +170,11 @@ object Centrality {
     */
   def eigenvector(edges: DataFrame, iters: Int = 100,
                   normalizeEvery: Int = 10): DataFrame = {
-    val und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round edge join tiered like connectedComponents (r17): small
+    // |V| keeps the persisted-cache + AQE-broadcast shape unchanged;
+    // past broadcast the edges are pre-partitioned by src once and the
+    // iterate side rides SHUFFLE_HASH — see [[tieredByKey]]
+    val (und, hinted) = tieredByKey(symmetrize(edges), "src")
     val nodes = allNodes(und).persist(StorageLevel.MEMORY_AND_DISK)
     def normalized(v: DataFrame): DataFrame = {
       val n2 = v.agg(sqrt(sum(col("x") * col("x"))).as("__n2"))
@@ -150,7 +186,7 @@ object Centrality {
     var converged = false
     while (i < iters && !converged) {
       i += 1
-      val ax = x.join(und, x("node") === und("src"))
+      val ax = hinted(x).join(und, x("node") === und("src"))
         .select(col("dst").as("node"), col("x"))
         .groupBy("node").agg(sum("x").as("ax"))
       val next = x.join(ax, Seq("node"), "left")

@@ -495,7 +495,15 @@ object GraphOps {
     * so an un-materialized iteration DOUBLES the lineage (the
     * GraphX-Pregel per-round materialization pattern).
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85): DataFrame = {
+  def pageRank(edges0: DataFrame, iters: Int = 10, d: Double = 0.85): DataFrame = {
+    // per-round edge join tiered like connectedComponents (r17): the
+    // edge frame is materialized ONCE (it used to re-run its upstream
+    // subtree every round — each round is its own job) and, past the
+    // broadcast threshold, pre-partitioned by src with the rank side
+    // riding SHUFFLE_HASH — see [[graft.graph.Centrality.tieredByKey]].
+    val (edges, hinted) =
+      graft.graph.Centrality.tieredByKey(
+        edges0.select(col("src"), col("dst")), "src")
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
@@ -505,7 +513,7 @@ object GraphOps {
       val withOut = ranks.join(outDeg, Seq("node"), "left")
       val dangling = withOut.where(col("out").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
-      val contribs = withOut.where(col("out").isNotNull)
+      val contribs = hinted(withOut.where(col("out").isNotNull))
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("rank") / col("out")).as("c"))
         .groupBy("node").agg(sum("c").as("in_rank"))

@@ -48,6 +48,30 @@ class CCRoundShapeSpec extends SparkSpec {
     }
   }
 
+  test("eigenvector/pageRank shuffle tier matches broadcast tier (forced via -1)") {
+    // float power iterations: SHJ vs broadcast changes partial-sum
+    // grouping, so compare at 1e-9 (the loops' own convergence is 1e-10
+    // and the catalog projections round to 6dp)
+    val e = spark.range(0, 2000)
+      .select((col("id") % 97).as("src"), ((col("id") * 13) % 89).as("dst"))
+    val ev0 = graft.graph.Centrality.eigenvector(e, iters = 30)
+      .as[(Long, Double)].collect().toMap
+    val pr0 = graft.graph.GraphOps.pageRank(e, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val ev1 = graft.graph.Centrality.eigenvector(e, iters = 30)
+        .as[(Long, Double)].collect().toMap
+      val pr1 = graft.graph.GraphOps.pageRank(e, iters = 10)
+        .as[(Long, Double)].collect().toMap
+      assert(ev0.keySet == ev1.keySet && pr0.keySet == pr1.keySet)
+      ev0.foreach { case (k2, v) => assert(math.abs(ev1(k2) - v) < 1e-9, s"eigen $k2") }
+      pr0.foreach { case (k2, v) => assert(math.abs(pr1(k2) - v) < 1e-9, s"pagerank $k2") }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("shuffle tier equals broadcast tier exactly (forced via threshold -1)") {
     val e = spark.range(0, 3000)
       .select((col("id") % 211).as("src"), ((col("id") * 7) % 191 + 300).as("dst"))
