@@ -304,16 +304,23 @@ object GraphOps {
     * result through another Spark job — see [[graft.text.NearDup.dupGroups]].
     */
   def connectedComponentsLocalPairs(edges: DataFrame,
-                                    maxEdges: Long = 200000L): Array[(Long, Long)] = {
+                                    maxEdges: Long = 200000L,
+                                    preGuarded: Boolean = false): Array[(Long, Long)] = {
     // guard stays count-then-collect (2 jobs): the tempting one-job
     // limit(maxEdges+1).collect() plans CollectLimitExec, whose
     // incremental partition fetch (1, then 4x, ...) runs FOUR sequential
     // rounds when a tiny graph never fills the limit — measured
-    // g_components 0.60 -> 0.94 s before reverting (round 10)
+    // g_components 0.60 -> 0.94 s before reverting (round 10).
+    // preGuarded (r17): a caller that has ALREADY proven the symmetrized
+    // count fits (symmetrize dedups and drops self-loops, so it emits
+    // ≤ 2× the input pairs — dupGroups knows its exact pair count from
+    // the persist-materializing probe) skips the redundant count job.
     val und = Centrality.symmetrize(edges)
-    val cnt = und.count()
-    require(cnt <= maxEdges,
-      s"local components guard: $cnt symmetrized edges > $maxEdges — use connectedComponents")
+    if (!preGuarded) {
+      val cnt = und.count()
+      require(cnt <= maxEdges,
+        s"local components guard: $cnt symmetrized edges > $maxEdges — use connectedComponents")
+    }
     val es = und.selectExpr("cast(src as long)", "cast(dst as long)")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val find = unionFind(es)

@@ -227,8 +227,13 @@ object NearDup {
       // the driver, so the group-size count and keep-join are a hash map
       // and a lookup — not two more Spark shuffles over a ~100-row frame
       // (r10; was groupBy(component) + join on the toDF'd result)
+      // preGuarded: nPairs ≤ maxLocalPairs is established above and
+      // symmetrize emits ≤ 2·nPairs rows ≤ the maxEdges passed here, so
+      // the local tier's own count job is provably redundant (r17 —
+      // one fewer eager job per dupGroups call)
       val comps = graft.graph.GraphOps
-        .connectedComponentsLocalPairs(p, maxEdges = 2 * maxLocalPairs + 16)
+        .connectedComponentsLocalPairs(p, maxEdges = 2 * maxLocalPairs + 16,
+          preGuarded = true)
       p.unpersist(blocking = false)
       val sizes = comps.groupBy(_._2).map { case (c, xs) => (c, xs.length.toLong) }
       val spark = pairs.sparkSession
